@@ -1,0 +1,110 @@
+"""Array higher-order functions and JSON access (SURVEY §2.8 F9-F10).
+
+Exercised over `embeddings.embedding` (array<float>) and `events.props`
+(JSON-encoded string). Higher-order functions (transform/aggregate/zip_with)
+run inside codegen on the JVM — this is the fast path that makes the
+similarity operators (operators/similarity.py) viable without Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.schemas import EVENT_PROPS
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "fn_array_basics",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 'sum'), 4) AS vec_sum,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 'max'), 6) AS vec_max,
+           CASE WHEN list_contains([label, label + 1], label) THEN 1 ELSE 0 END
+             AS has_label
+    FROM embeddings ORDER BY vec_id
+    """,
+    survey_ref="F9",
+)
+def fn_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element access / aggregate / array_contains over array<float>.
+
+    Sums accumulate in DOUBLE on both engines (floats cast up before adding)
+    so the 4-dp rounded values hash-match.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(dbl), 6).alias("vec_max"),
+        F.when(
+            F.array_contains(F.array(F.col("label"), F.col("label") + 1), F.col("label")),
+            1,
+        )
+        .otherwise(0)
+        .alias("has_label"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
+             AS sq_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS smallest
+    FROM embeddings ORDER BY vec_id
+    """,
+    survey_ref="F9",
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / sort_array higher-order surface.
+
+    Both engines cast each float element to DOUBLE before squaring/summing
+    (identical sequential accumulation order over the 64-element list) so the
+    4-dp rounded sums match exactly.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4).alias("sq_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias(
+            "smallest"
+        ),
+    ).orderBy("vec_id")
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events ORDER BY event_id
+    """,
+    survey_ref="F10",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access over events.props: typed from_json + string get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", EVENT_PROPS))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    ).orderBy("event_id")

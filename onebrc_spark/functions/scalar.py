@@ -1,0 +1,171 @@
+"""Scalar function surface (SURVEY §2.8 F1-F8).
+
+The reference's own scalar surface is tiny: 1-dp rounding (`main.rs:54-57`,
+`generate.rs:34`), `/10.0` descaling (`thebracket.rs:175-177`), and report
+formatting (`thebracket.rs:172-187`) — F1/F3 are covered by the flagship and
+report queries. This module is the general string/date/math/conditional
+surface (F5-F8), all JVM-side whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "fn_strings",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           trim(p_type) AS type_trim,
+           substring(p_type, 1, 5) AS type_head,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           CASE WHEN p_name LIKE '%al%' THEN 1 ELSE 0 END AS has_al,
+           split_part(p_type, ' ', 1) AS type_first_word
+    FROM part ORDER BY p_partkey
+    """,
+    survey_ref="F5",
+)
+def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: lower/upper/length/trim/substring/concat_ws/
+    replace/LIKE/split — all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.when(F.col("p_name").like("%al%"), 1).otherwise(0).alias("has_al"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents ORDER BY doc_id
+    """,
+    survey_ref="F5",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace/match over documents.text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("novowel_len"),
+        F.when(F.col("text").rlike("spark"), 1).otherwise(0).alias("mentions_spark"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofmonth(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders ORDER BY o_orderkey
+    """,
+    survey_ref="F6",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: extract fields, truncate, interval arithmetic,
+    datediff, epoch. All results cast to DATE/BIGINT (engine-portable types —
+    registry rule: no raw timestamps in results)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(power(l_quantity, 2), 4) AS qty_sq,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4) AS price_ln,
+           round(l_tax, 2) AS tax_r,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    survey_ref="F7",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: abs/ceil/floor/pow/sqrt/ln/round/mod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round("l_tax", 2).alias("tax_r"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+           CASE WHEN c_nationkey BETWEEN 0 AND 9 THEN c_nationkey ELSE -1 END AS nation_small
+    FROM customer ORDER BY c_custkey
+    """,
+    survey_ref="F8",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif conditional surface."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.when(F.col("c_nationkey").between(0, 9), F.col("c_nationkey"))
+        .otherwise(F.lit(-1))
+        .alias("nation_small"),
+    ).orderBy("c_custkey")

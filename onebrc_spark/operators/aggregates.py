@@ -1,0 +1,300 @@
+"""Aggregation operators — the heart of the reference (SURVEY §2.4).
+
+The flagship 1BRC query (per-key min/mean/max, sorted, 1-dp rounded) is the
+single logical plan that every reference implementation hand-executes
+(`python_1brc/main.py:16-22`, `rust_1brc/src/main.rs:237-243`,
+`thebracket.rs:73-187`, `purple_mist.rs:41-75`,
+`rangnargrootkeorkamp.rs:183-233`). In Spark it is exactly one declarative
+statement whose physical plan — partial HashAggregate → Exchange
+hashpartitioning(key) → final HashAggregate → Sort — is the same
+partial-then-final decomposable-aggregation shape all five reference
+implementations converge on (SURVEY §2.4 A1/A2), planned by Catalyst instead
+of by hand.
+
+Scale notes (100 TB): group-by key cardinality here is small relative to row
+count (413 stations; ~hundreds of user_ids per sf) so map-side partial
+aggregation collapses the shuffle to |keys|×partitions rows — the same
+insight as the reference's per-thread maps. Skewed keys are handled by AQE
+skew handling; no salting needed for an agg whose partial state is 4 machine
+words per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+def onebrc_aggregate(df: DataFrame, key: str, value: str) -> DataFrame:
+    """The flagship logical plan over any (key, value) frame.
+
+    Mirrors SURVEY §3.4's canonical output contract: per-key min / 1-dp mean /
+    max, ordered by key. `purple_mist.rs:67-75`'s unsorted-unrounded variant is
+    deliberately not reproduced (SURVEY §7.3 non-goals).
+    """
+    return (
+        df.groupBy(F.col(key).alias("station"))
+        .agg(
+            F.min(value).alias("min"),
+            F.round(F.avg(value), 1).alias("mean"),
+            F.max(value).alias("max"),
+        )
+        .orderBy("station")
+    )
+
+
+@query(
+    "onebrc_flagship",
+    oracle="""
+    SELECT user_id AS station,
+           min(value) AS min,
+           round(avg(value), 1) AS mean,
+           max(value) AS max
+    FROM events GROUP BY user_id ORDER BY station
+    """,
+    survey_ref="A1-A7,O1,S6",
+)
+def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 1BRC query phrased over the driver's `events` table
+    (per-user_id min/mean/max of value ≅ per-station over measure)."""
+    return onebrc_aggregate(load_table(spark, sf_dir, "events"), "user_id", "value")
+
+
+@query(
+    "onebrc_report",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id AS station, round(min(value), 1) AS mn,
+             round(avg(value), 1) AS mean, round(max(value), 1) AS mx
+      FROM events GROUP BY user_id
+    ), lines AS (
+      SELECT format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
+      FROM agg
+    )
+    SELECT '{' || string_agg(line, ', ' ORDER BY line) || '}' AS report
+    FROM lines
+    """,
+    survey_ref="S8,F1,F3",
+)
+def onebrc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morling-canonical `{k=min/mean/max, ...}` single-line report
+    (thebracket.rs:169-187, rangnargrootkeorkamp.rs:330-353)."""
+    from onebrc_spark.sources.onebrc import format_report
+
+    agg = onebrc_aggregate(load_table(spark, sf_dir, "events"), "user_id", "value")
+    return format_report(agg)
+
+
+@query(
+    "onebrc_generated",
+    oracle=None,  # input is generated in-engine (S7), no DuckDB table to oracle
+    survey_ref="S7,A1-A7,O1",
+)
+def onebrc_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query over the S7 synthetic generator (generate.rs parity
+    path): 200k generated `station;temp`-shaped rows → min/mean/max. Unit
+    invariants in tests/test_flagship.py; rows-only here (no oracle table)."""
+    from onebrc_spark.sources.generator import generate_measurements
+
+    return onebrc_aggregate(
+        generate_measurements(spark, 200_000, seed=42), "station", "measure"
+    )
+
+
+@query(
+    "agg_sum_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A6,A7",
+)
+def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/COUNT as first-class aggregates (internal accumulator state in the
+    reference: main.py:71-72, main.rs:39-42, rangnar…rs:45-46)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ref="A1-A7,P6",
+)
+def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate single pass (SURVEY §2.4 A7) with a
+    pushed-down date filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="A8",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-stage aggregate in Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL++ sketch value is engine-specific; driver rows-only check
+    survey_ref="A8",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the scale path for 100 TB distinct
+    counts: fixed-size sketch per group instead of a distinct shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    survey_ref="A9",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate. NULL group markers coalesced to a
+    sentinel so the two engines' NULL orderings can't perturb the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    survey_ref="A9",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "avg_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="A10",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / exact interpolated percentile (Spark `percentile`
+    == DuckDB `quantile_cont`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )

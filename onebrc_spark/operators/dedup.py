@@ -1,0 +1,427 @@
+"""Deduplication operators for LLM-pipeline data curation (SURVEY §2.10 X1/X2).
+
+Five dedup families over `documents`, each designed for the 100 TB path:
+
+  - exact        : hash group-by on content digest — one shuffle of (digest,
+                   doc_id), never of the text itself.
+  - ngram_jaccard: exact all-pairs n-gram Jaccard within blocking buckets —
+                   quadratic only inside a bucket, linear across buckets.
+  - minhash_lsh  : MinHash signatures + banded LSH bucketing — the sub-
+                   quadratic near-dup path; candidate pairs verified with
+                   exact Jaccard so LSH is pruning, not semantics.
+  - simhash      : 64-bit SimHash signatures + hamming-distance pairing.
+  - embedding    : cosine near-dup over `embeddings` (see similarity.py for
+                   the general ANN operators).
+
+Hash-function portability: where the oracle must reproduce a hash, we use
+word-level features and `md5` (identical hex output in Spark and DuckDB) with
+a 31-bit decimal-digit projection both engines can compute with integer SQL.
+xxhash64 (Spark-only, faster) backs the rows-only scale variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table, spread
+
+# --- portable token hashing ------------------------------------------------
+# One md5 per shingle → 9 decimal digits → N hashes via affine transforms
+# (a_i·x + b_i mod p), the classic universal-hash MinHash construction.
+# DuckDB has no hex→int cast, so the base hash uses the DECIMAL digits of the
+# md5 hex (strip [a-f], take 9, cast) — deterministic and identical in both
+# engines, and the expensive md5 runs once per shingle, not once per seed.
+
+_HASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# Fixed affine coefficients; a_i < 2^30 keeps a_i·x < 2^60 within BIGINT.
+_HASH_AB = [(1_000_003 * (i + 1) + 7, 9_176 * (i + 1) + 13) for i in range(16)]
+
+
+def _base_digits(col: Column) -> Column:
+    """Portable 9-decimal-digit base hash of a string column (Spark side).
+
+    translate() (character map) produces the same string as the oracle's
+    regexp_replace '[a-f]' → '' at ~10× less CPU — this expression runs
+    once per shingle (~22M times at sf0.1's bench)."""
+    digits = F.translate(F.md5(col), "abcdef", "")
+    return F.substring(F.rpad(digits, 9, "0"), 1, 9).cast("long")
+
+
+def _base_digits_sql(expr: str) -> str:
+    """The identical base hash, DuckDB side."""
+    return (
+        f"CAST(substring(rpad(regexp_replace(md5({expr}),"
+        f" '[a-f]', '', 'g'), 9, '0'), 1, 9) AS BIGINT)"
+    )
+
+
+def _affine(base: Column, seed: int) -> Column:
+    a, b = _HASH_AB[seed]
+    return (base * F.lit(a) + F.lit(b)) % F.lit(_HASH_P)
+
+
+def _affine_sql(base_expr: str, seed: int) -> str:
+    a, b = _HASH_AB[seed]
+    return f"(({base_expr}) * {a} + {b}) % {_HASH_P}"
+
+
+# Single-space split (not \s+): documents.text is single-space separated and
+# DuckDB oracles use string_split(text, ' ') — identical tokenization matters.
+_WORDS = lambda c: F.split(c, " ")  # noqa: E731
+
+
+def word_3grams(text_col: Column) -> Column:
+    """Distinct word-3-gram shingles of a text column (shared by the
+    Jaccard and MinHash dedup operators; DuckDB twin is the range/
+    list_transform expression in their oracles)."""
+    words = _WORDS(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+    ), groups AS (
+      SELECT digest, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM hashed GROUP BY digest
+    )
+    SELECT keeper, n_copies FROM groups WHERE n_copies > 1
+    ORDER BY keeper
+    """,
+    survey_ref="X1",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest: groups of byte-identical documents,
+    keeping the smallest doc_id. At 100 TB the shuffle carries only
+    (16-byte digest, doc_id) pairs — the text never moves."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    )
+
+
+@query(
+    "dedup_exact_distinct",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_texts
+    FROM documents
+    """,
+    survey_ref="X1",
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup accounting: total vs distinct-by-content."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, len_bucket,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gset
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+                 / (len(a.gset) + len(b.gset)
+                    - len(list_intersect(a.gset, b.gset))), 4) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+          / (len(a.gset) + len(b.gset) - len(list_intersect(a.gset, b.gset)))
+          >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="X2",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8), blocked by
+    (lang, length-bucket) so the quadratic pair join is bounded per block —
+    the blocking-key pattern that keeps all-pairs viable at scale. Shingles
+    are distinct word-3-grams."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    grams = word_3grams(F.col("text"))
+    g = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.array_sort(grams).alias("gset"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast("double")
+    union = (
+        F.size(F.col("a.gset")) + F.size(F.col("b.gset"))
+        - F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset")))
+    )
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# MinHash/LSH parameters: 12 hashes in 4 bands of 3 → s-curve threshold
+# (1/4)^(1/3) ≈ 0.63; candidates verified at exact Jaccard ≥ 0.7.
+_MINHASH_N = 12
+_LSH_BANDS = 4
+_LSH_ROWS = 3
+_MINHASH_THRESHOLD = 0.7
+
+
+def minhash_signature(shingles_col: Column) -> Column:
+    """12-element MinHash signature over a distinct-shingle array: one md5
+    base hash per shingle, then 12 affine transforms — portable, and ~12×
+    cheaper than hashing per seed."""
+    bases = F.transform(shingles_col, _base_digits)
+
+    def mk(s: int):
+        # single-arg lambda: a 2-arg lambda would receive (element, index)
+        # from transform and shadow the seed
+        return lambda h: _affine(h, s)
+
+    return F.array(
+        *[F.array_min(F.transform(bases, mk(s))) for s in range(_MINHASH_N)]
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS raw_ws FROM documents
+    ), words AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(raw_ws) - 1, 1)),
+               i -> raw_ws[i] || ' ' || raw_ws[i+1] || ' ' || raw_ws[i+2])) AS ws
+      FROM toks
+    ), based AS (
+      SELECT doc_id, ws,
+             list_transform(ws, w -> {_base_digits_sql('w')}) AS bases
+      FROM words
+    ), sigs AS (
+      SELECT doc_id,
+             [{", ".join("list_min(list_transform(bases, h -> " + _affine_sql("h", s) + "))" for s in range(_MINHASH_N))}]
+               AS sig
+      FROM based
+    ), bands AS (
+      SELECT doc_id, band, sig[band*{_LSH_ROWS}+1:band*{_LSH_ROWS}+{_LSH_ROWS}] AS band_sig
+      FROM sigs, (SELECT unnest(range({_LSH_BANDS})) AS band)
+    ), candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 4)
+               AS jaccard
+      FROM candidates
+      JOIN words wa ON wa.doc_id = doc_a
+      JOIN words wb ON wb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified
+    WHERE jaccard >= {_MINHASH_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="X2",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, the sub-quadratic scale path:
+    3-gram shingles → signature (12 portable hashes) → 4 bands of 3 →
+    equi-join on band signature (only colliding docs pair) → exact shingle-
+    Jaccard verification ≥ 0.7. The oracle reproduces the identical
+    signatures/bands in DuckDB, so this is hash-verified end to end — LSH
+    prunes, Jaccard decides."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    # persist: ws feeds the signature path AND both sides of the
+    # verification join — without it the shingling recomputes 3×.
+    ws = d.select("doc_id", word_3grams(F.col("text")).alias("ws")).persist()
+    sigs = ws.select("doc_id", "ws", minhash_signature(F.col("ws")).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.slice(F.col("sig"), band * _LSH_ROWS + 1, _LSH_ROWS).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
+    jac = inter / union
+    return (
+        candidates.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(jac >= _MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash64(hashes_col: Column) -> Column:
+    """64-bit SimHash over a pre-hashed token array (xxhash64, Spark-only).
+
+    Per bit b: sign of Σ_tokens (bit b of token hash ? +1 : -1); the signature
+    packs the 64 signs into one long. Bit masks are Python-int constants
+    (bit 63 as the signed min-long) so everything stays in codegen'd
+    higher-order functions — no Python crossing per row.
+    """
+    def mk_vote(m: int):
+        # 2-arg lambda required: aggregate(merge) sees extra params as the
+        # 3-arg variant and fails analysis
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        vote = F.aggregate(hashes_col, F.lit(0), mk_vote(mask))
+        sig = sig.bitwiseOR(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific; rows-only check (see docstring)
+    survey_ref="X2",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit chunks
+    (a pair within hamming distance 3 must agree on ≥1 chunk), verified at
+    hamming ≤ 3. Signature correctness is covered by unit tests
+    (tests/test_dedup.py) since DuckDB lacks xxhash64."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    hashed = d.select(
+        "doc_id",
+        F.transform(_WORDS(F.col("text")), lambda w: F.xxhash64(w)).alias("hs"),
+    )
+    sigs = hashed.select("doc_id", simhash64(F.col("hs")).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk", "c.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept
+    FROM ranked WHERE rn = 1
+    GROUP BY source ORDER BY source
+    """,
+    survey_ref="X1",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup policy: keep lowest doc_id per content digest
+    (deterministic, unlike dropDuplicates' arbitrary winner), then report
+    survivors per source."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )

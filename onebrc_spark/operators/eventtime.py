@@ -1,0 +1,183 @@
+"""Event-time operators, batch-first (SURVEY §2.9 ST1-ST5).
+
+The reference is pure batch; this is the declared streaming extension surface
+over `events`, designed batch-first so DuckDB can oracle the semantics. The
+identical transformations run under Structured Streaming via
+onebrc_spark.streaming (readStream + withWatermark — demonstrated and smoke-
+tested there; same logical plan, incremental execution).
+
+Scale notes: tumbling/sliding windows are groupBy on a derived time key —
+same partial/final hash-agg shape as the flagship; session windows use
+Spark's native session_window (state-store-backed in streaming). Watermark
+late-data drop is expressed in batch as a filter against max(ts) computed via
+a scalar subquery-ish crossJoin of a 1-row aggregate (broadcast, zero cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "evt_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT)
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    survey_ref="ST1",
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (streaming twin: identical plan +
+    withWatermark). Window start exported as epoch seconds (registry rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "evt_sliding_window",
+    oracle="""
+    WITH slides AS (
+      SELECT ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - (CAST(floor(epoch(ts)) AS BIGINT) % 900) AS last_slide
+      FROM events
+    ), expanded AS (
+      SELECT value, last_slide - 900 * n AS window_start
+      FROM slides, (SELECT unnest(range(4)) AS n)
+      WHERE last_slide - 900 * n + 3600 > CAST(floor(epoch(ts)) AS BIGINT)
+        AND last_slide - 900 * n <= CAST(floor(epoch(ts)) AS BIGINT)
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM expanded GROUP BY window_start ORDER BY window_start
+    """,
+    survey_ref="ST2",
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, 15-minute slide — each event lands in 4
+    windows. The DuckDB oracle reproduces Spark's window-assignment rule
+    (every slide-aligned window containing ts) explicitly via unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "evt_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             -- >= : a gap of exactly the 30-min threshold starts a new
+             -- session (Spark's session extent is the half-open [ts, ts+gap))
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    survey_ref="ST3",
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute gap) via native session_window.
+    Oracle is the classic lag→gap-flag→cumsum sessionization (SURVEY §7.3 #4:
+    DuckDB has no session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "evt_watermark_late_drop",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type, count(*) AS n_kept
+    FROM events, mx
+    WHERE ts >= max_ts - INTERVAL 7 DAY
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="ST4",
+)
+def evt_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: drop events older than max(ts) - 7d.
+    The 1-row max aggregate broadcasts; no second scan shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 7 DAY"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "evt_dedup_by_id",
+    oracle="""
+    SELECT count(*) AS n_unique,
+           sum(n_dupes) AS n_dropped
+    FROM (
+      SELECT event_id, count(*) - 1 AS n_dupes
+      FROM events GROUP BY event_id
+    )
+    """,
+    survey_ref="ST5",
+)
+def evt_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style dedup by event_id (dropDuplicates; streaming twin is
+    dropDuplicatesWithinWatermark). Reported as (unique, dropped) counts so
+    the oracle is deterministic even though dropDuplicates keeps an
+    arbitrary representative row."""
+    ev = load_table(spark, sf_dir, "events")
+    uniq = ev.dropDuplicates(["event_id"]).agg(F.count(F.lit(1)).alias("n_unique"))
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return uniq.crossJoin(total).select(
+        "n_unique", (F.col("n_total") - F.col("n_unique")).alias("n_dropped")
+    )

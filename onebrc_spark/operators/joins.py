@@ -1,0 +1,333 @@
+"""Join operators (SURVEY §2.3 J1-J7).
+
+Joins are absent from the reference (single-table query); its nearest relative
+is the generator's uniform pick from the 413-city array
+(`rust_1brc/src/bin/generate.rs:31-33`) — morally a broadcast lookup, which is
+exactly how sources/generator.py expresses it. This module is the declared
+extension surface over the TPC-H-ish testdata.
+
+Scale notes (100 TB):
+  - dim tables (region/nation/supplier/part-ish) are broadcast: zero shuffle
+    of the fact side. Explicit `F.broadcast` hints where the dim is known
+    small; Catalyst's autoBroadcastJoinThreshold covers the rest.
+  - fact-fact joins (lineitem⋈orders) shuffle on the join key — both sides
+    hash-partitioned once; AQE converts to broadcast when a filtered side
+    turns out small and splits skewed partitions.
+  - the as-of join avoids a per-row sort-probe by union-tagging both streams
+    and running ONE window pass — O(n log n) per key partition, no cross
+    product, no driver-side state (this is the standard Spark formulation of
+    time-series as-of at scale).
+  - the range join bounds the cross product by equi-bucketing time into
+    coarse buckets and joining bucket-to-bucket before the exact range
+    filter — turning BroadcastNestedLoopJoin into an equi-join whose
+    fan-out is the bucket width, the standard interval-join trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "join_inner_fact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ref="J1",
+)
+def join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi-join: shuffle on the key, partial agg after.
+    Catalyst/AQE picks sort-merge vs shuffled-hash vs broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    survey_ref="J2",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain customer→nation→region with explicit broadcast
+    hints: the fact side never shuffles (asserted in tests/test_plans.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS sum_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    survey_ref="J3",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count(col) skips NULLs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH by_cust AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
+           coalesce(n, 0) AS n_orders
+    FROM customer FULL JOIN by_cust ON o_custkey = c_custkey
+    ORDER BY custkey
+    """,
+    survey_ref="J3",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join against a pre-aggregated side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("has_customer"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000))
+        AS n_big_spenders,
+      (SELECT count(*) FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        AS n_no_orders
+    """,
+    survey_ref="J4",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return semi.agg(F.count(F.lit(1)).alias("n_big_spenders")).crossJoin(
+        anti.agg(F.count(F.lit(1)).alias("n_no_orders"))
+    )
+
+
+@query(
+    "join_theta_nonequi",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer_cust
+    FROM supplier JOIN customer
+      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    survey_ref="J5",
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (nationkey) keys the shuffle; the non-equi
+    acctbal predicate evaluates post-match, so this stays a hash/merge join,
+    not a nested-loop cross product."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+            "inner",
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+    survey_ref="J5",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (BroadcastNestedLoopJoin) — only ever dim×dim by design."""
+    r1 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("k1"))
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("k2"))
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+        .orderBy("from_region", "to_region")
+    )
+
+
+# Range-join bucket width. 1 day in seconds: events span ~30 days, orders span
+# years; the exact filter runs after the bucket equi-join.
+_BUCKET_SECONDS = 86400
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_events
+    FROM orders JOIN events
+      ON events.ts >= orders.o_orderdate
+     AND events.ts <  orders.o_orderdate + INTERVAL 1 DAY
+     AND events.user_id = orders.o_custkey % 150
+    GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+    survey_ref="J6",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: event ts within [o_orderdate, o_orderdate+1day)
+    for the matching user. Spark has no native interval join; we bucket both
+    sides to 1-day grains and equi-join on (user, bucket), expanding the
+    order side to the (at most 2) buckets its interval overlaps, then apply
+    the exact range predicate. The cross product never materializes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", (F.unix_timestamp("ts") / _BUCKET_SECONDS).cast("long").alias("bucket")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.col("o_orderdate").alias("t_lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("t_hi"),
+    )
+    # Explode each interval into the day-buckets it overlaps (≤2 here).
+    o_b = o.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp("t_lo") / _BUCKET_SECONDS).cast("long"),
+                (F.unix_timestamp("t_hi") / _BUCKET_SECONDS).cast("long"),
+            )
+        ),
+    )
+    return (
+        o_b.join(ev, ["user_id", "bucket"])
+        .filter((F.col("ts") >= F.col("t_lo")) & (F.col("ts") < F.col("t_hi")))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_id AS last_event_id,
+           CAST(floor(epoch(o.o_orderdate)) - floor(epoch(e.ts)) AS BIGINT)
+             AS lag_seconds
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON e.user_id = o.o_custkey % 150 AND o.o_orderdate >= e.ts
+    ORDER BY o.o_orderkey
+    """,
+    survey_ref="J7",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event (same user) at or before
+    the order date. Implemented as ONE union + window pass: tag both streams,
+    sort by (user, ts) within partitions, and carry the last-seen event id
+    forward with last_value(ignorenulls) — no cross join, no per-key probe.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("ev_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("is_probe"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("ev_id"),
+        "o_orderkey",
+        F.lit(1).alias("is_probe"),
+    )
+    # Events sort before probes at equal t (is_probe 0 < 1) so ties honor
+    # `e.ts <= o.o_orderdate`. ev_id breaks exact duplicates (latest wins,
+    # matching ASOF's single-match semantics deterministically).
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe", "ev_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.unionByName(o).withColumn(
+        "last_ev_id", F.last("ev_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_ev_t",
+        F.last(F.when(F.col("is_probe") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("is_probe") == 1)
+        .select(
+            "o_orderkey",
+            F.col("last_ev_id").alias("last_event_id"),
+            (F.unix_timestamp("t") - F.unix_timestamp("last_ev_t")).alias("lag_seconds"),
+        )
+        .orderBy("o_orderkey")
+    )

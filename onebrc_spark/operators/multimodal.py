@@ -1,0 +1,173 @@
+"""Multimodal column operators (SURVEY §2.10 X5).
+
+Images/audio/video are opaque `binary` payloads with typed metadata structs;
+decode/resize/frame-sample run as Arrow-batched mapInPandas stages. The
+image/audio codec libraries are NOT in this container (environment contract),
+so the decode kernel is a deterministic stub (`_fake_decode`) behind the real
+Spark plumbing: schema, binary column handling, batch iteration, and
+partition-preserving mapInPandas are all genuine and tested.
+
+Scale notes: binary payloads ride the same parquet scan as everything else;
+the mapInPandas stage is a narrow (per-partition) transformation — no
+shuffle — and Arrow moves the bytes to Python in columnar batches, not row
+at a time. For real codecs the only change is the kernel body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table, spread
+
+# Synthetic media table: documents recast as binary payloads + metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ])),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents recast as a multimodal table: text bytes as the opaque
+    payload, typed metadata struct alongside — the storage layout a real
+    image/audio dataset uses (payload binary + meta struct per row)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/audio decode kernel.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload)) —
+    unavailable in this container, so derive (width, height, checksum)
+    deterministically from the bytes. Raising NotImplementedError here for
+    unknown types marks the genuine stub boundary.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, checksum)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: Arrow batches in, decoded metadata out."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _fake_decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "checksum": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           sum(n_bytes) AS total_bytes,
+           CAST(min(n_bytes % 640 + 1) AS INTEGER) AS min_width,
+           CAST(max(n_bytes % 480 + 1) AS INTEGER) AS max_height
+    FROM payloads GROUP BY media_type ORDER BY media_type
+    """,
+    survey_ref="X5",
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode pipeline end-to-end: build media table → mapInPandas
+    decode (Arrow batches) → aggregate decoded dimensions. The oracle
+    reproduces the deterministic fake-decode arithmetic; checksum parity is
+    unit-tested (DuckDB can't fold bytes)."""
+    decoded = decode_media(spread(media_table(spark, sf_dir), spark))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query("mm_frame_sample", oracle=None, survey_ref="X5")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled 'frame' (every 256-byte
+    slice of the payload stands in for a video frame), via posexplode over a
+    JVM-computed slice index array — the fan-out shape of real frame
+    extraction (row → N frames), with frame bytes sliced JVM-side."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    n_frames = F.greatest(
+        (F.length("payload") / 256).cast("int"), F.lit(1)
+    )
+    return (
+        media.select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_"),
+            F.length("payload").alias("n_bytes"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.least(F.lit(256), F.col("n_bytes") - F.col("frame_no") * 256).alias(
+                "frame_bytes"
+            ),
+        )
+        .orderBy("media_id", "frame_no")
+    )

@@ -1,0 +1,138 @@
+"""Filters, predicates, projections, sorts, limits (SURVEY §2.2, §2.6).
+
+The reference's projection surface is the `station;temp` line parse
+(`python_1brc/main.py:62-65`, `rust_1brc/src/main.rs:137-152`) — handled by
+the CSV reader in sources/onebrc.py. This module is the general predicate /
+sort / top-k surface (P6, O1-O3) over the testdata tables.
+
+Scale notes: every filter here is a Catalyst predicate that pushes down to the
+parquet scan (verified in tests/test_plans.py); sort+limit fuses to
+TakeOrderedAndProject so top-k never performs a global sort of 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority LIKE '1-%'
+      AND NOT (o_custkey < 10)
+    ORDER BY o_orderkey
+    """,
+    survey_ref="P6",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate surface: IN / BETWEEN / LIKE / NOT / AND."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 150000)
+            & F.col("o_orderpriority").like("1-%")
+            & ~(F.col("o_custkey") < 10)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    SELECT count(*) AS n_total,
+           count(value) AS n_value,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM events
+    """,
+    survey_ref="P4,P6",
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity (the P4 empty-line filter generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("value").alias("n_value"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_mktsegment DESC, acctbal DESC, c_custkey
+    """,
+    survey_ref="O2",
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key / mixed-direction global sort (O2). The flagship's
+    single-key ascending sort (O1) is covered by onebrc_flagship."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    ).orderBy(F.desc("c_mktsegment"), F.desc("acctbal"), F.asc("c_custkey"))
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY total DESC, o_orderkey
+    LIMIT 25
+    """,
+    survey_ref="O3",
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit fuses to TakeOrderedAndProject — per
+    partition a bounded heap, then a k-row merge on the driver; no global
+    sort at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "project_prune",
+    oracle="""
+    SELECT l_orderkey, round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    ORDER BY l_orderkey, net
+    """,
+    survey_ref="P1,P6",
+)
+def project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-column projection of an 11-column table — exercises column pruning
+    down to the parquet ReadSchema (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+        )
+        .orderBy("l_orderkey", "net")
+    )

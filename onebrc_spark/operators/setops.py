@@ -1,0 +1,87 @@
+"""Set operations (SURVEY §2.7): union/unionByName, intersect, except.
+
+Scale notes: UNION ALL is a zero-shuffle concatenation of partition lists;
+INTERSECT / EXCEPT (distinct forms) hash-shuffle both sides on the full row —
+we always project to the minimal column set first so the shuffled row is
+narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+def _buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.col("o_custkey").alias("custkey")).distinct()
+
+
+def _high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT custkey, count(*) AS n
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    )
+    GROUP BY custkey ORDER BY custkey
+    """,
+    survey_ref="setops",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) via unionByName + count to make the bag
+    observable in the hash."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    hb = _high_balance(spark, sf_dir)
+    return (
+        o.unionByName(hb)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ) ORDER BY custkey
+    """,
+    survey_ref="setops",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): buyers who also have high balances."""
+    return _buyers(spark, sf_dir).intersect(_high_balance(spark, sf_dir)).orderBy("custkey")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders
+    ) ORDER BY custkey
+    """,
+    survey_ref="setops",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never ordered — the set-op twin of
+    the J4 anti join."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return c.exceptAll(_buyers(spark, sf_dir)).distinct().orderBy("custkey")

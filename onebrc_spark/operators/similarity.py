@@ -1,0 +1,223 @@
+"""Similarity search over embeddings (SURVEY §2.10 X3).
+
+Two paths, one semantics:
+  - sim_knn_bruteforce: exact cosine top-k — the baseline. Query vectors are
+    a broadcast side; the scan side computes dot/norm with zip_with/aggregate
+    higher-order functions (JVM codegen, no Python). O(|queries|·N).
+  - sim_ann_lsh: random-hyperplane LSH — the 100 TB path. Vectors bucket by
+    the sign pattern of dot products with H fixed hyperplanes; only same-
+    bucket pairs are scored. Sub-linear candidate sets; recall tunable by H
+    and multi-probe (not needed here).
+
+Portability design: hyperplanes are deterministic constants computed in
+Python (md5-derived integers, see _hyperplanes) and inlined as literals into
+BOTH the Spark plan and the DuckDB oracle SQL — so bucket assignment and the
+exact cosine math (sequential double accumulation over 64 dims) are bit-equal
+across engines and the ANN result is hash-verified, not rows-only.
+
+Cosine nondeterminism note: all sums are fixed-order (per-vector array fold),
+not shuffle-order-dependent, so no float drift between runs or engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onebrc_spark.registry import query
+from onebrc_spark.schemas import EMBEDDING_DIM
+from onebrc_spark.sources.catalog import load_table, spread
+
+_KNN_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_LSH_PLANES = 8
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-500, 499], md5-derived.
+
+    Integers (not floats) so both engines materialize identical doubles from
+    the inlined literals.
+    """
+    planes = []
+    for j in range(_LSH_PLANES):
+        row = []
+        for d in range(EMBEDDING_DIM):
+            h = hashlib.md5(f"plane{j}:{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) % 1000 - 500)
+        planes.append(row)
+    return planes
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two float-array columns, double math."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+_COS_SQL = """
+    list_aggregate(list_transform(range(1, {dim} + 1),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS_SQL.format(a=a, b=b, dim=EMBEDDING_DIM)
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rn
+      FROM scored
+    )
+    SELECT qid, nid, cos_sim, rn FROM ranked WHERE rn <= {_KNN_K}
+    ORDER BY qid, rn
+    """,
+    survey_ref="X3",
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each of 10 query vectors.
+
+    The query side is broadcast (10 rows), so the big side streams through a
+    BroadcastNestedLoopJoin with no shuffle of the corpus; per-query top-k is
+    a window. Ranked by (cos DESC, vec_id) for determinism on ties.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .orderBy("qid", "rn")
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-pattern LSH bucket id (0..2^H-1) from the fixed hyperplanes."""
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        pv = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(emb, pv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(0)
+    return bucket
+
+
+def _lsh_bucket_sql(emb: str) -> str:
+    planes = _hyperplanes()
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{v}.0" for v in plane) + "]"
+        dot = (
+            f"list_aggregate(list_transform(range(1, {EMBEDDING_DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({arr})[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM pairs
+    WHERE cos_sim >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    survey_ref="X3",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-neighbor pairs: 8-hyperplane sign-LSH bucketing, exact cosine
+    ≥ 0.9 within buckets only. The shuffle key is the bucket id — at 100 TB
+    this is a standard equi-join on a 256-value key space per probe set, vs
+    the bruteforce O(N²). Hash-verified: the oracle reproduces identical
+    buckets and cosines from the same inlined hyperplane constants."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    a = b.alias("a")
+    bb = b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "sim_label_centroid",
+    oracle="""
+    SELECT label, count(*) AS n_vecs,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS centroid_d1,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS centroid_d2
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    survey_ref="X3",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first two dimensions reported) — the assignment
+    table of an IVF-style partitioned ANN index (assign each vector to its
+    nearest centroid's partition; search only that partition). The full
+    centroid is the same plan over posexplode(embedding) grouped by
+    (label, pos)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("centroid_d1"),
+            F.round(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("centroid_d2"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,273 @@
+"""Text analysis operators for LLM-pipeline curation (SURVEY §2.10 X4).
+
+Language-ID (marker-word heuristic), quality scoring (length/ratio
+features), token counting (whitespace + BPE-ish regex), corpus n-gram
+term frequency, and document fingerprinting (polynomial rolling hash).
+
+All pure JVM expressions (split/transform/aggregate/groupBy) — no Python in
+the hot path; every operator has an exact DuckDB oracle. Scale: these are
+embarrassingly-parallel per-row maps plus one hash aggregation each; nothing
+here shuffles the text itself except the explicit n-gram explode (X4 tf),
+whose shuffle key is the gram string — the classic wordcount shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table, spread
+
+_WORDS = lambda c: F.split(c, " ")  # noqa: E731
+
+# Marker vocabularies for the language-ID heuristic. On real corpora these
+# would be per-language stopword n-gram profiles; the synthetic documents
+# table shares one vocabulary, so the markers are arbitrary-but-fixed tokens
+# — the *operator shape* (per-language hit scoring + argmax) is what scales.
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["data", "table", "row", "column"],
+    "fr": ["join", "merge", "sort", "order"],
+}
+
+
+def _hits(words: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def _hits_sql(ws: str, markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({ws}, w -> list_contains({arr}, w)))"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+                         length(text) AS n_ch
+                  FROM documents)
+    SELECT doc_id, lang,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_types,
+           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+           n_ch AS n_chars_computed,
+           round(CAST(n_ch AS DOUBLE) / len(ws), 4) AS chars_per_token
+    FROM toks ORDER BY doc_id
+    """,
+    survey_ref="X4",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts, type-token ratio, chars-per-token."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _WORDS(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        F.round(F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 4).alias("ttr"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(F.length("text").cast("double") / F.size(ws), 4).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents ORDER BY doc_id
+    """,
+    survey_ref="X4",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimators: whitespace, BPE-ish regex pieces (letter runs /
+    digit runs / single punctuation), and the chars/4 heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_WORDS(F.col("text"))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {_hits_sql('ws', _LANG_MARKERS['en'])} AS s_en,
+             {_hits_sql('ws', _LANG_MARKERS['de'])} AS s_de,
+             {_hits_sql('ws', _LANG_MARKERS['fr'])} AS s_fr
+      FROM toks
+    )
+    SELECT doc_id, lang AS lang_meta,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred,
+           s_en, s_de, s_fr
+    FROM scored ORDER BY doc_id
+    """,
+    survey_ref="X4",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language hit counts + argmax
+    (ties break en > de > fr, mirrored exactly in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _WORDS(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        _hits(ws, _LANG_MARKERS["en"]).alias("s_en"),
+        _hits(ws, _LANG_MARKERS["de"]).alias("s_de"),
+        _hits(ws, _LANG_MARKERS["fr"]).alias("s_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang_meta",
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en"
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("lang_pred"),
+        "s_en",
+        "s_de",
+        "s_fr",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS n_ch
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             round(CAST(len(list_filter(ws, w -> list_contains(['the','a'], w)))
+                   AS DOUBLE) / len(ws), 4) AS stopword_ratio,
+             round(CAST(n_ch - len(ws) + 1 AS DOUBLE) / len(ws), 4) AS mean_word_len,
+             round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, mean_word_len, distinct_ratio,
+           CASE WHEN n_tokens >= 20 AND distinct_ratio >= 0.2
+                 AND mean_word_len BETWEEN 2 AND 12 THEN 1 ELSE 0 END AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    survey_ref="X4",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: stopword ratio, mean word length, distinct ratio →
+    keep/drop flag (the C4/Gopher-rule shape of LLM corpus filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _WORDS(F.col("text"))
+    n_tokens = F.size(ws)
+    stop = F.array(F.lit("the"), F.lit("a"))
+    scored = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast("double")
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4
+        ).alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(ws)).cast("double") / n_tokens, 4).alias(
+            "distinct_ratio"
+        ),
+    )
+    return scored.withColumn(
+        "keep",
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & (F.col("distinct_ratio") >= 0.2)
+            & F.col("mean_word_len").between(2, 12),
+            1,
+        ).otherwise(0),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_ngram_tf",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM toks
+    )
+    SELECT gram, count(*) AS tf
+    FROM grams GROUP BY gram
+    ORDER BY tf DESC, gram LIMIT 50
+    """,
+    survey_ref="X4",
+)
+def text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram term frequency, top 50 — explode + wordcount shape.
+    Map-side partial aggregation collapses the shuffle to |vocab|² keys."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    ws = _WORDS(F.col("text"))
+    grams = F.transform(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+_FP_MOD = 1_000_000_007
+_FP_MULT = 131
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> (ord(t) * 31 + length(t)) % {_FP_MOD}) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(vals, (acc, x) -> (acc * {_FP_MULT} + x) % {_FP_MOD})
+             AS fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+    survey_ref="X4",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over token features
+    (first-char codepoint, length) mod 1e9+7 — engine-portable integer math;
+    DuckDB list_reduce seeds with the first element, mirrored here by folding
+    aggregate() over the tail with vals[0] as the initial accumulator."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        _WORDS(F.col("text")),
+        lambda t: (F.ascii(t) * 31 + F.length(t)) % _FP_MOD,
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1).cast("long"),
+            lambda acc, x: (acc * _FP_MULT + x) % _FP_MOD,
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -1,0 +1,119 @@
+"""Pandas UDF / UDAF / grouped-map surface (SURVEY §2.10 U1-U3).
+
+The engine's policy is built-ins first (SNIPPETS.md patterns [1]-[3]): these
+operators exist to prove the Arrow-vectorized escape hatch works end-to-end
+for semantics Catalyst genuinely can't express. Each one is written so its
+result is still DuckDB-oracle-checkable (deterministic math, stable order).
+
+Scale notes: pandas_udf transfers Arrow batches (10k rows default per batch)
+— ~100× fewer Python crossings than row UDFs; applyInPandas shuffles by the
+group key, so group cardinality must exceed executor count (user_id here).
+"""
+
+from __future__ import annotations
+
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def _sigmoid_scaled(v: pd.Series) -> pd.Series:
+    """U1 scalar vectorized kernel: logistic transform (numpy-vectorized)."""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v / 50.0))
+
+
+@query(
+    "udf_scalar_sigmoid",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-value / 50.0)), 6) AS sig
+    FROM events ORDER BY event_id
+    """,
+    survey_ref="U1",
+)
+def udf_scalar_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Series→Series over Arrow batches); oracle is the
+    same closed-form math in SQL — both engines evaluate IEEE double exp."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(_sigmoid_scaled("value"), 6).alias("sig")
+    ).orderBy("event_id")
+
+
+@F.pandas_udf(T.DoubleType())
+def _geo_mean(v: pd.Series) -> float:
+    """U2 grouped-agg kernel: geometric mean (not a Spark built-in)."""
+    import numpy as np
+
+    return float(np.exp(np.log(v[v > 0]).mean()))
+
+
+@query(
+    "udf_grouped_agg_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS geo_mean
+    FROM events WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="U2",
+)
+def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF): per-type geometric mean of
+    value. 4-dp rounding absorbs summation-order float drift between the
+    engines' mean computations."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(_geo_mean("value"), 4).alias("geo_mean"))
+        .orderBy("event_type")
+    )
+
+
+_ZSCORE_SCHEMA = "user_id long, event_id long, value double, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """U3 grouped-map kernel: within-user z-score normalization."""
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)
+    pdf = pdf[["user_id", "event_id", "value"]].copy()
+    pdf["zscore"] = ((pdf["value"] - mu) / sd if sd and sd > 0 else 0.0)
+    return pdf
+
+
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events ORDER BY user_id, event_id
+    """,
+    survey_ref="U3",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDTF-like: whole group in, whole group
+    out): per-user z-scores. Oracle is the window-function formulation —
+    also the pure-Spark way to write this; the applyInPandas form exists for
+    kernels that need real per-group numpy/scipy code."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, _ZSCORE_SCHEMA
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("zscore", 4).alias("zscore"),
+    ).orderBy("user_id", "event_id")

@@ -1,0 +1,155 @@
+"""Window functions (SURVEY §2.5 W1-W4).
+
+Not present in the reference (single aggregate query); declared extension
+surface over `events`/`lineitem`/`orders`.
+
+Scale notes: a window = one shuffle on partitionBy keys + an in-partition
+sort. Key rules applied here: (a) partition keys with enough cardinality that
+no single partition explodes (user_id, suppkey — never an empty
+partitionBy, which funnels 100 TB through one task); (b) running frames are
+rowsBetween (incremental accumulation) not re-scans; (c) top-N-per-group
+filters on row_number immediately so nothing downstream carries the full
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    survey_ref="W1",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over one window spec (one
+    shuffle+sort serves all four)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT)
+             AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    survey_ref="W2",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics + inter-event gap (the sessionization primitive)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_event"),
+            F.lead("event_id").over(w).alias("next_event"),
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_running_frames",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_qty,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_price
+    FROM lineitem
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    survey_ref="W3",
+)
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec aggregates: running sum + 5-row moving average."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_qty"),
+            F.round(
+                F.avg("l_extendedprice").over(w.rowsBetween(-4, 0)), 4
+            ).alias("moving_avg_price"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    survey_ref="W4",
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment (W1 + filter). AQE/
+    WindowGroupLimit pushes the rn<=3 limit into the window sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )

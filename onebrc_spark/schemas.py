@@ -1,0 +1,148 @@
+"""Explicit schema registry — the engine never infers schemas.
+
+The reference always declares schemas where its API allows (SURVEY §4:
+`rust_1brc/src/main.rs:228-234` declares station STRING / measure FLOAT64 and
+skips inference; `python_1brc/main.py:15` names columns with no header). We
+adopt that as a hard style rule: every reader call goes through this module.
+
+Driver testdata schemas confirmed against the sf0.001 parquet footers
+(FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# 1BRC flagship input: station;temp text (FIXTURES.md §A, generate.rs:31-36).
+MEASUREMENTS = T.StructType(
+    [
+        T.StructField("station", T.StringType(), True),
+        T.StructField("measure", T.DoubleType(), True),
+    ]
+)
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType(), True),
+        T.StructField("r_name", T.StringType(), True),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), True),
+        T.StructField("n_name", T.StringType(), True),
+        T.StructField("n_regionkey", T.IntegerType(), True),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), True),
+        T.StructField("c_name", T.StringType(), True),
+        T.StructField("c_nationkey", T.IntegerType(), True),
+        T.StructField("c_acctbal", T.DoubleType(), True),
+        T.StructField("c_mktsegment", T.StringType(), True),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), True),
+        T.StructField("s_name", T.StringType(), True),
+        T.StructField("s_nationkey", T.IntegerType(), True),
+        T.StructField("s_acctbal", T.DoubleType(), True),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType(), True),
+        T.StructField("p_name", T.StringType(), True),
+        T.StructField("p_brand", T.StringType(), True),
+        T.StructField("p_type", T.StringType(), True),
+        T.StructField("p_size", T.IntegerType(), True),
+        T.StructField("p_retailprice", T.DoubleType(), True),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_totalprice", T.DoubleType(), True),
+        T.StructField("o_orderdate", T.TimestampType(), True),
+        T.StructField("o_orderpriority", T.StringType(), True),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), True),
+        T.StructField("l_partkey", T.LongType(), True),
+        T.StructField("l_suppkey", T.LongType(), True),
+        T.StructField("l_linenumber", T.IntegerType(), True),
+        T.StructField("l_quantity", T.DoubleType(), True),
+        T.StructField("l_extendedprice", T.DoubleType(), True),
+        T.StructField("l_discount", T.DoubleType(), True),
+        T.StructField("l_tax", T.DoubleType(), True),
+        T.StructField("l_returnflag", T.StringType(), True),
+        T.StructField("l_linestatus", T.StringType(), True),
+        T.StructField("l_shipdate", T.TimestampType(), True),
+    ]
+)
+
+# NOTE: events.ts is TIMESTAMP(NANOS) on disk. With
+# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) Spark reads it
+# as LongType nanos; sources/catalog.py converts to TimestampType (micros,
+# truncating — the same truncation DuckDB applies) at load time. This schema
+# describes the ON-DISK read schema.
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# events.props JSON payload schema (FIXTURES.md: from_json fixture).
+# Observed payloads are `{"k": <int>}` at every sf.
+EVENT_PROPS = T.StructType([T.StructField("k", T.LongType(), True)])
+
+# embeddings.embedding observed dimensionality (sf0.001 footer).
+EMBEDDING_DIM = 64
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+TABLES: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}

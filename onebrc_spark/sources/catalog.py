@@ -1,0 +1,64 @@
+"""Parquet catalog over the driver testdata (SURVEY §2.1 S6).
+
+Every query loads tables through here: explicit schema (style rule from
+`rust_1brc/src/main.rs:228-234` — never infer), columnar parquet scan with
+Catalyst predicate pushdown / column pruning left fully enabled.
+
+Scale note: at the 100 TB design point these would be partitioned parquet
+datasets (e.g. lineitem by l_shipdate month); `spark.read.parquet` on a
+directory plus partition pruning covers that with the same call shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Schema is asserted, not inferred.
+
+    We pass the expected schema to the reader: for parquet Spark uses it as
+    the read schema (column pruning still applies on top), and any drift
+    between FIXTURES.md and the files surfaces as an error here, not as a
+    subtly-wrong query result.
+    """
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
+    df = spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long nanos (see schemas.EVENTS note); truncate to
+        # micros with integer DIV — a double division would lose precision
+        # above 2^53 — matching DuckDB's nanos→micros truncation.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).select(*[f.name for f in schemas.TABLES[name].fields])
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
+    """Round-robin repartition to cores×per_core partitions.
+
+    For CPU-heavy per-row operators (shingling, MinHash, SimHash, decode
+    UDFs) the scan's partition count is set by file splits — a single small
+    parquet file arrives as ONE partition and serializes the whole stage on
+    one core (observed: dedup at sf0.1 pinned to 1 of 32 threads). Compute
+    parallelism must be decoupled from scan parallelism; this is the
+    explicit analogue of the reference's fixed thread-per-core fan-out
+    (`thebracket.rs:11,121-131`). At 100 TB the same rule holds per
+    executor: partitions ≥ total cores.
+    """
+    target = spark.sparkContext.defaultParallelism * per_core
+    return df.repartition(target)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in schemas.TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

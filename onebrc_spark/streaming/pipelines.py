@@ -1,0 +1,145 @@
+"""Structured Streaming twins of the batch event-time operators (SURVEY §2.9).
+
+Same logical transformations as operators/eventtime.py, executed
+incrementally: readStream over the events parquet → watermarked windowed
+aggregation / dedup / stateful session tracking → memory sink (tests) or any
+production sink. The batch operators are the oracle-checked semantics; these
+wrappers prove the identical plans run under the streaming engine (driver:
+ST1-ST6; ST6 applyInPandasWithState is demo-only per SURVEY §7.3).
+
+Scale notes: in production the source is Kafka/files with trigger-based
+micro-batches; state (windows, sessions, dedup keys) lives in the
+RocksDB/HDFS-backed state store partitioned by the grouping key, and the
+watermark bounds state size — exactly why every aggregation here carries
+`withWatermark` even though the parquet smoke source is finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.schemas import EVENTS, TABLES
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (one-file-per-trigger smoke
+    source; swap `.format("kafka")` in production — the plan is unchanged).
+
+    Converts long-nanos ts exactly as the batch catalog does.
+    """
+    # File streaming sources need a DIRECTORY; pathGlobFilter narrows the
+    # listing to the events table within the sf dir.
+    raw = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).select(
+        *[f.name for f in TABLES["events"].fields]
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST1 streaming twin of evt_tumbling_window (+ watermark)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_counts(events: DataFrame) -> DataFrame:
+    """ST2 streaming twin of evt_sliding_window."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n")
+    )
+
+
+def stream_session_windows(events: DataFrame) -> DataFrame:
+    """ST3 streaming twin of evt_session_window (native session_window +
+    watermark; state store merges open sessions per user)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """ST5: watermarked streaming dedup — state holds event_ids only within
+    the watermark horizon, so state is bounded."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def stream_running_user_stats(events: DataFrame) -> DataFrame:
+    """ST6 arbitrary stateful operator (demo, no oracle — SURVEY §7.3 #6):
+    per-user running (count, max) maintained via applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            _STATE_SCHEMA,
+            "n_events long, max_value double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Drive a (finite-source) streaming query to completion into a memory
+    sink and return the materialized result — the smoke-test harness.
+    mode: "complete" for aggregations, "append"/"update" for row streams."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,56 @@
+"""Unit tests for the hash kernels DuckDB can't oracle (SURVEY §5.2).
+
+SimHash invariants + multimodal checksum parity with the mapInPandas kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators.dedup import simhash64, word_3grams
+from onebrc_spark.operators.multimodal import _fake_decode, decode_media, media_table
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _sig_of(spark, text: str) -> int:
+    df = spark.createDataFrame([(text,)], "text string").select(
+        simhash64(
+            F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w))
+        ).alias("sig")
+    )
+    return df.collect()[0]["sig"]
+
+
+def test_simhash_identical_texts_equal(spark):
+    a = _sig_of(spark, "the quick brown fox jumps over the lazy dog")
+    b = _sig_of(spark, "the quick brown fox jumps over the lazy dog")
+    assert a == b
+
+
+def test_simhash_near_texts_close_far_texts_far(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different tokens about database engines and shuffles"
+    sa, sn, sf_ = _sig_of(spark, base), _sig_of(spark, near), _sig_of(spark, far)
+    ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sa, sn) < ham(sa, sf_)
+    assert ham(sa, sn) <= 16
+
+
+def test_word_3grams(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string").select(
+        word_3grams(F.col("text")).alias("g")
+    )
+    assert sorted(df.collect()[0]["g"]) == ["a b c", "b c d"]
+
+
+def test_multimodal_checksum_matches_kernel(spark):
+    media = media_table(spark, SMOKE_SF_DIR).limit(20)
+    decoded = decode_media(media).collect()
+    payloads = {r["media_id"]: r for r in media.collect()}
+    assert len(decoded) == 20
+    for row in decoded:
+        w, h, ck = _fake_decode(
+            bytes(payloads[row["media_id"]]["payload"]), row["media_type"]
+        )
+        assert (row["width"], row["height"], row["checksum"]) == (w, h, ck)

@@ -1,0 +1,57 @@
+"""Physical-plan pins (SURVEY §4): the plan properties the 100 TB design
+relies on must hold, not just be intended.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators.aggregates import onebrc_flagship
+from onebrc_spark.operators.joins import join_broadcast_dims
+from onebrc_spark.operators.relational import project_prune, topk_limit
+from onebrc_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    num_exchanges,
+    pushed_filters,
+    read_schema_columns,
+)
+from onebrc_spark.sources.catalog import load_table
+from tests.conftest import SMOKE_SF_DIR
+
+
+def test_flagship_is_partial_final_hashagg_one_exchange(spark):
+    df = onebrc_flagship(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "HashAggregate" in txt
+    # partial+final pair over ONE hash exchange on the group key (the A1/A2
+    # shape every reference impl hand-builds); the orderBy adds one range
+    # exchange for the global sort.
+    assert txt.count("HashAggregate") >= 2
+    assert num_exchanges(df) == 2
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    filters = pushed_filters(df)
+    assert any("l_returnflag" in f for f in filters), filters
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = project_prune(spark, SMOKE_SF_DIR)
+    cols = read_schema_columns(df)
+    # lineitem has 11 columns; the scan must read only the 4 referenced.
+    assert cols and all(len(c) <= 4 for c in cols), cols
+
+
+def test_dim_join_broadcasts_no_fact_shuffle_before_agg(spark):
+    df = join_broadcast_dims(spark, SMOKE_SF_DIR)
+    assert has_broadcast_join(df)
+    txt = explain_str(df)
+    assert "SortMergeJoin" not in txt
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    df = topk_limit(spark, SMOKE_SF_DIR)
+    assert "TakeOrderedAndProject" in explain_str(df)
