@@ -42,6 +42,38 @@ HEADLINE = [
 ]
 
 
+# 1BRC text benchmark: the reference's own workload (BASELINE.md measures
+# scan→agg→sort over `station;temp` text). Generated once under /tmp and
+# reused; row count scales the same shape as the 1e9-row original.
+ONEBRC_ROWS = int(os.environ.get("ONEBRC_BENCH_ROWS", 50_000_000))
+ONEBRC_DATA = f"/tmp/onebrc_spark_bench/measurements_{ONEBRC_ROWS}"
+
+
+def _onebrc_text_seconds(spark) -> float:
+    import pathlib
+
+    from onebrc_spark.operators.aggregates import onebrc_aggregate
+    from onebrc_spark.sources.generator import generate_measurements
+    from onebrc_spark.sources.onebrc import read_measurements, write_measurements
+
+    if not pathlib.Path(ONEBRC_DATA, "_SUCCESS").exists():
+        print(f"# generating {ONEBRC_ROWS} 1BRC rows → {ONEBRC_DATA}", file=sys.stderr)
+        write_measurements(
+            generate_measurements(spark, ONEBRC_ROWS, seed=42, num_partitions=64),
+            ONEBRC_DATA,
+        )
+    t0 = time.time()
+    df = onebrc_aggregate(read_measurements(spark, ONEBRC_DATA), "station", "measure")
+    n = df.count()
+    dt = time.time() - t0
+    print(
+        f"# onebrc_text_scan_agg: {n} stations, {ONEBRC_ROWS} rows in {dt:.2f}s "
+        f"({ONEBRC_ROWS / dt / 1e6:.0f}M rows/s; BASELINE Polars ≈ 29M rows/s)",
+        file=sys.stderr,
+    )
+    return round(dt, 3)
+
+
 def main() -> None:
     spark = get_spark("onebrc_bench")
     all_q = registry.load_all()
@@ -50,6 +82,7 @@ def main() -> None:
     spark.range(1).count()
 
     times: dict[str, float] = {}
+    times["onebrc_text_scan_agg"] = _onebrc_text_seconds(spark)
     for name in HEADLINE:
         q = all_q[name]
         t0 = time.time()

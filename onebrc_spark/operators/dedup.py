@@ -213,18 +213,23 @@ _MINHASH_THRESHOLD = 0.7
 
 def minhash_signature(shingles_col: Column) -> Column:
     """12-element MinHash signature over a distinct-shingle array: one md5
-    base hash per shingle, then 12 affine transforms — portable, and ~12×
-    cheaper than hashing per seed."""
+    base hash per shingle, then 12 affine transforms.
+
+    Computed as ONE fold with a 12-element running-minimum accumulator.
+    The obvious formulation — 12 separate array_min(transform(bases, ...))
+    expressions over a shared `bases` — is 12× slower: Catalyst's project
+    collapse inlines `bases` into every consumer, so the md5 evaluates once
+    per seed instead of once per shingle (measured 199 s → this form at
+    sf0.1). Empty shingle lists yield the sentinel (= _HASH_P) signature.
+    """
     bases = F.transform(shingles_col, _base_digits)
+    init = F.array_repeat(F.lit(_HASH_P).cast("long"), _MINHASH_N)
 
-    def mk(s: int):
-        # single-arg lambda: a 2-arg lambda would receive (element, index)
-        # from transform and shadow the seed
-        return lambda h: _affine(h, s)
+    def step(acc: Column, h: Column) -> Column:
+        hashes = F.array(*[_affine(h, s) for s in range(_MINHASH_N)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-    return F.array(
-        *[F.array_min(F.transform(bases, mk(s))) for s in range(_MINHASH_N)]
-    )
+    return F.aggregate(bases, init, step)
 
 
 @query(
@@ -326,22 +331,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64(hashes_col: Column) -> Column:
     """64-bit SimHash over a pre-hashed token array (xxhash64, Spark-only).
 
-    Per bit b: sign of Σ_tokens (bit b of token hash ? +1 : -1); the signature
-    packs the 64 signs into one long. Bit masks are Python-int constants
-    (bit 63 as the signed min-long) so everything stays in codegen'd
-    higher-order functions — no Python crossing per row.
+    Per bit b: sign of Σ_tokens (bit b of token hash ? +1 : -1); the
+    signature packs the 64 signs into one long. One fold with a 64-element
+    vote accumulator (same single-pass rationale as minhash_signature: 64
+    separate aggregates would re-inline the token-hash transform 64×). Bit
+    masks are Python-int constants (bit 63 as the signed min-long) so
+    everything stays in codegen'd higher-order functions.
     """
-    def mk_vote(m: int):
-        # 2-arg lambda required: aggregate(merge) sees extra params as the
-        # 3-arg variant and fails analysis
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    init = F.array_repeat(F.lit(0), 64)
 
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        vote = F.aggregate(hashes_col, F.lit(0), mk_vote(mask))
-        sig = sig.bitwiseOR(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0).cast("long")))
-    return sig
+    def step(acc: Column, h: Column) -> Column:
+        bit_votes = F.array(
+            *[F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks]
+        )
+        return F.zip_with(acc, bit_votes, lambda a, b: a + b)
+
+    votes = F.aggregate(hashes_col, init, step)
+    mask_arr = F.array(*[F.lit(m) for m in masks])
+    packed = F.zip_with(
+        votes, mask_arr, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 @query(

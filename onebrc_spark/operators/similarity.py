@@ -221,3 +221,46 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT keep_id, drop_id, cos_sim FROM pairs
+    WHERE cos_sim >= 0.98
+    ORDER BY keep_id, drop_id
+    """,
+    survey_ref="X2,X3",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the semantic-dedup pass of
+    an LLM data pipeline): LSH-bucketed candidate pairs at cosine ≥ 0.98,
+    keep-lowest-id policy. Same hyperplane machinery as sim_ann_lsh, tighter
+    threshold — semantic dedup is ANN search with a keep rule."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    a = b.alias("a")
+    bb = b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.98)
+        .orderBy("keep_id", "drop_id")
+    )

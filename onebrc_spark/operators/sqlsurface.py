@@ -1,0 +1,173 @@
+"""SQL API surface (SURVEY §7.0): temp views + spark.sql produce the same
+Catalyst plans as the DataFrame API — demonstrated with TPC-H-shaped
+multi-join analytics written as SQL strings.
+
+Scale notes: Q3/Q5 are the canonical broadcast-dim + fact-fact shuffle
+shapes; Catalyst orders the joins and AQE re-plans them at runtime exactly
+as for the DataFrame formulations (plan equivalence is asserted in
+tests/test_plans.py for the flagship).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import register_views
+
+
+@query(
+    "sql_tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2024-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    survey_ref="J1,J2,A7,O3 (SQL surface)",
+)
+def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) shape via the SQL API."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2024-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+    """)
+
+
+@query(
+    "sql_tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    survey_ref="J1,J2,A7 (SQL surface)",
+)
+def sql_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) shape: five-way join via SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    survey_ref="J4 (SQL surface)",
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst rewrites it to the same left-semi
+    join the DataFrame API spells explicitly (join_semi_anti)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
+        GROUP BY p_brand ORDER BY p_brand
+    """)
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS total_O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS total_F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS total_P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ref="pivot (guide: OLAP patterns)",
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order totals by priority × status. Explicit value list keeps the
+    plan single-pass (no distinct-values pre-scan) — required at scale."""
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_F"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_P"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, round(value, 2) AS value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    ORDER BY c_custkey, metric
+    """,
+    survey_ref="unpivot (guide: OLAP patterns)",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide→long without a shuffle (pure projection)."""
+    from onebrc_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.selectExpr(
+            "c_custkey",
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)",
+        )
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("c_custkey", "metric")
+    )

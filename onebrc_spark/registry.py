@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.textops",
     "onebrc_spark.operators.multimodal",
     "onebrc_spark.operators.udfs",
+    "onebrc_spark.operators.sqlsurface",
 ]
 
 
