@@ -54,7 +54,7 @@ def _onebrc_text_seconds(spark) -> float:
 
     from onebrc_spark.operators.aggregates import onebrc_aggregate
     from onebrc_spark.sources.generator import generate_measurements
-    from onebrc_spark.sources.onebrc import read_measurements, write_measurements
+    from onebrc_spark.sources.onebrc import read_measurements_fast, write_measurements
 
     if not pathlib.Path(ONEBRC_DATA, "_SUCCESS").exists():
         print(f"# generating {ONEBRC_ROWS} 1BRC rows → {ONEBRC_DATA}", file=sys.stderr)
@@ -63,7 +63,7 @@ def _onebrc_text_seconds(spark) -> float:
             ONEBRC_DATA,
         )
     t0 = time.time()
-    df = onebrc_aggregate(read_measurements(spark, ONEBRC_DATA), "station", "measure")
+    df = onebrc_aggregate(read_measurements_fast(spark, ONEBRC_DATA), "station", "measure")
     n = df.count()
     dt = time.time() - t0
     print(

@@ -298,3 +298,87 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT s_nationkey,
+           list(s_name ORDER BY s_name) AS names,
+           count(*) AS n
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    survey_ref="A7 (array-valued aggregate: collect_list)",
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregate: per-nation sorted list of supplier names.
+
+    collect_list's element order is partition-arrival order (nondeterministic
+    under shuffle), so the sort_array wrapper is what makes the result
+    well-defined — the same determinism rule as the flagship's orderBy
+    (SURVEY §3.4). Scale note: array aggregates buffer whole groups; only
+    safe when per-group cardinality is bounded (here ≤ suppliers/nation).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ref="A7 (argmin/argmax aggregates)",
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (SQL:2023 argmin/argmax): the order id carrying each
+    priority's extreme price. Well-defined here because extreme prices are
+    unique per group in this dataset (verified at sf0.01/sf0.1); for
+    tie-prone data the deterministic form is max(struct(price, key))."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY returnflag, linestatus
+"""
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    survey_ref="A9 (explicit GROUPING SETS; rollup/cube are the shorthands)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface — one Expand node feeding
+    one aggregate, NOT one pass per set (the plan property that makes cube/
+    rollup affordable at 100 TB). Identical SQL text runs on both engines."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

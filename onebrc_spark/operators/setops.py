@@ -85,3 +85,42 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     the J4 anti join."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     return c.exceptAll(_buyers(spark, sf_dir)).distinct().orderBy("custkey")
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ) ORDER BY custkey
+    """,
+    survey_ref="setops (bag semantics)",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each custkey kept min(count_left,
+    count_right) times — orders-side duplicates survive up to the one
+    matching customer row. Distinct vs bag is a correctness trap worth a
+    dedicated oracle; Spark implements both natively."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return o.intersectAll(_high_balance(spark, sf_dir)).orderBy("custkey")
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ) ORDER BY custkey
+    """,
+    survey_ref="setops (bag semantics)",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per-key counts subtract instead of the
+    distinct form's set difference — a customer with 5 orders minus one
+    high-balance row leaves 4."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return o.exceptAll(_high_balance(spark, sf_dir)).orderBy("custkey")

@@ -264,3 +264,107 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.98)
         .orderBy("keep_id", "drop_id")
     )
+
+
+_IVF_K = 8  # coarse centroids (cells); probe 1 cell per query
+
+
+def _centroids() -> list[list[int]]:
+    """Deterministic integer coarse-quantizer centroids, md5-derived (same
+    portability trick as _hyperplanes: identical literals inline into both
+    engines, so cell assignment is bit-equal)."""
+    cents = []
+    for j in range(_IVF_K):
+        row = []
+        for d in range(EMBEDDING_DIM):
+            h = hashlib.md5(f"cent{j}:{d}".encode()).hexdigest()
+            row.append(int(h[:8], 16) % 1000 - 500)
+        cents.append(row)
+    return cents
+
+
+def _cell_scores(emb: Column) -> Column:
+    """Array of cosine(emb, centroid_j) for all K centroids."""
+    return F.array(
+        *[cosine(emb, F.array(*[F.lit(float(v)) for v in c])) for c in _centroids()]
+    )
+
+
+def _ivf_cells_sql() -> str:
+    """DuckDB CTE body: embeddings + 1-based nearest-centroid cell id."""
+    cos_terms = []
+    for c in _centroids():
+        arr = "(" + "[" + ", ".join(f"{v}.0" for v in c) + "]" + ")"
+        cos_terms.append(_cos_sql("embedding", arr))
+    cs = "[" + ", ".join(cos_terms) + "]"
+    return f"""
+      SELECT vec_id, embedding,
+             list_indexof(cs, list_aggregate(cs, 'max')) AS cell
+      FROM (SELECT vec_id, embedding, {cs} AS cs FROM embeddings)
+    """
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH celled AS ({_ivf_cells_sql()}),
+    q AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell
+          FROM celled WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cos_sim
+      FROM q JOIN celled c ON c.cell = q.qcell AND c.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, nid) AS rn
+      FROM scored
+    )
+    SELECT qid, nid, cos_sim, rn FROM ranked WHERE rn <= {_KNN_K}
+    ORDER BY qid, rn
+    """,
+    survey_ref="X3 (IVF coarse-quantizer ANN)",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 coarse
+    centroids (one Expand-free pass, cell = argmax cosine), then each query
+    probes ONLY its own cell — top-5 by exact cosine within the cell.
+
+    This is the other half of the ANN design space vs sim_ann_lsh: LSH
+    buckets by random projection (no training, recall from multi-probe);
+    IVF partitions by a centroid table (here fixed constants; in production
+    a k-means sample) and bounds search to nprobe/K of the corpus. At
+    100 TB the cell id is a partition key: each probe is a partition-pruned
+    scan + local top-k, no cross-cell shuffle. Centroid literals inline into
+    both engines, so cells — and therefore results — are hash-verified.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    celled = e.select(
+        "vec_id", "embedding", _cell_scores(F.col("embedding")).alias("cs")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array_position(F.col("cs"), F.array_max(F.col("cs"))).alias("cell"),
+    )
+    q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        celled.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .orderBy("qid", "rn")
+    )

@@ -1,0 +1,182 @@
+"""Storage layout operators: sinks, partitioned writes, bucketing (SURVEY
+§2.1 S6/S8 extension).
+
+The reference's only sink is a formatted stdout report
+(`thebracket.rs:169-187`); a general engine needs the write side of the
+lifecycle too. These queries exercise the layouts that matter at 100 TB:
+
+  - hive-style partitioned parquet + partition PRUNING at read (the scan
+    skips non-matching directories entirely — `.explain` shows
+    PartitionFilters, verified in tests/test_plans.py);
+  - bucketed tables: pre-shuffled-on-disk layout so the fact-fact join
+    needs NO exchange at query time (the shuffle is paid once at write);
+  - CSV / JSON line sinks + schema-declared read-back (interchange formats
+    for ingest/egress at the pipeline boundary).
+
+All writes go under /tmp (never the repo or testdata), keyed by the sf_dir
+tag so scale factors don't collide; oracles run against the ORIGINAL
+parquet, so each round-trip is verified end-to-end: what was written is
+exactly what was read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark import schemas
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+_ROOT = "/tmp/onebrc_spark_storage"
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.strip("/").replace("/", "_").replace(".", "p")
+
+
+@query(
+    "storage_partitioned_pruning",
+    oracle="""
+    SELECT l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    survey_ref="S6,S8 (partitioned write + partition pruning)",
+)
+def storage_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem hive-partitioned by l_returnflag, read it back with a
+    partition-column filter, aggregate.
+
+    At 100 TB this is THE layout decision: a filter on the partition column
+    prunes whole directories before any IO (PartitionFilters in the scan
+    node, no data-file reads for non-'R' flags). The oracle runs on the
+    original table — proving the partitioned round-trip is lossless.
+    """
+    dest = f"{_ROOT}/{_tag(sf_dir)}/lineitem_by_returnflag"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "storage_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    survey_ref="S6,J1 (bucketed layout → shuffle-free join)",
+)
+def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two tables bucketed on the join key: the shuffle is paid once at
+    write time, not per query.
+
+    Both sides are written with bucketBy(8, custkey) + sortBy; the join then
+    runs with NO Exchange on either side (bucket counts match, so Spark
+    zips buckets directly — asserted in tests/test_plans.py). This is the
+    batch analogue of co-partitioned storage: at 100 TB a fact-fact join on
+    a pre-bucketed key is a per-bucket merge, not a 100 TB shuffle.
+    """
+    tag = _tag(sf_dir)
+    to, tc = f"orders_b_{tag}", f"customer_b_{tag}"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for t, df, key in ((to, o, "o_custkey"), (tc, c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{_ROOT}/{tag}/{t}")
+            .mode("overwrite")
+            .saveAsTable(t)
+        )
+    ob, cb = spark.table(to), spark.table(tc)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "storage_csv_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_retail
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    survey_ref="S1,S8 (CSV sink + schema-declared read-back)",
+)
+def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → schema-declared CSV scan → aggregate (S1 read path, write
+    side added). Quoting/escaping is exercised by p_name's embedded spaces;
+    the explicit read schema mirrors the reference's no-inference rule
+    (`rust_1brc/src/main.rs:228-234`). Oracle runs on the original parquet:
+    the text round-trip must be value-exact."""
+    dest = f"{_ROOT}/{_tag(sf_dir)}/part_csv"
+    cols = "p_partkey BIGINT, p_name STRING, p_brand STRING, p_retailprice DOUBLE"
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    p.write.mode("overwrite").option("header", "false").csv(dest)
+    back = spark.read.schema(cols).option("header", "false").csv(dest)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "storage_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="S1,S8 (JSON-lines sink + schema-declared read-back)",
+)
+def storage_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → schema-declared JSON scan → aggregate. The ingest/
+    egress interchange format of LLM data pipelines (one JSON doc per line,
+    splittable exactly like the reference's newline-aligned text chunks,
+    SURVEY §2.1 S3)."""
+    dest = f"{_ROOT}/{_tag(sf_dir)}/events_json"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(dest)
+    back = spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE").json(dest)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

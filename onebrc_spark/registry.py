@@ -41,6 +41,8 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.multimodal",
     "onebrc_spark.operators.udfs",
     "onebrc_spark.operators.sqlsurface",
+    "onebrc_spark.operators.storage",
+    "onebrc_spark.operators.skew",
 ]
 
 

