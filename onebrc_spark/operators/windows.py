@@ -153,3 +153,68 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    survey_ref="W1 (distribution ranks)",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: a customer's balance percentile within its
+    market segment — the windowed form of quantile normalization (feature
+    scaling over 100 TB without collecting per-group distributions)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev,
+           nth_value(event_id, 2) OVER w AS second_ev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    survey_ref="W2 (first/last/nth value)",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per user session stream.
+
+    last_value needs the explicit UNBOUNDED FOLLOWING frame on BOTH engines
+    — the default frame ends at CURRENT ROW, silently returning the current
+    row's value; this is the classic window-frame trap, pinned here by the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.first("event_id").over(w).alias("first_ev"),
+            F.last("event_id").over(w_full).alias("last_ev"),
+            F.nth_value("event_id", 2).over(w).alias("second_ev"),
+        )
+        .orderBy("user_id", "event_id")
+    )
