@@ -382,3 +382,34 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_qty_price,
+           round(covar_pop(l_discount, l_tax), 8)             AS covar_disc_tax,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope_price_on_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ref="A10 (bivariate statistics: corr/covar/regr)",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample/population
+    covariance, and OLS slope (regr_slope). All decomposable into per-partition
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²), so the shuffle carries six machine
+    words per group — same partial/final shape as the flagship (SURVEY §2.4
+    A1/A2), nothing new at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

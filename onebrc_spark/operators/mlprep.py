@@ -1,0 +1,126 @@
+"""Training-data preparation operators (SURVEY §2.10 extension surface).
+
+The ops a large-scale LLM training pipeline runs between raw corpus and
+tokenizer: deterministic train/val/test splitting, and source-mix curation
+(per-source quotas for a weighted training mixture). Both are built on
+*content-addressed pseudo-randomness* — `md5(key)` — instead of `rand()`:
+the split is a pure function of the row, so it is reproducible across runs,
+engines, and cluster sizes, needs no persisted assignment table, and lets
+the DuckDB oracle reproduce it bit-for-bit (MD5 is MD5 everywhere).
+
+Scale notes (100 TB): both ops are narrow per-row maps plus one hash
+aggregation / one window. The split adds no shuffle at all on top of the
+final count aggregation; the mix op's window shuffles on `source` (tens to
+thousands of keys) carrying only (doc_id, source, hash) — never the text.
+A `rand()`-based split, by contrast, is non-reproducible under task retry
+(Spark may re-execute a partition, re-drawing the randoms) — hash splitting
+is the only safe form at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+# Per-source quota for the curated mixture. Real pipelines read this from a
+# mixture config (weights per source); a constant keeps the oracle exact.
+_MIX_QUOTA = 12
+
+
+def _hash_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 16) from the first hex digit of md5(key).
+
+    '0'-'9' → 0-9 (ascii 48-57), 'a'-'f' → 10-15 (ascii 97-102); expressed
+    with ascii() arithmetic so the identical expression runs in DuckDB.
+    """
+    a = F.ascii(F.substring(F.md5(key.cast("string")), 1, 1))
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+_HASH_BUCKET_SQL = """
+    CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+         THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+         ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+    END"""
+
+
+@query(
+    "ml_hash_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, n_chars, {_HASH_BUCKET_SQL} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 12 THEN 'train'
+                WHEN bucket < 14 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM b GROUP BY split, lang ORDER BY split, lang
+    """,
+    survey_ref="X1/X4 (deterministic hash-based train/val/test split)",
+)
+def ml_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split of the corpus by
+    content-addressed hash bucket, reported as per-(split, lang) doc and
+    char counts — the reproducible-split primitive every training pipeline
+    needs (see module docstring for why hash, not rand)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "ml_source_mix",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           sum(n_chars) AS mix_chars
+    FROM ranked WHERE rn <= {_MIX_QUOTA}
+    GROUP BY source ORDER BY source
+    """,
+    survey_ref="X4 (source-mix curation: per-source quota sampling)",
+)
+def ml_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate a weighted training mixture: keep a fixed per-source quota of
+    documents, chosen by hash order (a deterministic uniform sample within
+    each source — the md5 ordering is a random permutation that every
+    engine/run agrees on). Output is the per-source mix census.
+
+    Scale: the window shuffles on `source`; per-source quota selection at
+    100 TB prefers this over `ORDER BY rand() LIMIT n` per source, which
+    would need a global sort per source and re-draws under retry."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _MIX_QUOTA)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("mix_chars"))
+        .orderBy("source")
+    )

@@ -271,3 +271,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc * _FP_MULT + x) % _FP_MOD,
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 6
+    ORDER BY edit_dist, name_a, name_b
+    """,
+    survey_ref="F5 (string similarity), X2 (fuzzy entity matching)",
+)
+def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: all name pairs within edit distance 6
+    (Spark `levenshtein` == DuckDB `levenshtein`, both Wagner-Fischer).
+
+    Self-join on a *dimension* table, so the pair space is |dim|², not
+    |fact|² — Spark broadcasts one side (25 rows) and the distance runs
+    JVM-side inside the join condition. At 100 TB the same op over a large
+    entity table needs a blocking key first (e.g. soundex/first-k-chars
+    bucket, or the MinHash bands of `dedup_minhash_lsh`) so the quadratic
+    stays within buckets; the per-pair scoring plan is unchanged."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )

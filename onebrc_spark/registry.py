@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.sqlsurface",
     "onebrc_spark.operators.storage",
     "onebrc_spark.operators.skew",
+    "onebrc_spark.operators.mlprep",
 ]
 
 
