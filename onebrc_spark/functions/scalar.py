@@ -169,3 +169,59 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("nation_small"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255        AS key_and,
+           o_orderkey | 4096       AS key_or,
+           xor(o_orderkey, 65535)  AS key_xor,
+           o_orderkey << 2         AS key_shl,
+           o_orderkey >> 3         AS key_shr,
+           bit_count(o_orderkey)   AS key_popcount
+    FROM orders ORDER BY o_orderkey
+    """,
+    survey_ref="F7 (bitwise: and/or/xor/shift/popcount)",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators — the substrate of bitmap indexes, feature flags,
+    and the hash mixing in every sketch (all JVM-side integer ALU ops, fully
+    inside whole-stage codegen)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.lit(65535)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+        F.bit_count(k).alias("key_popcount"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_hash_digests",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS d_md5,
+           sha256(text) AS d_sha256,
+           length(md5(text)) AS md5_len
+    FROM documents ORDER BY doc_id
+    """,
+    survey_ref="F5 (cryptographic digests: the substrate of X1 exact dedup)",
+)
+def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests (md5 / sha-256) as first-class scalar functions —
+    the primitive under exact dedup (X1), hash splitting (ml_hash_split),
+    and content-addressed storage. JVM-side, codegen'd, identical hex
+    output across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("d_md5"),
+        F.sha2("text", 256).alias("d_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    ).orderBy("doc_id")

@@ -413,3 +413,30 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) AS BIGINT) * 10 AS bin_lo,
+           count(*) AS n,
+           round(avg(value), 4) AS bin_avg
+    FROM events
+    GROUP BY bin_lo ORDER BY bin_lo
+    """,
+    survey_ref="A1/A10 (fixed-width histogram binning)",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin = floor(value/width)*width, then count per
+    bin — the distribution-profiling primitive (data-quality dashboards,
+    feature bucketing). One narrow map + one hash agg whose shuffle carries
+    |bins| rows per partition; at 100 TB this is the cheapest full-scan
+    statistic after count(*)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 10.0).cast("bigint") * 10).alias("bin_lo")
+    return (
+        ev.select(bin_lo, "value")
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("bin_avg"))
+        .orderBy("bin_lo")
+    )

@@ -171,3 +171,150 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_no")
     )
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage: payload bytes → L2-normalized
+    16-bin byte histogram (binned by high nibble), as `array<float>`.
+
+    Unlike the decode stub this kernel is fully real — a byte histogram IS a
+    legitimate content feature (used for media-type sniffing and corruption
+    detection); swapping in a CNN embedding changes only the kernel body,
+    not the schema, batching, or downstream similarity ops (the output
+    column is the same `array<float>` shape as `embeddings.embedding`).
+    """
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
+                norm = float(np.linalg.norm(hist))
+                feats.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+@query("mm_feature_extract", oracle=None, survey_ref="X5 (feature extraction)")
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline: media table → Arrow-batched histogram
+    features → per-type census with mean first-bin weight. rows-only check
+    (DuckDB cannot fold payload bytes); unit tests pin norm==1 and
+    determinism."""
+    feats = extract_features(spread(media_table(spark, sf_dir), spark))
+    return (
+        feats.select(
+            "media_type",
+            F.element_at("features", 3).alias("bin2"),
+            F.size("features").alias("dim"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("bin2"), 4).alias("avg_bin2"),
+            F.max("dim").alias("dim"),
+        )
+        .orderBy("media_type")
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_bytes", T.LongType()),
+    ]
+)
+
+_RESIZE_TARGET = 1024
+
+
+def resize_media(media: DataFrame, target: int = _RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize stage: downsample each payload to ≤ `target` bytes
+    by stride sampling (every k-th byte, k = ceil(n/target)) — the
+    deterministic stand-in for an image resize kernel (PIL.thumbnail etc.,
+    not in this container). Emits the resized binary payload itself, so
+    downstream stages (decode, feature-extract) compose on the output."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, orig = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                stride = max(1, -(-len(b) // target))
+                out_payload.append(b[::stride])
+                orig.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "orig_bytes": orig,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           sum(CAST(ceil(n / greatest(1.0, ceil(n / {_RESIZE_TARGET}.0))) AS BIGINT))
+             AS resized_bytes,
+           sum(n) AS orig_bytes
+    FROM p GROUP BY media_type ORDER BY media_type
+    """,
+    survey_ref="X5 (resize/downsample)",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline end-to-end, hash-verified: the aggregate measures the
+    ACTUAL byte lengths of the payloads the Python kernel emitted, while the
+    oracle computes the expected lengths arithmetically (stride sampling:
+    len = ceil(n/ceil(n/target))) — so the Arrow binary round trip itself is
+    under test, not just the metadata math."""
+    resized = resize_media(spread(media_table(spark, sf_dir), spark))
+    return (
+        resized.select(
+            "media_type",
+            F.length("payload").cast("long").alias("new_bytes"),
+            "orig_bytes",
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("new_bytes").alias("resized_bytes"),
+            F.sum("orig_bytes").alias("orig_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -171,3 +171,34 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "metric", F.round("value", 2).alias("value"))
         .orderBy("c_custkey", "metric")
     )
+
+
+_TPCH_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "sql_tpch_q6_shape",
+    oracle=_TPCH_Q6_SQL,
+    survey_ref="P6,A6 (TPC-H Q6 shape: the predicate-pushdown showcase)",
+)
+def sql_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a conjunctive-predicate scan
+    feeding one global aggregate — no join, no group key, no shuffle beyond
+    the single-row partial-agg merge. The whole query is decided at the
+    scan: all four predicates push down to parquet (row-group min/max
+    skipping), and at 100 TB with l_shipdate partitioning the date range
+    prunes entire partitions before any I/O. The plan to verify with
+    .explain: PushedFilters on all four columns, ReadSchema of exactly
+    (l_shipdate, l_discount, l_quantity, l_extendedprice)."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q6_SQL)

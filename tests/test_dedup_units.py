@@ -54,3 +54,33 @@ def test_multimodal_checksum_matches_kernel(spark):
             bytes(payloads[row["media_id"]]["payload"]), row["media_type"]
         )
         assert (row["width"], row["height"], row["checksum"]) == (w, h, ck)
+
+
+def test_multimodal_features_unit_norm_and_deterministic(spark):
+    """Byte-histogram features: L2 norm == 1, fixed dim, and two runs over
+    the same payloads agree exactly (Arrow round trip is deterministic)."""
+    import math
+
+    from onebrc_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    media = media_table(spark, SMOKE_SF_DIR).limit(20)
+    a = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert a == b and a
+    for feats in a.values():
+        assert len(feats) == FEATURE_DIM
+        assert math.isclose(sum(f * f for f in feats), 1.0, rel_tol=1e-5)
+
+
+def test_multimodal_resize_payload_is_stride_sample(spark):
+    """resize_media emits exactly payload[::stride] — kernel output checked
+    byte-for-byte against the definition, not just by length."""
+    from onebrc_spark.operators.multimodal import _RESIZE_TARGET, resize_media
+
+    media = media_table(spark, SMOKE_SF_DIR).limit(20)
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for row in resize_media(media).collect():
+        orig = originals[row["media_id"]]
+        stride = max(1, -(-len(orig) // _RESIZE_TARGET))
+        assert bytes(row["payload"]) == orig[::stride]
+        assert row["orig_bytes"] == len(orig)
