@@ -88,3 +88,21 @@ def test_bucketed_join_has_no_exchange(spark):
         assert txt.count("Exchange hashpartitioning") == 1, txt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q6_pushes_all_predicates_and_prunes_columns(spark):
+    """Q6 is decided at the scan: every predicate column appears in
+    PushedFilters and the ReadSchema is exactly the 4 referenced columns
+    (of lineitem's 11) — the property that makes the shape I/O-bound-only
+    at 100 TB."""
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q6_shape
+
+    df = sql_tpch_q6_shape(spark, SMOKE_SF_DIR)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    cols = read_schema_columns(df)
+    assert cols and all(
+        set(c) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+        for c in cols
+    ), cols
