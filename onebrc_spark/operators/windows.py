@@ -218,3 +218,42 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    survey_ref="W3 (value-range frame: RANGE BETWEEN over event time)",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer via a RANGE frame — the frame is
+    bounded by ORDER-BY *value* distance (days), not row count, so multiple
+    same-day orders all enter each other's frames and sparse gaps shrink
+    the window. This is the rolling-metric shape (trailing revenue, rate
+    limiting, fraud velocity) that rowsBetween cannot express when events
+    are irregularly spaced. One shuffle on the partition key; frame
+    evaluation is a per-partition sorted sweep."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
