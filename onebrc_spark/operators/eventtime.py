@@ -181,3 +181,56 @@ def evt_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniq.crossJoin(total).select(
         "n_unique", (F.col("n_total") - F.col("n_unique")).alias("n_dropped")
     )
+
+
+@query(
+    "evt_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS did_view,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS view_then_click,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                 THEN 1 END) AS full_funnel
+    FROM firsts
+    """,
+    survey_ref="ST1/W2 (sequential funnel analysis over event time)",
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users who first viewed, later first clicked, later
+    first purchased — the conversion-counting shape of product analytics.
+
+    One hash aggregation per user computes the first occurrence of each
+    stage as conditional MINs (no self-joins, no per-stage passes: N funnel
+    stages are N conditional aggregates in ONE scan), then stage ordering
+    is a row-local comparison. The shuffle carries 3 timestamps per user —
+    at 100 TB this is the cheapest correct funnel; the alternative
+    (stage-wise self-joins) shuffles the event table N times."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("did_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
