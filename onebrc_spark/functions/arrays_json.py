@@ -108,3 +108,55 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k_val"),
         F.get_json_object("props", "$.k").alias("k_str"),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_date_scaffold",
+    oracle="""
+    WITH months AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                    INTERVAL 1 MONTH)) AS month_start
+    )
+    SELECT CAST(m.month_start AS DATE) AS month_start,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM months m
+    LEFT JOIN orders o
+      ON date_trunc('month', CAST(o.o_orderdate AS DATE)) = m.month_start
+    GROUP BY m.month_start ORDER BY m.month_start
+    """,
+    survey_ref="F9/F6 (sequence+explode: calendar scaffold with gap-preserving join)",
+)
+def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension: sequence() builds a month series row-free,
+    explode() lands one row per month, and a LEFT join onto facts keeps
+    empty months as zero rows — the gap-preserving time-series shape that a
+    plain GROUP BY month silently drops. The scaffold side is tiny and
+    broadcast; the fact side aggregates after a month-truncate map."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    facts = o.select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("m"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return (
+        F.broadcast(months)
+        .join(facts, months.month_start == facts.m, "left")
+        .groupBy("month_start")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+        .orderBy("month_start")
+    )
