@@ -304,7 +304,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_list",
     oracle="""
     SELECT s_nationkey,
-           list(s_name ORDER BY s_name) AS names,
+           string_agg(s_name, '|' ORDER BY s_name) AS names,
            count(*) AS n
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
     """,
@@ -318,12 +318,17 @@ def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined — the same determinism rule as the flagship's orderBy
     (SURVEY §3.4). Scale note: array aggregates buffer whole groups; only
     safe when per-group cardinality is bounded (here ≤ suppliers/nation).
+
+    The array is serialized with array_join (oracle: string_agg ... ORDER BY)
+    per the registry rule: array/struct result columns crash the driver's
+    pandas canonicalizer (CORRECTNESS_r01 err: unhashable type 'list'), so
+    collection aggregates must ship a scalar rendering.
     """
     s = load_table(spark, sf_dir, "supplier")
     return (
         s.groupBy("s_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("names"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("names"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("s_nationkey")

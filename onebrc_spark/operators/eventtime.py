@@ -162,7 +162,7 @@ def evt_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_dedup_by_id",
     oracle="""
     SELECT count(*) AS n_unique,
-           sum(n_dupes) AS n_dropped
+           CAST(sum(n_dupes) AS BIGINT) AS n_dropped
     FROM (
       SELECT event_id, count(*) - 1 AS n_dupes
       FROM events GROUP BY event_id

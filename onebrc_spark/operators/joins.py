@@ -230,30 +230,49 @@ _BUCKET_SECONDS = 86400
 @query(
     "join_range_interval",
     oracle="""
+    WITH a AS (SELECT date_trunc('day', min(ts)) AS anchor FROM events),
+    o AS (
+      SELECT o_orderkey, o_custkey % 150 AS user_id,
+             anchor + (o_orderkey % 28) * INTERVAL 1 DAY AS t_lo,
+             anchor + (o_orderkey % 28 + 1) * INTERVAL 1 DAY AS t_hi
+      FROM orders, a
+    )
     SELECT o_orderkey, count(*) AS n_events
-    FROM orders JOIN events
-      ON events.ts >= orders.o_orderdate
-     AND events.ts <  orders.o_orderdate + INTERVAL 1 DAY
-     AND events.user_id = orders.o_custkey % 150
+    FROM o JOIN events e
+      ON e.user_id = o.user_id AND e.ts >= o.t_lo AND e.ts < o.t_hi
     GROUP BY o_orderkey ORDER BY o_orderkey
     """,
     survey_ref="J6",
 )
 def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range join: event ts within [o_orderdate, o_orderdate+1day)
-    for the matching user. Spark has no native interval join; we bucket both
-    sides to 1-day grains and equi-join on (user, bucket), expanding the
-    order side to the (at most 2) buckets its interval overlaps, then apply
-    the exact range predicate. The cross product never materializes.
+    """Interval/range join: event ts within a 1-day interval for the matching
+    user. Spark has no native interval join; we bucket both sides to 1-day
+    grains and equi-join on (user, bucket), expanding the order side to the
+    (at most 2) buckets its interval overlaps, then apply the exact range
+    predicate. The cross product never materializes.
+
+    The probe intervals are anchored to the EVENTS table's own epoch
+    (date_trunc('day', min(ts)) — a 1-row broadcast aggregate) and each order
+    offsets by (o_orderkey % 28) days, so the intervals always land inside
+    the ~30-day event span at every SF. Round 1 anchored to o_orderdate
+    (1995-2001) which never overlapped the 2024 events — a vacuous 0=0 green.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", (F.unix_timestamp("ts") / _BUCKET_SECONDS).cast("long").alias("bucket")
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 150).alias("user_id"),
-        F.col("o_orderdate").alias("t_lo"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("t_hi"),
+    anchor = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_trunc("day", F.min("ts")).alias("anchor"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            F.expr("timestampadd(DAY, CAST(o_orderkey % 28 AS INT), anchor)").alias("t_lo"),
+            F.expr("timestampadd(DAY, CAST(o_orderkey % 28 AS INT) + 1, anchor)").alias("t_hi"),
+        )
     )
     # Explode each interval into the day-buckets it overlaps (≤2 here).
     o_b = o.withColumn(

@@ -59,7 +59,7 @@ _HASH_BUCKET_SQL = """
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM b GROUP BY split, lang ORDER BY split, lang
     """,
     survey_ref="X1/X4 (deterministic hash-based train/val/test split)",
@@ -98,7 +98,7 @@ def ml_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_kept,
-           sum(n_chars) AS mix_chars
+           CAST(sum(n_chars) AS BIGINT) AS mix_chars
     FROM ranked WHERE rn <= {_MIX_QUOTA}
     GROUP BY source ORDER BY source
     """,

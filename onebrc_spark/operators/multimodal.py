@@ -121,7 +121,7 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
     SELECT media_type,
            count(*) AS n_items,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            CAST(min(n_bytes % 640 + 1) AS INTEGER) AS min_width,
            CAST(max(n_bytes % 480 + 1) AS INTEGER) AS max_height
     FROM payloads GROUP BY media_type ORDER BY media_type
@@ -290,9 +290,9 @@ def resize_media(media: DataFrame, target: int = _RESIZE_TARGET) -> DataFrame:
     )
     SELECT media_type,
            count(*) AS n_items,
-           sum(CAST(ceil(n / greatest(1.0, ceil(n / {_RESIZE_TARGET}.0))) AS BIGINT))
-             AS resized_bytes,
-           sum(n) AS orig_bytes
+           CAST(sum(CAST(ceil(n / greatest(1.0, ceil(n / {_RESIZE_TARGET}.0))) AS BIGINT))
+             AS BIGINT) AS resized_bytes,
+           CAST(sum(n) AS BIGINT) AS orig_bytes
     FROM p GROUP BY media_type ORDER BY media_type
     """,
     survey_ref="X5 (resize/downsample)",

@@ -59,7 +59,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_total,
            count(value) AS n_value,
-           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM events
     """,
     survey_ref="P4,P6",

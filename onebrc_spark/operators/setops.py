@@ -75,16 +75,24 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT custkey FROM (
       SELECT c_custkey AS custkey FROM customer
       EXCEPT
-      SELECT o_custkey AS custkey FROM orders
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1-%'
     ) ORDER BY custkey
     """,
     survey_ref="setops",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): customers who never ordered — the set-op twin of
-    the J4 anti join."""
+    """EXCEPT (distinct): customers who never placed an urgent ('1-%')
+    order — the set-op twin of the J4 anti join. (The unfiltered
+    customers-minus-buyers difference is empty at every test SF, which made
+    the round-1 green vacuous; the priority filter keeps a real, non-empty
+    difference at sf0.001/0.01/0.1: 18/203/1986 rows.)"""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    return c.exceptAll(_buyers(spark, sf_dir)).distinct().orderBy("custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").like("1-%"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.exceptAll(urgent).distinct().orderBy("custkey")
 
 
 @query(

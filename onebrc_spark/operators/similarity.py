@@ -35,21 +35,50 @@ _KNN_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _LSH_PLANES = 8
 
+# Similarity cut-offs, calibrated to the synthetic corpus: the test
+# embeddings are near-uniform random vectors, so genuine near-duplicates
+# (cos ≥ 0.9) don't exist at any SF — the round-1 thresholds of 0.9/0.98
+# returned 0 rows, making the oracle green vacuous. Within-bucket cosine
+# tops out at ~0.41/0.48/0.60 for sf0.001/0.01/0.1, so 0.30 (ANN "related")
+# and 0.38 (near-dup, tighter) keep real, non-empty result sets at every SF
+# while exercising the identical operator shape. Production values would be
+# 0.8-0.98 depending on the embedding model.
+_ANN_COS_MIN = 0.30
+_NEARDUP_COS_MIN = 0.38
 
-def _hyperplanes() -> list[list[int]]:
-    """Deterministic integer hyperplanes in [-500, 499], md5-derived.
+
+def _plane(tag: str) -> list[int]:
+    """One deterministic integer hyperplane in [-500, 499], md5-derived.
 
     Integers (not floats) so both engines materialize identical doubles from
     the inlined literals.
     """
-    planes = []
-    for j in range(_LSH_PLANES):
-        row = []
-        for d in range(EMBEDDING_DIM):
-            h = hashlib.md5(f"plane{j}:{d}".encode()).hexdigest()
-            row.append(int(h[:8], 16) % 1000 - 500)
-        planes.append(row)
-    return planes
+    return [
+        int(hashlib.md5(f"{tag}:{d}".encode()).hexdigest()[:8], 16) % 1000 - 500
+        for d in range(EMBEDDING_DIM)
+    ]
+
+
+def _hyperplanes() -> list[list[int]]:
+    """The fixed single-table hyperplane set (sim_ann_lsh)."""
+    return [_plane(f"plane{j}") for j in range(_LSH_PLANES)]
+
+
+def banded_hyperplanes(n_bands: int, rows_per_band: int) -> list[list[list[int]]]:
+    """[band][plane][dim] deterministic hyperplanes for banded sign-LSH.
+
+    Each band is an independent hash table of 2^rows_per_band buckets: a
+    pair is a candidate iff ALL rows_per_band signs agree in AT LEAST one
+    band (the same AND-of-rows / OR-of-bands s-curve as the MinHash
+    construction in dedup.py). This is the 100 TB parameterization the
+    fixed 8-plane table lacks: rows_per_band scales with log2(N) to pin
+    expected bucket occupancy (candidates stay O(N), not O(N²/2^H)), and
+    n_bands buys recall back independently.
+    """
+    return [
+        [_plane(f"bplane{band}:{j}") for j in range(rows_per_band)]
+        for band in range(n_bands)
+    ]
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -122,9 +151,8 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Sign-pattern LSH bucket id (0..2^H-1) from the fixed hyperplanes."""
-    planes = _hyperplanes()
+def _bucket_for(emb: Column, planes: list[list[int]]) -> Column:
+    """Sign-pattern bucket id (0..2^len(planes)-1) for one plane set."""
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         pv = F.array(*[F.lit(float(v)) for v in plane])
@@ -137,8 +165,12 @@ def lsh_bucket(emb: Column) -> Column:
     return bucket
 
 
-def _lsh_bucket_sql(emb: str) -> str:
-    planes = _hyperplanes()
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-pattern LSH bucket id (0..2^H-1) from the fixed hyperplanes."""
+    return _bucket_for(emb, _hyperplanes())
+
+
+def _bucket_sql_for(emb: str, planes: list[list[int]]) -> str:
     terms = []
     for j, plane in enumerate(planes):
         arr = "[" + ", ".join(f"{v}.0" for v in plane) + "]"
@@ -148,6 +180,108 @@ def _lsh_bucket_sql(emb: str) -> str:
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
     return " + ".join(terms)
+
+
+def _lsh_bucket_sql(emb: str) -> str:
+    return _bucket_sql_for(emb, _hyperplanes())
+
+
+def banded_lsh_buckets(e: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(vec_id, embedding, band, bucket) — one row per (vector, band).
+
+    The scale path: at corpus size N choose rows_per_band ≈ log2(N) + c so
+    each band's 2^rows buckets keep expected occupancy ~2^-c·1 and the
+    candidate join stays O(N) per band; n_bands restores recall
+    (P(candidate) = 1 - (1 - p^rows)^bands for per-plane agreement p).
+    The fixed-H single table (sim_ann_lsh) is the n_bands=1 special case
+    and stops scaling once N ≫ 2^H — this construction is what replaces it
+    at 100 TB.
+    """
+    planes = banded_hyperplanes(n_bands, rows_per_band)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                _bucket_for(F.col("embedding"), planes[band]).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return e.select("vec_id", "embedding", F.explode(entries).alias("bb")).select(
+        "vec_id", "embedding", "bb.band", "bb.bucket"
+    )
+
+
+def banded_lsh_pairs(e: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that collide in ≥1 band."""
+    b = banded_lsh_buckets(e, n_bands, rows_per_band).select(
+        "vec_id", "band", "bucket"
+    )
+    a = b.alias("a")
+    bb = b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+# Banded-stats query parameters: 4 independent tables of 2^12 buckets.
+_STATS_BANDS = 4
+_STATS_ROWS = 12
+
+
+def _banded_stats_sql() -> str:
+    """Per-band bucket census: candidate-pair load per band, computed
+    WITHOUT running the pair join (sum over buckets of C(occupancy, 2)) —
+    the planning-time cost estimate you'd use before launching the join at
+    scale."""
+    planes = banded_hyperplanes(_STATS_BANDS, _STATS_ROWS)
+    parts = []
+    for band in range(_STATS_BANDS):
+        parts.append(f"""
+        SELECT {band} AS band,
+               count(*) AS n_buckets,
+               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_candidates
+        FROM (
+          SELECT {_bucket_sql_for('embedding', planes[band])} AS bucket,
+                 count(*) AS c
+          FROM embeddings GROUP BY 1
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY band"
+
+
+@query(
+    "sim_lsh_candidate_stats",
+    oracle=_banded_stats_sql(),
+    survey_ref="X3 (banded LSH: scale parameterization)",
+)
+def sim_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-load census of the banded LSH index (4 bands × 12 planes):
+    per band, how many distinct buckets are occupied and how many candidate
+    pairs the band would emit (Σ C(occupancy, 2)) — computed from the bucket
+    histogram alone, no pair join. This is the operator a 100 TB pipeline
+    runs FIRST: it prices the candidate join (and flags a hot bucket) for
+    one cheap aggregation, and it is the evidence that candidate count is
+    bounded by plane count, which the fixed-8-plane table can't deliver
+    once N ≫ 2^8 (tests/test_properties.py pins the scaling law across
+    SFs)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    b = banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
+    occ = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_candidates"),
+        )
+        .orderBy("band")
+    )
 
 
 @query(
@@ -163,17 +297,18 @@ def _lsh_bucket_sql(emb: str) -> str:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, bucket, cos_sim FROM pairs
-    WHERE cos_sim >= 0.9
+    WHERE cos_sim >= {_ANN_COS_MIN}
     ORDER BY id_a, id_b
     """,
     survey_ref="X3",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN near-neighbor pairs: 8-hyperplane sign-LSH bucketing, exact cosine
-    ≥ 0.9 within buckets only. The shuffle key is the bucket id — at 100 TB
-    this is a standard equi-join on a 256-value key space per probe set, vs
-    the bruteforce O(N²). Hash-verified: the oracle reproduces identical
-    buckets and cosines from the same inlined hyperplane constants."""
+    ≥ _ANN_COS_MIN within buckets only. The shuffle key is the bucket id —
+    bucketed candidate generation vs the bruteforce O(N²); see
+    banded_lsh_pairs for the 100 TB-scalable banded construction.
+    Hash-verified: the oracle reproduces identical buckets and cosines from
+    the same inlined hyperplane constants."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     a = b.alias("a")
@@ -190,7 +325,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= _ANN_COS_MIN)
         .orderBy("id_a", "id_b")
     )
 
@@ -236,16 +371,17 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT keep_id, drop_id, cos_sim FROM pairs
-    WHERE cos_sim >= 0.98
+    WHERE cos_sim >= {_NEARDUP_COS_MIN}
     ORDER BY keep_id, drop_id
     """,
     survey_ref="X2,X3",
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the semantic-dedup pass of
-    an LLM data pipeline): LSH-bucketed candidate pairs at cosine ≥ 0.98,
-    keep-lowest-id policy. Same hyperplane machinery as sim_ann_lsh, tighter
-    threshold — semantic dedup is ANN search with a keep rule."""
+    an LLM data pipeline): LSH-bucketed candidate pairs at cosine ≥
+    _NEARDUP_COS_MIN, keep-lowest-id policy. Same hyperplane machinery as
+    sim_ann_lsh, tighter threshold — semantic dedup is ANN search with a
+    keep rule."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     a = b.alias("a")
@@ -261,7 +397,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("drop_id"),
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.98)
+        .filter(F.col("cos_sim") >= _NEARDUP_COS_MIN)
         .orderBy("keep_id", "drop_id")
     )
 

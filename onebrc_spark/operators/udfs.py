@@ -83,11 +83,21 @@ _ZSCORE_SCHEMA = "user_id long, event_id long, value double, zscore double"
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """U3 grouped-map kernel: within-user z-score normalization."""
+    """U3 grouped-map kernel: within-user z-score normalization.
+
+    Degenerate groups (single row → stddev_samp NaN, or constant values →
+    sd == 0) produce NULL, matching the SQL `(value - avg) / stddev_samp`
+    semantics exactly — the oracle divides by NULL/0 there, not 0.0. The
+    explicit pd.notna guard matters: NaN is truthy-ish through `sd > 0`
+    comparisons being False, but relying on that is fragile.
+    """
     mu = pdf["value"].mean()
     sd = pdf["value"].std(ddof=1)
     pdf = pdf[["user_id", "event_id", "value"]].copy()
-    pdf["zscore"] = ((pdf["value"] - mu) / sd if sd and sd > 0 else 0.0)
+    if pd.notna(sd) and sd > 0:
+        pdf["zscore"] = (pdf["value"] - mu) / sd
+    else:
+        pdf["zscore"] = None
     return pdf
 
 

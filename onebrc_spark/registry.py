@@ -11,6 +11,13 @@ Registration rules (SURVEY §7.4 definition-of-done):
     partition-order float nondeterminism (SURVEY §7.3 #2);
   - never return a raw TimestampType column — cast to DATE / epoch BIGINT /
     string so Spark-driver and DuckDB value representations agree;
+  - never return an array/struct-valued column — serialize it (array_join /
+    to_json; oracle: string_agg ... ORDER BY) — the driver's pandas
+    canonicalizer crashes sorting list cells (unhashable type: 'list');
+  - CAST every integer-typed SUM to BIGINT in the oracle SQL — DuckDB
+    sum(int) yields HUGEINT, which pandas renders float64 and the driver's
+    value hash then diverges from Spark's bigint (tests/compare.py layer 2
+    reproduces this class locally);
   - oracle=None marks a genuinely non-SQL-expressible op (driver then runs a
     rows-only check).
 """
@@ -57,6 +64,69 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Driver-coverage rotation (round 2): the correctness driver verifies the
+# FIRST 50 registry entries per round. Round 1 covered build order 0-49, so
+# this list front-loads (a) the two round-1 red rows after their fixes
+# (filter_null_semantics hash mismatch, agg_collect_sorted_list canonicalizer
+# crash) and (b) the 47 queries the round-1 gate never reached (event-time,
+# dedup, similarity, text, multimodal, UDF, SQL-surface, storage, skew,
+# ml-prep, fn_json/fn_date_scaffold), then the flagship as slot 50. The 46
+# round-1-green queries stay pinned locally by tests/test_oracle_parity.py,
+# which runs the same oracle comparison (plus a driver-strict canonicalizer)
+# over ALL queries regardless of this ordering.
+_PRIORITY = [
+    "filter_null_semantics",
+    "agg_collect_sorted_list",
+    "fn_json",
+    "fn_date_scaffold",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "evt_session_window",
+    "evt_watermark_late_drop",
+    "evt_dedup_by_id",
+    "evt_funnel",
+    "dedup_exact",
+    "dedup_exact_distinct",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_keep_first",
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "sim_label_centroid",
+    "dedup_embedding_neardup",
+    "sim_ann_ivf",
+    "text_token_stats",
+    "text_token_count_bpe",
+    "text_langid",
+    "text_quality_score",
+    "text_ngram_tf",
+    "text_fingerprint",
+    "text_fuzzy_levenshtein",
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_resize",
+    "udf_scalar_sigmoid",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_map_zscore",
+    "sql_tpch_q3_shape",
+    "sql_tpch_q5_shape",
+    "sql_exists_correlated",
+    "pivot_status_matrix",
+    "unpivot_stack",
+    "sql_tpch_q6_shape",
+    "storage_partitioned_pruning",
+    "storage_bucketed_join",
+    "storage_csv_roundtrip",
+    "storage_json_roundtrip",
+    "agg_salted_twophase",
+    "join_salted_skew",
+    "ml_hash_split",
+    "ml_source_mix",
+    "onebrc_flagship",
+]
+
 
 def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register fn as queries()[name] with its oracle twin."""
@@ -73,7 +143,14 @@ def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn],
 def load_all() -> dict[str, Query]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return dict(_REGISTRY)
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    missing = set(_PRIORITY) - set(_REGISTRY)
+    if missing:
+        raise ValueError(f"_PRIORITY names not registered: {sorted(missing)}")
+    names = sorted(
+        _REGISTRY, key=lambda n: (rank.get(n, len(_PRIORITY)), list(_REGISTRY).index(n))
+    )
+    return {n: _REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -19,11 +19,24 @@ generator's uniform array pick *is* morally a broadcast lookup, SURVEY §2.3);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NUM_STATIONS = 413
 MEAN_LO, MEAN_HI = -14.4, 30.5
+
+
+def _unit_uniform(tag: str, sid: Column, seed: int) -> Column:
+    """Content-addressed uniform in (0, 1): md5(tag:seed:id) → 8 hex digits.
+
+    Unlike F.randn, this is a pure function of the station id — identical
+    under any partition layout / parallelism (randn's per-partition RNG
+    stream makes 'deterministic' output depend on defaultParallelism, which
+    differed between the 8-core test and 32-core bench sessions)."""
+    h = F.conv(
+        F.substring(F.md5(F.format_string(f"{tag}:{seed}:%d", sid)), 1, 8), 16, 10
+    ).cast("double")
+    return (h + 0.5) / F.lit(4294967296.0)
 
 
 def station_table(spark: SparkSession, seed: int = 42) -> DataFrame:
@@ -33,7 +46,12 @@ def station_table(spark: SparkSession, seed: int = 42) -> DataFrame:
         F.lit(MEAN_LO) + (F.lit(MEAN_HI - MEAN_LO) * sid) / F.lit(NUM_STATIONS - 1), 1
     )
     # sigma ~ Normal(10, 2.5) per station (generate.rs:23-29), clamped > 0.
-    sigma = F.greatest(F.lit(0.1), F.lit(10.0) + F.lit(2.5) * F.randn(seed))
+    # Box-Muller over two content-addressed uniforms: partition-layout-proof
+    # determinism (same dim table on any cluster size), same distribution.
+    u1 = _unit_uniform("sigma_u1", sid, seed)
+    u2 = _unit_uniform("sigma_u2", sid, seed)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+    sigma = F.greatest(F.lit(0.1), F.lit(10.0) + F.lit(2.5) * z)
     return (
         spark.range(NUM_STATIONS)
         .select(

@@ -99,6 +99,100 @@ def test_text_roundtrip_preserves_aggregate(spark, seed, tmp_path_factory):
         df.unpersist()
 
 
+def test_banded_lsh_candidates_bounded_as_corpus_grows(spark):
+    """The LSH scaling law (VERDICT r1 item 5): with rows_per_band scaled as
+    log2(N) + 2, per-vector candidate load stays bounded as the corpus grows
+    (~linear total), while the fixed-8-plane single table — whose 256
+    buckets are a hard ceiling — grows superlinearly (observed ≈ N²: 17× on
+    a 4× corpus). This is the test that the banded construction, not the
+    fixed table, is the 100 TB path."""
+    import math
+
+    from onebrc_spark.operators.similarity import banded_lsh_buckets, lsh_bucket
+    from onebrc_spark.sources.catalog import load_table
+
+    def pair_load(occ_df):
+        c = F.col("count")
+        return occ_df.agg(F.sum(c * (c - 1) / 2)).first()[0] or 0.0
+
+    stats = {}
+    for sf_dir, n in [("/root/testdata/sf0.001", 500), ("/root/testdata/sf0.1", 2000)]:
+        e = load_table(spark, sf_dir, "embeddings")
+        rows_per_band = math.ceil(math.log2(n)) + 2
+        banded = pair_load(
+            banded_lsh_buckets(e, 4, rows_per_band).groupBy("band", "bucket").count()
+        )
+        fixed = pair_load(
+            e.select(lsh_bucket(F.col("embedding")).alias("b")).groupBy("b").count()
+        )
+        stats[n] = (banded, fixed)
+
+    (b_small, f_small), (b_big, f_big) = stats[500], stats[2000]
+    assert b_small / 500 < 2.0 and b_big / 2000 < 2.0  # bounded per-vector load
+    assert b_big / max(b_small, 1) < 8  # ~linear growth on a 4x corpus
+    assert f_big / max(f_small, 1) > 8  # fixed-H: superlinear (≈N²) growth
+    assert b_big < f_big  # banded strictly cheaper once N >> 2^8
+
+
+def test_approx_count_distinct_within_tolerance(spark, duck):
+    """A8 scale path, verified not just runnable: the HLL++ estimate must be
+    within 2·rsd of the exact distinct count per group (rsd=0.01 in the
+    query; HLL++ error is approximately normal, 2σ ≈ 95% — with this data
+    fixed, the check is deterministic)."""
+    from onebrc_spark.operators.aggregates import agg_approx_count_distinct
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in agg_approx_count_distinct(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 2 * 0.01 * ex), (
+            f"{k}: approx {approx[k]} vs exact {ex}"
+        )
+
+
+def test_zscore_degenerate_groups_yield_null(spark):
+    """U3 kernel edge case (ADVICE r1): single-row groups (stddev_samp NULL)
+    and constant-value groups (sd == 0) must z-score to NULL, matching the
+    SQL (value - avg)/stddev_samp semantics — not to 0.0."""
+    from onebrc_spark.operators.udfs import _ZSCORE_SCHEMA, _zscore_group
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0), (2, 21, 7.0), (3, 30, 1.0), (3, 31, 3.0)],
+        "user_id long, event_id long, value double",
+    )
+    out = {
+        r["event_id"]: r["zscore"]
+        for r in df.groupBy("user_id").applyInPandas(_zscore_group, _ZSCORE_SCHEMA).collect()
+    }
+    assert out[10] is None  # single-row group
+    assert out[20] is None and out[21] is None  # constant group, sd == 0
+    assert out[30] is not None and round(out[30], 4) == -0.7071
+
+
+def test_station_table_partition_layout_invariant(spark):
+    """S7 determinism (ADVICE r1): the generator's station dim must be a pure
+    function of the station id — identical under any parallelism. randn()
+    would tie sigma to partition layout; the content-addressed construction
+    must not."""
+    from onebrc_spark.sources.generator import station_table
+
+    one = station_table(spark, seed=42).repartition(1).collect()
+    many = station_table(spark, seed=42).repartition(13).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+    sigmas = [r["sigma"] for r in one]
+    # distribution sanity: Normal(10, 2.5)-shaped, clamped positive
+    assert all(s >= 0.1 for s in sigmas)
+    assert 8.0 < sum(sigmas) / len(sigmas) < 12.0
+
+
 def test_minhash_identical_inputs_identical_signatures(spark):
     """MinHash: equal shingle sets ⇒ equal signatures (exact, not
     probabilistic); disjoint docs get sentinel-free distinct signatures."""
