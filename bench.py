@@ -92,6 +92,33 @@ def _onebrc_text_seconds(spark) -> float:
     return round(warm, 3), round(cold, 3)
 
 
+def _print_deltas_vs_last_round(times: dict[str, float]) -> None:
+    """Regression tracking: compare per-query seconds against the newest
+    BENCH_r{N}.json the driver recorded; flag anything >1.3× slower. stderr
+    only — the stdout JSON contract stays one line."""
+    prior = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    if not prior:
+        return
+    ref_path = prior[-1]
+    try:
+        ref = json.loads(ref_path.read_text()).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    regressions = []
+    for name, sec in times.items():
+        old = ref.get(name)
+        if not old:
+            continue
+        ratio = sec / old
+        flag = "  <-- REGRESSION" if ratio > 1.3 else ""
+        print(f"# delta vs {ref_path.name}: {name} {old:.3f}s -> {sec:.3f}s "
+              f"({ratio:.2f}x){flag}", file=sys.stderr)
+        if ratio > 1.3:
+            regressions.append(name)
+    if regressions:
+        print(f"# {len(regressions)} regression(s) >1.3x: {regressions}", file=sys.stderr)
+
+
 def main() -> None:
     spark = get_spark("onebrc_bench")
     all_q = registry.load_all()
@@ -119,6 +146,8 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr, flush=True)
+
+    _print_deltas_vs_last_round(times)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -169,15 +169,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8), blocked by
     (lang, length-bucket) so the quadratic pair join is bounded per block —
     the blocking-key pattern that keeps all-pairs viable at scale. Shingles
-    are distinct word-3-grams."""
+    are distinct word-3-grams. Blocks whose pair count would exceed
+    _BLOCK_PAIR_CAP are diverted to a banded-MinHash candidate path (see
+    ngram_jaccard_pairs) — no block can detonate the all-pairs join. At
+    every test SF all blocks fit the budget (max 451 docs ≈ 101k pairs at
+    sf0.1), so the oracle — plain blocked all-pairs — is exact."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
-    grams = word_3grams(F.col("text"))
-    g = d.select(
+    docs = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        F.array_sort(grams).alias("gset"),
+        F.array_sort(word_3grams(F.col("text"))).alias("gset"),
     )
+    return ngram_jaccard_pairs(docs)
+
+
+# Skew guard for the exact all-pairs path: a single hot block (one language ×
+# one length bucket dominating the corpus) otherwise produces an unbounded
+# O(n²) join task. 200k pairs/block ≈ the work of a ~630-doc block.
+_BLOCK_PAIR_CAP = 200_000
+# Fallback banding over the 12 MinHash hashes: 6 bands × 2 rows → s-curve
+# threshold (1/6)^(1/2) ≈ 0.41; at the verify threshold 0.8 the miss
+# probability is (1 - 0.8²)⁶ ≈ 0.002 — the recall cost of capping.
+_FALLBACK_BANDS = 6
+_FALLBACK_ROWS = 2
+
+
+def split_by_block_budget(
+    g: DataFrame, keys: list[str], cap_pairs: int
+) -> tuple[DataFrame, DataFrame]:
+    """(fits, oversized): rows of blocks whose C(n, 2) fits the pair budget
+    vs rows of blocks that would blow it. The census is a dim-sized
+    aggregate (one row per block key), broadcast back — no extra shuffle of
+    the documents."""
+    counts = g.groupBy(*keys).agg(F.count(F.lit(1)).alias("_block_n"))
+    joined = g.join(F.broadcast(counts), keys)
+    fits = (F.col("_block_n") * (F.col("_block_n") - 1) / 2) <= cap_pairs
+    return joined.filter(fits).drop("_block_n"), joined.filter(~fits).drop("_block_n")
+
+
+def _jaccard_pairs_exact(g: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact Jaccard within (lang, len_bucket) blocks."""
     a = g.alias("a")
     b = g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast("double")
@@ -193,14 +225,86 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def _jaccard_pairs_lsh_fallback(g: DataFrame, threshold: float) -> DataFrame:
+    """Sub-quadratic path for oversized blocks: MinHash signatures banded
+    6×2 generate candidates within the block, then the SAME exact-Jaccard
+    predicate verifies. Identical output semantics up to the banding's
+    ~0.2% miss rate at threshold 0.8 (see _FALLBACK_* constants)."""
+    sigs = g.select(
+        "doc_id", "lang", "len_bucket", "gset",
+        minhash_signature(F.col("gset")).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id", "lang", "len_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.slice(
+                            F.col("sig"), band * _FALLBACK_ROWS + 1, _FALLBACK_ROWS
+                        ).alias("band_sig"),
+                    )
+                    for band in range(_FALLBACK_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "len_bucket", "b.band", "b.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("gset_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gset_b"))
+    inter = F.size(F.array_intersect("gset_a", "gset_b")).cast("double")
+    union = (
+        F.size("gset_a") + F.size("gset_b") - F.size(F.array_intersect("gset_a", "gset_b"))
+    )
+    jac = inter / union
+    return (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, cap_pairs: int = _BLOCK_PAIR_CAP
+) -> DataFrame:
+    """Blocked near-dup pairs with a per-block pair budget.
+
+    Input: (doc_id, lang, len_bucket, gset). Blocks within budget run exact
+    all-pairs; oversized blocks run banded-MinHash candidates + the same
+    exact verification — so one skewed block degrades gracefully to the
+    sub-quadratic path instead of detonating a multi-TB shuffle task.
+    tests/test_properties.py pins both routes on a synthetic hot block.
+    """
+    fits, oversized = split_by_block_budget(
+        docs, ["lang", "len_bucket"], cap_pairs
+    )
+    exact = _jaccard_pairs_exact(fits, threshold)
+    fallback = _jaccard_pairs_lsh_fallback(oversized, threshold)
+    return exact.unionByName(fallback).orderBy("doc_a", "doc_b")
 
 
 # MinHash/LSH parameters: 12 hashes in 4 bands of 3 → s-curve threshold

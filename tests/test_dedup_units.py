@@ -44,6 +44,47 @@ def test_word_3grams(spark):
     assert sorted(df.collect()[0]["g"]) == ["a b c", "b c d"]
 
 
+def test_ngram_jaccard_block_budget_enforced(spark):
+    """Skew guard (VERDICT r1 item 6): a block whose pair count exceeds the
+    budget must be diverted to the banded-MinHash fallback — and the planted
+    near-dup pairs must still be found on BOTH routes. Also pins
+    split_by_block_budget: no block on the exact path exceeds the budget."""
+    from onebrc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        split_by_block_budget,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    rows = []
+    # Hot block: 30 docs in (en, 0) → C(30,2)=435 pairs > cap of 50.
+    for i in range(28):
+        text = " ".join(words[i * 7 : i * 7 + 6])  # disjoint shingles
+        rows.append((i, "en", 0, text))
+    rows.append((100, "en", 0, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "en", 0, "alpha beta gamma delta epsilon zeta"))  # dup pair
+    # Small block: 2 docs in (de, 1), also a dup pair.
+    rows.append((200, "de", 1, "eins zwei drei vier funf sechs"))
+    rows.append((201, "de", 1, "eins zwei drei vier funf sechs"))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, len_bucket long, text string")
+    docs = d.select(
+        "doc_id", "lang", "len_bucket",
+        F.array_sort(word_3grams(F.col("text"))).alias("gset"),
+    )
+
+    fits, oversized = split_by_block_budget(docs, ["lang", "len_bucket"], 50)
+    assert oversized.count() == 30  # the whole hot block diverted
+    fit_blocks = fits.groupBy("lang", "len_bucket").count().collect()
+    assert all(r["count"] * (r["count"] - 1) / 2 <= 50 for r in fit_blocks)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, cap_pairs=50).collect()
+    }
+    assert pairs[(100, 101)] == 1.0  # found via the LSH fallback route
+    assert pairs[(200, 201)] == 1.0  # found via the exact route
+    assert len(pairs) == 2  # disjoint-shingle docs produce no false pairs
+
+
 def test_multimodal_checksum_matches_kernel(spark):
     media = media_table(spark, SMOKE_SF_DIR).limit(20)
     decoded = decode_media(media).collect()
