@@ -101,8 +101,10 @@ def _print_deltas_vs_last_round(times: dict[str, float]) -> None:
         return
     ref_path = prior[-1]
     try:
-        ref = json.loads(ref_path.read_text()).get("queries", {})
-    except (OSError, json.JSONDecodeError):
+        doc = json.loads(ref_path.read_text())
+        # Driver wrapper puts the bench JSON under "parsed"; accept both.
+        ref = doc.get("parsed", doc).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
         return
     regressions = []
     for name, sec in times.items():

@@ -1,0 +1,359 @@
+"""Corpus-curation operators for LLM training pipelines (SURVEY §2.10
+extension surface, second batch: X6 packing / X7 contamination / X4 quality).
+
+These are the steps between a deduplicated corpus and a tokenizer shard:
+sequence packing (fill fixed token budgets), train/test contamination
+detection (n-gram overlap across splits), repetition-based quality filtering,
+TF-IDF term profiling, and data-driven stopword/boilerplate removal.
+
+Scale notes (100 TB):
+  - packing windows partition by source shard — no global window; at cluster
+    scale the shard key widens to (source, hash_prefix) and each shard packs
+    independently (packing is embarrassingly parallel across shards).
+  - contamination is wordcount-shaped: explode distinct n-grams, equi-join
+    on the gram. The shuffle carries (gram, doc_id) — never the text.
+  - quality scoring is a narrow per-row expression (JVM codegen, no Python).
+  - TF-IDF / stopwords shuffle (source, term) counts; the stoplist and the
+    source census are dim-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators.mlprep import _HASH_BUCKET_SQL, _hash_bucket
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+_WORDS = lambda c: F.split(c, " ")  # noqa: E731  (single-space: see dedup.py)
+
+
+def word_ngrams(text_col: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-gram array (bag or distinct-set) — ANSI-safe (element_at never
+    indexes past the array, same slice-bounding as dedup.word_3grams)."""
+    words = _WORDS(text_col)
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def _ngram_sql(n: int, distinct: bool = True) -> str:
+    """DuckDB twin of word_ngrams over string_split(text, ' ') AS ws."""
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    body = (
+        f"list_transform(range(1, greatest(len(ws) - {n - 2}, 1)), i -> {concat})"
+    )
+    return f"list_distinct({body})" if distinct else body
+
+
+# --- X6: sequence packing ---------------------------------------------------
+
+_PACK_BUDGET = 2048  # chars as the token proxy (real pipelines: tokens)
+
+
+@query(
+    "ml_sequence_packing",
+    oracle=f"""
+    WITH cum AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM documents
+    ), packed AS (
+      SELECT source, n_chars, (c - n_chars) // {_PACK_BUDGET} AS seq_id
+      FROM cum
+    ), seqs AS (
+      SELECT source, seq_id,
+             CAST(sum(n_chars) AS BIGINT) AS seq_chars,
+             count(*) AS n_docs
+      FROM packed GROUP BY source, seq_id
+    )
+    SELECT source,
+           count(*) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(avg(seq_chars / {_PACK_BUDGET}.0), 4) AS avg_fill
+    FROM seqs GROUP BY source ORDER BY source
+    """,
+    survey_ref="X6 (sequence packing for training shards)",
+)
+def ml_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: within each source shard, order
+    documents by content-addressed hash (a deterministic shuffle — same
+    rationale as ml_hash_split) and fill {_PACK_BUDGET}-char training
+    sequences by running total; a document belongs to the sequence its
+    start offset falls in. Reported as the per-source packing census
+    (sequence count, docs packed, mean fill factor).
+
+    Scale: ONE window per source shard, then hash aggregation — no global
+    sort. Packing is the op that turns a cleaned corpus into fixed-length
+    training rows; fill factor is the utilization metric every pipeline
+    tracks (waste = 1 - fill)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "source",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / _PACK_BUDGET).alias(
+            "seq_id"
+        ),
+    )
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_chars").alias("seq_chars"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        seqs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.round(F.avg(F.col("seq_chars") / _PACK_BUDGET), 4).alias("avg_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- X7: train/test contamination ------------------------------------------
+
+_CONTAM_N = 5  # gram width: long enough that overlap implies shared passages
+
+
+@query(
+    "ml_contamination_ngram",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, {_HASH_BUCKET_SQL} AS bucket
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, bucket, unnest({_ngram_sql(_CONTAM_N)}) AS g FROM b
+    ), hits AS (
+      SELECT tr.doc_id AS train_doc, tr.g
+      FROM grams tr JOIN grams te ON tr.g = te.g
+      WHERE tr.bucket < 12 AND te.bucket >= 14
+    )
+    SELECT (SELECT count(*) FROM b WHERE bucket >= 14) AS n_test_docs,
+           count(DISTINCT train_doc) AS n_contaminated_train_docs,
+           count(DISTINCT g) AS n_shared_grams
+    FROM hits
+    """,
+    survey_ref="X7 (benchmark-contamination detection across splits)",
+)
+def ml_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: does any training document share a
+    {_CONTAM_N}-gram passage with the held-out test split (the ml_hash_split
+    buckets)? The pre-training hygiene op — benchmark answers leaking into
+    training data is detected exactly this way (n-gram collision, e.g.
+    GPT-3's 13-gram dedup against benchmarks).
+
+    Scale: the join key is the n-gram string; shuffle carries (gram, doc_id)
+    pairs only. The test side is tiny (the benchmark suite) — at cluster
+    scale it broadcasts and the training corpus never shuffles at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id")).alias("bucket"),
+        word_ngrams(F.col("text"), _CONTAM_N).alias("gset"),
+    )
+    grams = b.select("doc_id", "bucket", F.explode("gset").alias("g"))
+    tr = grams.filter(F.col("bucket") < 12).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    te = grams.filter(F.col("bucket") >= 14).select("g").distinct()
+    hits = tr.join(F.broadcast(te), "g")
+    n_test = b.filter(F.col("bucket") >= 14).agg(
+        F.count(F.lit(1)).alias("n_test_docs")
+    )
+    return n_test.crossJoin(
+        hits.agg(
+            F.countDistinct("train_doc").alias("n_contaminated_train_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    ).select("n_test_docs", "n_contaminated_train_docs", "n_shared_grams")
+
+
+# --- X4 quality: repetition filter ------------------------------------------
+
+_REP_THRESHOLD = 0.08  # flag docs where >8% of 2-grams are repeats
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ), scored AS (
+      SELECT source,
+             1.0 - CAST(len(list_distinct({_ngram_sql(2, distinct=False)})) AS DOUBLE)
+                   / greatest(len(ws) - 1, 1) AS rep
+      FROM t
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rep > {_REP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(avg(rep), 4) AS avg_rep,
+           round(max(rep), 4) AS max_rep
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    survey_ref="X4 (quality: repeated-n-gram filter)",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: fraction of word-2-grams that are repeats
+    (1 - distinct/total). High repetition marks boilerplate/spam/generation
+    loops — one of the standard quality signals (alongside text_quality_score)
+    a pretraining pipeline thresholds on. Reported per source with the count
+    a {_REP_THRESHOLD}-threshold filter would drop.
+
+    Scale: pure per-row JVM expression + one hash aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _WORDS(F.col("text"))
+    bag = word_ngrams(F.col("text"), 2, distinct=False)
+    rep = 1.0 - F.size(F.array_distinct(bag)).cast("double") / F.greatest(
+        F.size(ws) - 1, F.lit(1)
+    )
+    return (
+        docs.select("source", rep.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rep") > _REP_THRESHOLD, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.round(F.max("rep"), 4).alias("max_rep"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- X4: TF-IDF term profiling ----------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+    ), df AS (
+      SELECT term, count(DISTINCT source) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT source) AS n_sources FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.term,
+             round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df USING (term), n
+    ), ranked AS (
+      SELECT source, term, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT source, term, round(score, 4) AS score, rn
+    FROM ranked WHERE rn <= {_TFIDF_TOPK}
+    ORDER BY source, rn
+    """,
+    survey_ref="X4 (TF-IDF source profiling)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPK} characteristic terms per source by TF-IDF (idf over
+    the source collection): the data-profiling op for mixture curation —
+    what distinguishes each source's vocabulary. Deterministic tie-break
+    (score DESC, term).
+
+    Scale: two wordcount-shaped aggregations; the per-term document
+    frequency table is vocabulary-sized and broadcast into the score join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_WORDS(F.col("text"))).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = docs.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select("source", "term", F.round("score", 4).alias("score"), "rn")
+        .orderBy("source", "rn")
+    )
+
+
+# --- X4: data-driven stopword / boilerplate removal -------------------------
+
+_STOP_K = 5
+
+
+@query(
+    "text_stopword_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), stop AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM toks GROUP BY term
+        ORDER BY c DESC, term LIMIT {_STOP_K}
+      )
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN term NOT IN (SELECT term FROM stop)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN term NOT IN (SELECT term FROM stop)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
+    FROM toks GROUP BY source ORDER BY source
+    """,
+    survey_ref="X4 (data-driven stopword/boilerplate removal)",
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword removal: the {_STOP_K} most frequent tokens
+    across the corpus are the stoplist (how boilerplate lists are actually
+    built — from the data, not a fixed dictionary); report per-source token
+    counts before/after. Deterministic stoplist (count DESC, term).
+
+    Scale: the stoplist is a top-K aggregate (TakeOrdered, no global sort),
+    broadcast into a left-anti-style flag — the corpus tokens never shuffle
+    twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_WORDS(F.col("text"))).alias("term"))
+    stop = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(_STOP_K)
+        .select("term", F.lit(1).alias("is_stop"))
+    )
+    flagged = toks.join(F.broadcast(stop), "term", "left")
+    kept = F.sum(F.when(F.col("is_stop").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            kept.alias("n_kept"),
+            F.round(
+                kept.cast("double") / F.count(F.lit(1)), 4
+            ).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.storage",
     "onebrc_spark.operators.skew",
     "onebrc_spark.operators.mlprep",
+    "onebrc_spark.operators.curation",
 ]
 
 

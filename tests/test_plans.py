@@ -90,6 +90,39 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_contamination_broadcasts_test_side(spark):
+    """X7: the held-out split's gram set must broadcast — the training
+    corpus (the 100 TB side) never shuffles for the contamination join."""
+    from onebrc_spark.operators.curation import ml_contamination_ngram
+
+    df = ml_contamination_ngram(spark, SMOKE_SF_DIR)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in explain_str(df)
+
+
+def test_stopword_top_k_is_take_ordered_and_broadcast(spark):
+    """X4b: the data-driven stoplist is a top-K (TakeOrdered — no global
+    sort of the vocabulary) and joins back by broadcast."""
+    from onebrc_spark.operators.curation import text_stopword_removal
+
+    df = text_stopword_removal(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "TakeOrderedAndProject" in txt
+    assert has_broadcast_join(df)
+
+
+def test_sequence_packing_windows_per_shard_no_global_sort(spark):
+    """X6: packing must window per source shard — a single global window
+    (one partition holding the whole corpus) would be the scale-killer."""
+    from onebrc_spark.operators.curation import ml_sequence_packing
+
+    df = ml_sequence_packing(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    # The window's exchange partitions by source, not a single partition.
+    assert "Window" in txt
+    assert "hashpartitioning(source" in txt, txt[:3000]
+
+
 def test_tpch_q6_pushes_all_predicates_and_prunes_columns(spark):
     """Q6 is decided at the scan: every predicate column appears in
     PushedFilters and the ReadSchema is exactly the 4 referenced columns
