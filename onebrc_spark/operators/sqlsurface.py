@@ -202,3 +202,92 @@ def sql_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q6_SQL)
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE q(qstart) AS (
+      SELECT date_trunc('quarter', min(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT qstart + INTERVAL 3 MONTH FROM q
+      WHERE qstart + INTERVAL 3 MONTH <= (SELECT max(o_orderdate) FROM orders)
+    )
+    SELECT CAST(q.qstart AS DATE) AS quarter_start,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM q LEFT JOIN orders o ON date_trunc('quarter', o.o_orderdate) = q.qstart
+    GROUP BY q.qstart ORDER BY quarter_start
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_CTE_SQL,
+    survey_ref="SQL surface (WITH RECURSIVE, Spark 4 recursion)",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the quarter series spanning the
+    order history by recursion — the data-derived anchor recursion means the
+    series is gap-preserving (a quarter with zero orders still appears, via
+    the LEFT JOIN) at any SF. The identical SQL text runs on both engines.
+
+    Scale note: the recursion generates ~27 rows on the driver-side loop of
+    iterations; each iteration is a trivial frame. Recursion depth is bound
+    by the date span, not data volume — the orders join is the only real
+    work and it is one shuffle."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.acctbal DESC, t.c_custkey
+"""
+
+
+@query(
+    "sql_lateral_topn",
+    oracle=_LATERAL_SQL,
+    survey_ref="SQL surface (LATERAL correlated subquery)",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL top-N: for each nation, its 2 highest-balance customers via a
+    correlated ordered-limit subquery — the SQL-standard spelling of
+    window_topn_per_group (which pins the window formulation; this pins the
+    lateral one). Catalyst decorrelates the lateral into a join + per-key
+    top-N, so the plan is the same shape at scale."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_AGG_FILTER_SQL = """
+    SELECT event_type,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           round(avg(value) FILTER (WHERE value > 0), 4) AS avg_pos
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "sql_agg_filter_clause",
+    oracle=_AGG_FILTER_SQL,
+    survey_ref="SQL surface (SQL:2003 FILTER clause on aggregates)",
+)
+def sql_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause: conditional aggregation in its standard SQL
+    form (pivot_status_matrix pins the CASE-expression form; this pins
+    FILTER). All filtered aggregates evaluate in the SAME single hash
+    aggregation pass — N conditions never mean N scans."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_AGG_FILTER_SQL)

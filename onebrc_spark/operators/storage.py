@@ -180,3 +180,36 @@ def storage_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "storage_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    survey_ref="S6,S8 (columnar-format interchange: ORC sink + scan)",
+)
+def storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan → aggregate. The second columnar format a
+    general engine must interoperate with (Hive/Trino estates are
+    ORC-heavy); Spark's ORC reader has the same vectorized scan + predicate
+    pushdown machinery as parquet. The oracle aggregates the ORIGINAL
+    parquet, so the round-trip proves ORC wrote and read back every row and
+    value bit-for-bit."""
+    dest = f"{_ROOT}/{_tag(sf_dir)}/customer_orc"
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    c.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -193,6 +193,38 @@ def test_station_table_partition_layout_invariant(spark):
     assert 8.0 < sum(sigmas) / len(sigmas) < 12.0
 
 
+def test_kmeans_deterministic_and_improves_assignment(spark):
+    """IVF coarse-quantizer training: (a) two fits agree bit-for-bit
+    (deterministic init + fixed-order means — task retries can't change the
+    model); (b) the trained centroids explain the corpus better than the
+    md5-constant init: mean best-cosine (the spherical-k-means objective)
+    strictly increases after training."""
+    from onebrc_spark.operators.similarity import (
+        _centroids,
+        cosine,
+        kmeans_fit,
+    )
+    from onebrc_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fit1 = kmeans_fit(e, iters=3)
+    fit2 = kmeans_fit(e, iters=3)
+    assert fit1 == fit2
+
+    def mean_best_cos(cents):
+        cs = F.array(
+            *[
+                cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c]))
+                for c in cents
+            ]
+        )
+        return e.select(F.array_max(cs).alias("best")).agg(F.avg("best")).first()[0]
+
+    before = mean_best_cos(_centroids())
+    after = mean_best_cos(fit1)
+    assert after > before, (before, after)
+
+
 def test_minhash_identical_inputs_identical_signatures(spark):
     """MinHash: equal shingle sets ⇒ equal signatures (exact, not
     probabilistic); disjoint docs get sentinel-free distinct signatures."""
