@@ -273,12 +273,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     what distinguishes each source's vocabulary. Deterministic tie-break
     (score DESC, term).
 
-    Scale: two wordcount-shaped aggregations; the per-term document
-    frequency table is vocabulary-sized and broadcast into the score join."""
+    Scale: ONE wordcount pass over the corpus; document frequency derives
+    from the (source, term) counts (df(term) = #rows in tf), so the second
+    aggregation is vocabulary-sized, not corpus-sized — and the df table is
+    broadcast into the score join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(_WORDS(F.col("text"))).alias("term"))
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    # df(term) = number of sources where tf > 0 = row count per term in tf.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_sources = docs.agg(F.countDistinct("source").alias("n_sources"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -332,27 +335,30 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     built — from the data, not a fixed dictionary); report per-source token
     counts before/after. Deterministic stoplist (count DESC, term).
 
-    Scale: the stoplist is a top-K aggregate (TakeOrdered, no global sort),
-    broadcast into a left-anti-style flag — the corpus tokens never shuffle
-    twice."""
+    Scale: ONE wordcount pass builds the (source, term) counts; both the
+    stoplist (a vocabulary-sized top-K — TakeOrdered, no global sort) and
+    the per-source totals derive from it, so corpus tokens shuffle exactly
+    once and the stoplist joins back by broadcast against the counts table,
+    never the tokens."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(_WORDS(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     stop = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        st.groupBy("term")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), F.asc("term"))
         .limit(_STOP_K)
         .select("term", F.lit(1).alias("is_stop"))
     )
-    flagged = toks.join(F.broadcast(stop), "term", "left")
-    kept = F.sum(F.when(F.col("is_stop").isNull(), 1).otherwise(0)).cast("long")
+    flagged = st.join(F.broadcast(stop), "term", "left")
+    kept = F.sum(F.when(F.col("is_stop").isNull(), F.col("c")).otherwise(0)).cast("long")
     return (
         flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_tokens"),
             kept.alias("n_kept"),
             F.round(
-                kept.cast("double") / F.count(F.lit(1)), 4
+                kept.cast("double") / F.sum("c"), 4
             ).alias("kept_ratio"),
         )
         .orderBy("source")
