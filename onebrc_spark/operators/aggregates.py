@@ -88,19 +88,37 @@ def onebrc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return format_report(agg)
 
 
+def _generated_oracle() -> str:
+    from onebrc_spark.sources.generator import measurements_oracle_sql
+
+    return f"""
+    WITH meas AS ({measurements_oracle_sql(100_000, seed=42)})
+    SELECT station,
+           min(measure) AS min,
+           round(avg(measure), 1) AS mean,
+           max(measure) AS max
+    FROM meas GROUP BY station ORDER BY station
+    """
+
+
 @query(
     "onebrc_generated",
-    oracle=None,  # input is generated in-engine (S7), no DuckDB table to oracle
+    oracle=_generated_oracle(),
     survey_ref="S7,A1-A7,O1",
 )
 def onebrc_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query over the S7 synthetic generator (generate.rs parity
-    path): 200k generated `station;temp`-shaped rows → min/mean/max. Unit
-    invariants in tests/test_flagship.py; rows-only here (no oracle table)."""
-    from onebrc_spark.sources.generator import generate_measurements
+    path): 100k generated `station;temp`-shaped rows → min/mean/max.
+
+    Hash-verified, not rows-only: the content-addressed generator variant
+    (md5-uniform station pick + Box-Muller temperature, pure functions of
+    the row id) is regenerated EXACTLY by the DuckDB oracle — same relation
+    in both engines with no intermediate file (sources/generator.py). Unit
+    invariants stay in tests/test_flagship.py."""
+    from onebrc_spark.sources.generator import generate_measurements_ca
 
     return onebrc_aggregate(
-        generate_measurements(spark, 200_000, seed=42), "station", "measure"
+        generate_measurements_ca(spark, 100_000, seed=42), "station", "measure"
     )
 
 

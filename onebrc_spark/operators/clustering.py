@@ -1,0 +1,188 @@
+"""Near-dup cluster resolution: pairs → connected components → survivors
+(SURVEY §2.10 X1/X2 completion).
+
+Pairwise near-dup detection (dedup.py) is only half of a production dedup
+pipeline: pairs must be resolved into CLUSTERS (a~b, b~c ⇒ {a,b,c} is one
+duplicate group) and each cluster collapsed to one canonical survivor —
+otherwise chained duplicates survive pairwise removal. The reference has no
+multi-document analysis at all (its one query is per-key aggregation,
+`rust_1brc/src/main.rs:237-243`); this is extension surface for the LLM
+curation path.
+
+Algorithm: iterative min-label propagation over the undirected pair graph —
+label(v) ← min(label(v), min over neighbors) until fixpoint. Each round is
+one shuffle join + one aggregation (all DataFrame ops, nothing driver-side
+except the convergence counter, which is the legitimate loop-control action
+of an iterative algorithm — same structure as GraphFrames/GraphX). Rounds
+needed = graph diameter; near-dup clusters are overwhelmingly star- or
+clique-shaped (diameter ≤ ~3), so this settles in a handful of rounds. For
+adversarial long-chain graphs the known O(log n)-round alternative is
+alternating large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond"); not needed for this workload and documented here as
+the escape hatch.
+
+Scale: the propagated state is (id, label) longs — the text never moves.
+lineage is truncated every round with localCheckpoint() so the plan does not
+grow with iterations (on a multi-tenant cluster with executor preemption,
+swap for reliable checkpoint() on HDFS/object storage).
+
+Oracle: DuckDB recursive CTE computing min-reachable-id per node over the
+SAME MinHash edge set (dedup.minhash_pairs_sql) — exact transitive closure,
+viable at sf scales because components are tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators.dedup import dedup_minhash_lsh, minhash_pairs_sql
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+_MAX_ITERS = 25
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iters: int = _MAX_ITERS,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in `edges`, where
+    cluster_id = min node id of the node's connected component.
+
+    Min-label propagation to fixpoint; raises if not converged within
+    max_iters (diameter bound — see module docstring)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    bidir = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    cur = (
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            bidir.join(
+                cur.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nmin"))
+            .select(F.col("dst").alias("id"), "nmin")
+        )
+        nxt = (
+            cur.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.select("id", F.col("label").alias("new_label"))
+            .join(cur, "id")
+            .filter(F.col("new_label") < F.col("label"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            return cur.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iters} rounds "
+        "(pathological chain graph — use large-star/small-star)"
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({minhash_pairs_sql()}),
+    nodes AS (
+      SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges
+    ), bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT b.dst AS id, r.root
+      FROM reach r JOIN bidir b ON b.src = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    survey_ref="X1,X2 (near-dup cluster resolution: connected components)",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash near-dup PAIRS into duplicate CLUSTERS: every doc
+    that has at least one near-dup, labeled with the min doc_id of its
+    connected component. Catches transitive duplicates (a~b, b~c ⇒ one
+    3-doc cluster) that pairwise dedup misses. Oracle = exact transitive
+    closure via DuckDB recursive CTE over the identical edge set."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({minhash_pairs_sql()}),
+    nodes AS (
+      SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges
+    ), bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT b.dst AS id, r.root
+      FROM reach r JOIN bidir b ON b.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    ), removed AS (
+      SELECT doc_id FROM comp WHERE doc_id <> cluster_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    survey_ref="X1,X2 (cluster-canonical dedup: keep min doc_id per cluster)",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup accounting: collapse each duplicate cluster
+    to its canonical member (min doc_id = the cluster label itself) and
+    report per-source kept/removed counts. The corpus-sized side is ONE
+    broadcast join against the removed set (cluster members are a tiny
+    fraction of the corpus), so at 100 TB the text still never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    removed = (
+        comp.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("is_removed"))
+    )
+    return (
+        docs.join(F.broadcast(removed), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_removed", F.lit(0))).cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("is_removed").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )

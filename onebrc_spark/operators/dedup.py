@@ -336,9 +336,11 @@ def minhash_signature(shingles_col: Column) -> Column:
     return F.aggregate(bases, init, step)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def minhash_pairs_sql() -> str:
+    """DuckDB SELECT yielding (doc_a, doc_b, jaccard) MinHash-LSH near-dup
+    pairs — the dedup_minhash_lsh oracle body, exposed so downstream oracles
+    (cluster components, survivors) can embed the same edge set."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS raw_ws FROM documents
     ), words AS (
@@ -374,8 +376,12 @@ def minhash_signature(shingles_col: Column) -> Column:
     )
     SELECT doc_a, doc_b, jaccard FROM verified
     WHERE jaccard >= {_MINHASH_THRESHOLD}
-    ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=minhash_pairs_sql() + " ORDER BY doc_a, doc_b",
     survey_ref="X2",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,3 +124,72 @@ def ml_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("mix_chars"))
         .orderBy("source")
     )
+
+
+def _pct_hash(key: Column) -> Column:
+    """Deterministic percentile in [0, 100) from the first two DECIMAL
+    digits of md5 (hex letters stripped) — the dedup.py portable-hash trick,
+    reproducible verbatim in DuckDB."""
+    digits = F.translate(F.md5(key), "abcdef", "")
+    return F.substring(F.rpad(digits, 2, "0"), 1, 2).cast("int")
+
+
+_PCT_HASH_SQL = (
+    "CAST(substring(rpad(regexp_replace(md5('samp:' || CAST(doc_id AS VARCHAR)),"
+    " '[a-f]', '', 'g'), 2, '0'), 1, 2) AS INT)"
+)
+
+
+@query(
+    "ml_stratified_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+    ), mn AS (
+      SELECT min(n_total) AS min_n FROM counts
+    ), rates AS (
+      SELECT lang, n_total,
+             CAST(floor(100.0 * min_n / n_total) AS INT) AS keep_pct
+      FROM counts, mn
+    ), tagged AS (
+      SELECT lang, {_PCT_HASH_SQL} AS pct FROM documents
+    )
+    SELECT r.lang, r.n_total, r.keep_pct,
+           CAST(sum(CASE WHEN t.pct < r.keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM tagged t JOIN rates r USING (lang)
+    GROUP BY r.lang, r.n_total, r.keep_pct
+    ORDER BY r.lang
+    """,
+    survey_ref="X4 (stratified balancing sample: data-driven per-stratum rates)",
+)
+def ml_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified balancing sample: downsample every language stratum to
+    (approximately) the size of the smallest one, with data-driven keep
+    rates (floor(100·min/n) percent) and a content-addressed per-doc
+    percentile — so the sample is reproducible across runs/engines/retries,
+    unlike `df.sampleBy(...)`, whose rand() stream re-draws under task
+    retry.
+
+    Scale: one dim-sized census (langs), broadcast back; the corpus-sized
+    side is a narrow map + filter — zero extra shuffles of the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_total",
+        F.floor(100.0 * F.col("min_n") / F.col("n_total")).cast("int").alias("keep_pct"),
+    )
+    pct = _pct_hash(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("lang", pct.alias("pct"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_total", "keep_pct")
+        .agg(
+            F.sum(F.when(F.col("pct") < F.col("keep_pct"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled")
+        )
+        .orderBy("lang")
+    )

@@ -291,3 +291,36 @@ def sql_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_AGG_FILTER_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query(
+    "sql_tpch_q13_shape",
+    oracle=_Q13_SQL,
+    survey_ref="J3,A6,A9 (TPC-H Q13 shape: outer-join count distribution)",
+)
+def sql_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with a
+    join-side predicate — the predicate belongs in the ON clause, not WHERE
+    (a WHERE filter on the right side would silently turn the outer join
+    inner and drop zero-order customers) — then a two-level aggregate.
+
+    Scale: the outer join shuffles on custkey; the second aggregation input
+    is customer-cardinality, and the final distribution is tiny. The classic
+    skew case (one mega-customer) is AQE skew-join territory."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)

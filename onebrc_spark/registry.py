@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "onebrc_spark.functions.arrays_json",
     "onebrc_spark.operators.eventtime",
     "onebrc_spark.operators.dedup",
+    "onebrc_spark.operators.clustering",
     "onebrc_spark.operators.similarity",
     "onebrc_spark.operators.textops",
     "onebrc_spark.operators.multimodal",

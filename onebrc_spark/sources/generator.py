@@ -62,6 +62,79 @@ def station_table(spark: SparkSession, seed: int = 42) -> DataFrame:
     )
 
 
+def generate_measurements_ca(
+    spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Content-addressed variant of generate_measurements: the station pick
+    AND the temperature draw are pure md5 functions of the row id, so the
+    output is bit-identical under any partition layout — and reproducible
+    by ANY engine with md5. The `onebrc_generated` oracle regenerates the
+    exact same relation in DuckDB (S7 hash-verified, not rows-only).
+
+    ~3 md5 per row, so for bulk text generation (scripts/onebrc_fullscale)
+    the rand()-based generate_measurements stays the fast path."""
+    rows = spark.range(0, n_rows, numPartitions=num_partitions)
+    rid = F.col("id")
+    pick = F.floor(_unit_uniform("pick", rid, seed) * NUM_STATIONS).cast("long")
+    u1 = _unit_uniform("temp_u1", rid, seed)
+    u2 = _unit_uniform("temp_u2", rid, seed)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+    picked = rows.select(pick.alias("station_id"), z.alias("z"))
+    dim = station_table(spark, seed).withColumn(
+        "station_id", F.expr("cast(substring(station, 9) as long)")
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (a just-below-zero draw rounded to 1 dp)
+    # to +0.0 — DuckDB preserves the sign bit through round(), Spark doesn't.
+    return picked.join(F.broadcast(dim), "station_id").select(
+        "station",
+        (F.round(F.col("mean_temp") + F.col("z") * F.col("sigma"), 1) + 0.0).alias(
+            "measure"
+        ),
+    )
+
+
+def _unit_uniform_sql(tag: str, id_expr: str, seed: int) -> str:
+    """DuckDB twin of _unit_uniform (used by the onebrc_generated oracle)."""
+    return (
+        f"(CAST('0x' || substring(md5(printf('{tag}:{seed}:%d', {id_expr})), 1, 8)"
+        f" AS BIGINT) + 0.5) / 4294967296.0"
+    )
+
+
+def measurements_oracle_sql(n_rows: int, seed: int = 42) -> str:
+    """DuckDB SQL regenerating generate_measurements_ca(n_rows, seed) exactly:
+    same md5-uniforms, same Box-Muller, same station dim arithmetic. Float
+    ops beyond +-*/ (ln, cos) agree to the double ULP between the JVM and
+    DuckDB's libm for this value domain (pinned by tests and the driver
+    hash); the final 1-dp round absorbs them."""
+    span = repr(MEAN_HI - MEAN_LO)  # repr round-trips the exact double
+    return f"""
+    WITH station_ids AS (
+      SELECT unnest(range({NUM_STATIONS})) AS i
+    ), stations AS (
+      SELECT i AS station_id,
+             printf('station_%03d', i) AS station,
+             round({MEAN_LO!r} + ({span} * i) / {NUM_STATIONS - 1}, 1) AS mean_temp,
+             greatest(0.1, 10.0 + 2.5 * (sqrt(-2.0 * ln(
+               {_unit_uniform_sql("sigma_u1", "i", seed)}
+             )) * cos(2.0 * pi() * (
+               {_unit_uniform_sql("sigma_u2", "i", seed)}
+             )))) AS sigma
+      FROM station_ids
+    ), rows_ AS (
+      SELECT unnest(range({n_rows})) AS id
+    ), picked AS (
+      SELECT CAST(floor(({_unit_uniform_sql("pick", "id", seed)}) * {NUM_STATIONS}) AS BIGINT)
+               AS station_id,
+             sqrt(-2.0 * ln({_unit_uniform_sql("temp_u1", "id", seed)}))
+               * cos(2.0 * pi() * ({_unit_uniform_sql("temp_u2", "id", seed)})) AS z
+      FROM rows_
+    )
+    SELECT station, round(mean_temp + z * sigma, 1) + 0.0 AS measure
+    FROM picked JOIN stations USING (station_id)
+    """
+
+
 def generate_measurements(
     spark: SparkSession, n_rows: int, seed: int = 42, num_partitions: int | None = None
 ) -> DataFrame:

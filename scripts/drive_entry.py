@@ -16,7 +16,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+# --only=name1,name2 restricts to those queries (targeted re-verification).
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):
+        ONLY = set(_a.split("=", 1)[1].split(","))
 
 import __spark_entry__ as mod
 from onebrc_spark.session import get_spark
@@ -42,7 +48,11 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} with oracle", flush=True)
 failed = []
+checked = 0
 for name, fn in sorted(qs.items()):
+    if ONLY is not None and name not in ONLY:
+        continue
+    checked += 1
     t0 = time.time()
     try:
         sdf = fn(spark, SF_DIR)
@@ -60,5 +70,5 @@ for name, fn in sorted(qs.items()):
             traceback.print_exc()
     print(f"  {name:32s} {status:20s} {time.time()-t0:5.1f}s", flush=True)
 
-print(f"\n{len(qs) - len(failed)}/{len(qs)} OK; failed: {failed}")
+print(f"\n{checked - len(failed)}/{checked} OK; failed: {failed}")
 sys.exit(1 if failed else 0)
