@@ -1,0 +1,171 @@
+"""Change-data-capture / incremental-maintenance operators (extension
+surface; SURVEY §2.3 J3 + §2.4 applied to the Delta/Iceberg MERGE shape).
+
+A 100 TB corpus is never rebuilt from scratch: it is maintained by merging
+deltas (new crawls, re-scored documents, revoked records) into a base
+snapshot. The reference engine has no notion of updates (its one workload is
+a full-scan aggregate, `rust_1brc/src/main.rs:237-243`); this module adds the
+canonical batch formulations:
+
+  - MERGE (upsert): full outer join base↔delta on the key; delta wins where
+    both exist (SCD type-1), base carries where no delta, delta inserts
+    where no base.
+  - Snapshot diff: the inverse — given two snapshots, classify every key as
+    added / removed / changed / unchanged (what a data-quality gate runs
+    before publishing a new corpus version).
+
+Scale notes: both are single-shuffle joins on the key. In production the
+base is bucketed on the key (storage.py's bucketed-join layout) so only the
+delta shuffles; a small delta broadcast-joins and the merge becomes
+narrow-per-bucket. Tombstones (deletes) ride the delta as a flag column —
+same plan. AQE handles delta skew (hot keys re-crawled often).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table
+
+# Deterministic base/delta derivation from `orders` (no synthetic inputs —
+# TESTDATA tables only): base = keys with o_orderkey % 4 != 3 at their
+# original price; delta = keys with o_orderkey % 2 == 0, re-priced with a
+# flat +10.0 surcharge. Overlap (both) exercises UPDATE, delta-only INSERT,
+# base-only CARRY. The surcharge is ADDITIVE on purpose: x + 10.0 is the
+# same IEEE double in every engine, while round(x * 1.1, 2) hits half-ulp
+# rounding flips between Spark (BigDecimal HALF_UP on the exact double) and
+# DuckDB (multiply-round-divide in floating point) — only the final SUM is
+# rounded.
+
+
+def _base(orders: DataFrame) -> DataFrame:
+    return orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+def _delta(orders: DataFrame) -> DataFrame:
+    return orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("price"),
+    )
+
+
+_MERGE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), delta AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN d.o_orderkey IS NULL THEN 'carry'
+                  ELSE 'update' END AS action,
+             coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(d.price, b.price) AS price
+      FROM base b FULL OUTER JOIN delta d USING (o_orderkey)
+    )
+    SELECT action, o_orderstatus,
+           count(*) AS n_rows,
+           round(sum(price), 2) AS sum_price
+    FROM merged GROUP BY action, o_orderstatus ORDER BY action, o_orderstatus
+"""
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    survey_ref="J3,A6 (MERGE/upsert: SCD-1 full-outer merge of a delta)",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a delta into a base snapshot (SCD type-1: last write wins) and
+    account the result: per (action, status) row counts and price totals.
+    `USING (key)` + coalesce is the whole-row upsert; the action column is
+    the merge audit a production pipeline logs per run.
+
+    Scale: one shuffle of each side on o_orderkey (bucketed base → delta
+    shuffles alone; dim-sized delta → broadcast, zero base movement)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b, d = _base(orders), _delta(orders)
+    merged = b.alias("b").join(d.alias("d"), "o_orderkey", "full").select(
+        F.when(F.col("b.price").isNull(), "insert")
+        .when(F.col("d.price").isNull(), "carry")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("d.price", "b.price").alias("price"),
+    )
+    return (
+        merged.groupBy("action", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("action", "o_orderstatus")
+    )
+
+
+_DIFF_ORACLE = """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), snap_b AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                 THEN 10.0 ELSE 0.0 END AS price
+      FROM orders WHERE o_orderkey % 4 <> 1
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.price <> b.price THEN 'changed'
+                ELSE 'unchanged' END AS verdict,
+           count(*) AS n_keys,
+           round(sum(coalesce(b.price, a.price)), 2) AS sum_price
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY verdict ORDER BY verdict
+"""
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    survey_ref="J3 (snapshot diff: added/removed/changed/unchanged audit)",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots by key: classify every key added / removed /
+    changed / unchanged — the publish gate run before promoting a new corpus
+    version. Same single-shuffle full-outer shape as the merge; at scale
+    both snapshots share the bucketed layout so the diff is narrow."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 10.0).otherwise(0.0)
+        ).alias("price"),
+    )
+    diff = snap_a.alias("a").join(snap_b.alias("b"), "o_orderkey", "full").select(
+        F.when(F.col("a.price").isNull(), "added")
+        .when(F.col("b.price").isNull(), "removed")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+        .alias("verdict"),
+        F.coalesce("b.price", "a.price").alias("price"),
+    )
+    return (
+        diff.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("verdict")
+    )

@@ -363,3 +363,71 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- search-index build: term -> postings -----------------------------------
+
+_POSTING_CAP = 8
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), terms AS (
+      SELECT DISTINCT doc_id, term FROM toks WHERE length(term) >= 3
+    ), ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY term) AS df
+      FROM terms
+    )
+    SELECT term, CAST(max(df) AS BIGINT) AS df,
+           string_agg(CASE WHEN rn <= {_POSTING_CAP}
+                           THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS posting_head
+    FROM ranked GROUP BY term ORDER BY term
+    """,
+    survey_ref="X4,A7 (inverted index: term -> df + capped posting list)",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a search inverted index: per term, document frequency and the
+    head of the doc_id posting list (capped, serialized — registry rule
+    bans array columns). The wordcount shuffle shape: the text itself never
+    moves, only (term, doc_id) pairs.
+
+    Scale: posting lists for stop-like terms are corpus-sized — the cap is
+    applied via sort_array+slice AFTER collect, which is safe only because
+    df is bounded by corpus docs per term... at 100 TB the cap moves
+    BEFORE the collect: keep rn<=cap via a window over (term) — expressed
+    here exactly that way so the collected list is never larger than the
+    cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = terms.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df"),
+    )
+    head = F.sort_array(
+        F.collect_list(F.when(F.col("rn") <= _POSTING_CAP, F.col("doc_id")))
+    )  # collect_list drops the NULLs beyond the cap; longs sort numerically
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.max("df").cast("long").alias("df"),
+            F.array_join(
+                F.transform(head, lambda x: x.cast("string")), ","
+            ).alias("posting_head"),
+        )
+        .orderBy("term")
+    )

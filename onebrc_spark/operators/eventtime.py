@@ -234,3 +234,106 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@query(
+    "evt_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, w.week) / 7 AS INT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM wk w JOIN first_wk f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_ref="ST1,A6 (cohort retention: first-seen week x activity week)",
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week, counted
+    in every later week they return — the canonical product-analytics /
+    corpus-freshness rollup.
+
+    Scale: ONE shuffle of (user_id, week) pairs — the cohort week is a
+    per-user window MIN over the already-shuffled partition (no second
+    shuffle, no self-join), and the triangle itself is dim-sized
+    (weeks x weeks). Weeks are Monday-truncated in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        wk.select("user_id", "week", cohort.alias("cohort_week"))
+        .groupBy("cohort_week", (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "evt_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(avg(value), 4) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), scaffold AS (
+      SELECT user_id, CAST(unnest(generate_series(d0::TIMESTAMP,
+                                                  d1::TIMESTAMP,
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), joined AS (
+      SELECT s.user_id, s.day, d.day_avg
+      FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           last_value(day_avg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CAST(day_avg IS NULL AS INT) AS is_gap
+    FROM joined ORDER BY user_id, day
+    """,
+    survey_ref="ST1,W3,F9 (time-series gap fill: scaffold + LOCF window)",
+)
+def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a per-user daily series: generate the full day scaffold
+    per user (F.sequence — no driver-side calendar), left-join observed
+    daily averages, and forward-fill gaps with last-observation-carried-
+    forward (`F.last(ignorenulls=True)` over an unbounded-preceding frame).
+
+    Scale: the scaffold is generated (never shuffled in), the join and the
+    LOCF window share the user_id partitioning, and the series length is
+    bounded by the date span — the standard feature-store densification."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    locf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_avg", ignorenulls=True).over(locf).alias("value_filled"),
+        F.col("day_avg").isNull().cast("int").alias("is_gap"),
+    ).orderBy("user_id", "day")

@@ -193,3 +193,34 @@ def ml_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_FIXED_K = 100
+
+
+@query(
+    "ml_fixed_size_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5('fix:' || CAST(doc_id AS VARCHAR)) LIMIT {_FIXED_K}
+    """,
+    survey_ref="O1-O3,X4 (exact-k uniform sample: top-k by content hash)",
+)
+def ml_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample: order by a content-addressed hash of the
+    key and take the top k — the distributed replacement for reservoir
+    sampling. `df.sample(fraction)` gives a binomial (±sqrt) count and
+    re-draws under task retry; hash-top-k gives exactly k, the same k every
+    run, on every engine.
+
+    Scale: this compiles to TakeOrderedAndProject — each partition keeps a
+    local k-heap, the driver merges P*k rows; no shuffle of the corpus and
+    no full sort (pinned in tests/test_plans.py for topk_limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .orderBy("h")
+        .limit(_FIXED_K)
+        .select("doc_id", "source")
+    )

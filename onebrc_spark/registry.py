@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.skew",
     "onebrc_spark.operators.mlprep",
     "onebrc_spark.operators.curation",
+    "onebrc_spark.operators.cdc",
 ]
 
 

@@ -139,3 +139,25 @@ def test_tpch_q6_pushes_all_predicates_and_prunes_columns(spark):
         set(c) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
         for c in cols
     ), cols
+
+
+def test_fixed_size_sample_fuses_to_take_ordered(spark):
+    """Exact-k hash sample must be per-partition heap + driver merge of P*k
+    rows (TakeOrderedAndProject), never a full shuffle sort of the corpus."""
+    from onebrc_spark.operators.mlprep import ml_fixed_size_sample
+
+    df = ml_fixed_size_sample(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "Exchange rangepartitioning" not in txt
+
+
+def test_cdc_merge_single_shuffle_per_side(spark):
+    """The MERGE full-outer join must shuffle each side once on the key —
+    no extra exchanges between the join and the final aggregate beyond the
+    group-by's own."""
+    from onebrc_spark.operators.cdc import cdc_merge_upsert
+
+    df = cdc_merge_upsert(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert txt.count("Exchange hashpartitioning") <= 4, txt[:3000]
