@@ -224,3 +224,130 @@ def ml_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FIXED_K)
         .select("doc_id", "source")
     )
+
+
+_MIX_ALPHA_SQL = "sqrt(CAST(n_total AS DOUBLE))"  # alpha = 0.5 via sqrt (portable libm)
+
+
+@query(
+    "ml_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ), z AS (
+      SELECT sum({_MIX_ALPHA_SQL}) AS denom,
+             CAST(sum(n_total) AS DOUBLE) / 2 AS target FROM counts
+    ), rates AS (
+      SELECT source, n_total,
+             CAST(floor(100 * least(1.0,
+               (target * {_MIX_ALPHA_SQL} / denom) / n_total)) AS INT)
+               AS keep_pct
+      FROM counts, z
+    ), tagged AS (
+      SELECT source,
+             CAST(substring(rpad(regexp_replace(
+               md5('mix:' || CAST(doc_id AS VARCHAR)), '[a-f]', '', 'g'),
+               2, '0'), 1, 2) AS INT) AS pct
+      FROM documents
+    )
+    SELECT r.source, r.n_total, r.keep_pct,
+           CAST(sum(CASE WHEN t.pct < r.keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM tagged t JOIN rates r USING (source)
+    GROUP BY r.source, r.n_total, r.keep_pct
+    ORDER BY r.source
+    """,
+    survey_ref="X11 (temperature-weighted source mixing, alpha=0.5)",
+)
+def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual-pretraining
+    resampler): sample source s with probability proportional to n_s^alpha
+    (alpha=0.5 — implemented as sqrt, which is IEEE-correctly-rounded and
+    thus bit-portable across engines, unlike pow), scaled to a half-corpus
+    token target, capped at keeping everything. Per-doc keep decisions are
+    content-addressed (md5 percentile), so the mix is identical across
+    runs, engines, and task retries.
+
+    Scale: the source census is dim-sized and broadcast; the corpus-sized
+    side is a narrow projection + filter — the text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    weight = F.sqrt(F.col("n_total").cast("double"))
+    z = counts.agg(
+        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("denom"),
+        (F.sum("n_total").cast("double") / 2).alias("target"),
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_total",
+        F.floor(
+            100
+            * F.least(
+                F.lit(1.0),
+                (F.col("target") * weight / F.col("denom")) / F.col("n_total"),
+            )
+        )
+        .cast("int")
+        .alias("keep_pct"),
+    )
+    pct = _pct_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", pct.alias("pct"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total", "keep_pct")
+        .agg(
+            F.sum(F.when(F.col("pct") < F.col("keep_pct"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled")
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ml_quantile_filter",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
+    GROUP BY source ORDER BY source
+    """,
+    survey_ref="X11,W4 (percentile-band outlier filter per stratum)",
+)
+def ml_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band outlier filter: within each source, drop documents
+    below P5 / above P95 by length — the tail-trimming step before quality
+    scoring (truncation artifacts live in the tails). percent_rank is
+    (rank-1)/(n-1) in both engines, so the band edges agree exactly.
+
+    Scale: exact per-group percent_rank is a window sort over the group —
+    fine when groups fit a partition (sources do). For corpus-sized strata
+    the production variant computes approx_percentile(n_chars, [.05,.95])
+    per stratum (one agg, tiny result), broadcasts the two cut points, and
+    filters narrowly — same output contract, no window sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars")
+    )
+    return (
+        docs.select("source", "n_chars", pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

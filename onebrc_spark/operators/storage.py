@@ -213,3 +213,88 @@ def storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- Z-order layout: multi-dimensional clustering for min/max pruning -------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-key, 256 z-buckets
+
+
+def _zorder_key(a, b, bits: int = _Z_BITS):
+    """Interleave the low `bits` bits of two long columns into a z-key
+    (Morton code): bit j of `a` lands at position 2j, of `b` at 2j+1.
+    Pure JVM bit arithmetic — whole-stage-codegen friendly, no UDF."""
+    terms = []
+    for j in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, j).bitwiseAND(1), 2 * j))
+        terms.append(F.shiftleft(F.shiftright(b, j).bitwiseAND(1), 2 * j + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _zorder_key_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = [f"((({a} >> {j}) & 1) << {2 * j})" for j in range(bits)]
+    terms += [f"((({b} >> {j}) & 1) << {2 * j + 1})" for j in range(bits)]
+    return " + ".join(terms)
+
+
+@query(
+    "storage_zorder_layout",
+    oracle=f"""
+    WITH binned AS (
+      SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+             l_extendedprice
+      FROM lineitem
+    ), keyed AS (
+      SELECT ({_zorder_key_sql("pk", "sk")}) // 256 AS z_bucket,
+             pk, sk, l_extendedprice
+      FROM binned
+    )
+    SELECT z_bucket,
+           count(*) AS n_rows,
+           min(pk) AS pk_lo, max(pk) AS pk_hi,
+           min(sk) AS sk_lo, max(sk) AS sk_hi,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM keyed GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    survey_ref="S6,O1 (Z-order multi-dim clustering: Morton-key layout audit)",
+)
+def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave the bits of two filter
+    dimensions into one sort key, bucket by its high bits (= the file a
+    range-sorted writer would emit), and report each bucket's per-dimension
+    min/max envelope. The payoff is visible in the result: every z-bucket
+    spans ≤ 1/16 of BOTH key ranges simultaneously, so parquet min/max
+    stats prune files for predicates on EITHER dimension — a 1-D sort only
+    prunes its leading column.
+
+    Scale: the production form is `repartitionByRange(z_key).sortWithin
+    Partitions(z_key).write...` — one range shuffle at write time buys
+    every subsequent scan 2-D file pruning. The audit here is the shape a
+    layout job logs; Delta/Iceberg OPTIMIZE ZORDER is this exact transform."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = (F.col("l_partkey") % 256).alias("pk")
+    sk = (F.col("l_suppkey") % 256).alias("sk")
+    binned = li.select(pk, sk, "l_extendedprice")
+    keyed = binned.select(
+        F.floor(
+            _zorder_key(F.col("pk"), F.col("sk")) / 256
+        ).alias("z_bucket"),
+        "pk",
+        "sk",
+        "l_extendedprice",
+    )
+    return (
+        keyed.groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("pk_lo"),
+            F.max("pk").alias("pk_hi"),
+            F.min("sk").alias("sk_lo"),
+            F.max("sk").alias("sk_hi"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("z_bucket")
+    )
