@@ -143,3 +143,48 @@ def run_to_completion(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_enrich_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch dimension
+    (the feature-lookup / metadata-tagging step of an ingest pipeline). The
+    static side is re-read per micro-batch (picking up dim updates) and
+    broadcast when small — no stream-side state is kept, so this is the
+    cheapest streaming join and should be preferred over stream-stream
+    whenever one side is slowly-changing."""
+    return events.join(F.broadcast(user_dim), "user_id").select(
+        "event_id", "ts", "user_id", "cohort", "event_type", "value"
+    )
+
+
+def stream_stream_interval_join(
+    views: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    click attributed to a view by the same user within [0, 30 min). BOTH
+    sides are watermarked — that is what lets the engine discard buffered
+    rows once no future match is possible; an un-watermarked stream-stream
+    join grows state forever. The interval bound (not equality on a window
+    column) is the attribution-join shape."""
+    v = views.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )

@@ -58,3 +58,81 @@ def test_stream_dedup_append(spark, events_stream):
     got = run_to_completion(stream_dedup(events_stream), "t_dedup", spark, mode="append")
     ev = load_table(spark, SMOKE_SF_DIR, "events")
     assert got.count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Stream-static broadcast enrichment must yield exactly the batch
+    join's rows once the finite stream drains."""
+    from onebrc_spark.sources.catalog import load_table
+    from onebrc_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_completion,
+        stream_enrich_static,
+    )
+    from tests.conftest import SF_DIR
+
+    ev_batch = load_table(spark, SF_DIR, "events")
+    user_dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 4).cast("int"))
+    )
+    out = run_to_completion(
+        stream_enrich_static(read_events_stream(spark, SF_DIR), user_dim),
+        "enrich_smoke",
+        spark,
+        mode="append",
+    )
+    assert out.count() == ev_batch.count()
+    batch_sum = ev_batch.join(user_dim, "user_id").agg(
+        F.sum("cohort").alias("s")
+    ).collect()[0]["s"]
+    assert out.agg(F.sum("cohort").alias("s")).collect()[0]["s"] == batch_sum
+
+
+def test_stream_stream_interval_join_attributes_clicks(spark):
+    """Stream-stream watermarked interval join: every attributed click is
+    within [view_ts, view_ts + 30 min) for the same user, and the result
+    equals the batch formulation of the same join."""
+    from onebrc_spark.sources.catalog import load_table
+    from onebrc_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_completion,
+        stream_stream_interval_join,
+    )
+    from tests.conftest import SF_DIR
+
+    views = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_completion(
+        stream_stream_interval_join(views, clicks),
+        "ssjoin_smoke",
+        spark,
+        mode="append",
+    )
+    n_stream = out.count()
+    assert n_stream > 0
+    bad = out.filter(
+        (F.col("click_epoch") < F.col("view_epoch"))
+        | (F.col("click_epoch") >= F.col("view_epoch") + 1800)
+    ).count()
+    assert bad == 0
+
+    ev = load_table(spark, SF_DIR, "events")
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    n_batch = bv.join(
+        bc,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert n_stream == n_batch
