@@ -324,3 +324,71 @@ def sql_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q13_SQL)
+
+
+_Q17_SQL = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1 JOIN part p ON l1.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND l1.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      )
+"""
+
+
+@query(
+    "sql_tpch_q17_shape",
+    oracle=_Q17_SQL,
+    survey_ref="J1,A4 (TPC-H Q17 shape: correlated scalar subquery decorrelation)",
+)
+def sql_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): a correlated SCALAR
+    subquery — each lineitem row compares against the average quantity of
+    ITS part. Catalyst decorrelates this into an aggregate-then-join (one
+    per-partkey avg, joined back), which is the scalable plan; a naive
+    per-row subquery execution would be O(rows) aggregate scans.
+
+    Scale: the decorrelated aggregate and the probe join shuffle on
+    l_partkey; AQE handles part-popularity skew."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@query(
+    "sql_tpch_q18_shape",
+    oracle=_Q18_SQL,
+    survey_ref="J1,J4,A6,A9 (TPC-H Q18 shape: IN over grouped HAVING -> semi-join)",
+)
+def sql_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
+    subquery. Catalyst rewrites the IN to a LEFT SEMI join against the
+    pre-aggregated qualifying keys — the qualifying set is tiny, so at
+    scale it broadcast-semi-joins and prunes orders before the expensive
+    3-way join.
+
+    Scale: the HAVING aggregate is one shuffle of (orderkey, qty) partials;
+    everything downstream joins on already-shuffled orderkey."""
+    from onebrc_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

@@ -161,3 +161,12 @@ def test_cdc_merge_single_shuffle_per_side(spark):
     df = cdc_merge_upsert(spark, SMOKE_SF_DIR)
     txt = explain_str(df)
     assert txt.count("Exchange hashpartitioning") <= 4, txt[:3000]
+
+
+def test_q18_in_subquery_becomes_semi_join(spark):
+    """The IN (grouped HAVING) subquery must decorrelate to a LEFT SEMI
+    join on the pre-aggregated qualifying keys, never a per-row subquery."""
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q18_shape
+
+    df = sql_tpch_q18_shape(spark, SMOKE_SF_DIR)
+    assert "LeftSemi" in explain_str(df)

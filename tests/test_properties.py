@@ -241,3 +241,21 @@ def test_minhash_identical_inputs_identical_signatures(spark):
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
     assert len(rows[1]) == len(rows[3]) == len(rows[4]) == 12
+
+
+def test_approx_percentile_within_tolerance(spark, duck):
+    """A8-adjacent accuracy contract: percentile_approx with accuracy=1000
+    must land within 1 percentile-rank of the exact quantile — checked by
+    counting how many values fall below the approximate cut vs the target
+    rank, which is the guarantee the sketch actually makes."""
+    from onebrc_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.count()
+    for q in (0.5, 0.95):
+        approx = li.agg(
+            F.percentile_approx("l_extendedprice", q, 1000).alias("p")
+        ).collect()[0]["p"]
+        below = li.filter(F.col("l_extendedprice") <= approx).count()
+        assert abs(below / n - q) <= 0.01, (q, approx, below / n)
