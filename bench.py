@@ -40,6 +40,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_ann_lsh",
     "text_ngram_tf",
+    # round-2 surface: cluster resolution (iterative joins), MERGE (full-
+    # outer on key), Z-order audit (pure bit arithmetic), weighted sampling.
+    "dedup_cluster_components",
+    "cdc_merge_upsert",
+    "storage_zorder_layout",
+    "ml_temperature_mix",
 ]
 
 

@@ -128,6 +128,35 @@ _PRIORITY = [
     "ml_hash_split",
     "ml_source_mix",
     "onebrc_flagship",
+    # Slots 51+: round-2 additions (no driver row yet either) — ahead of the
+    # round-1-green queries in case the driver checks more than 50.
+    "onebrc_generated",  # upgraded rows-only -> hash-verified oracle
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "cdc_merge_upsert",
+    "cdc_snapshot_diff",
+    "evt_retention_cohorts",
+    "evt_gap_fill_locf",
+    "ml_stratified_sample",
+    "ml_temperature_mix",
+    "ml_quantile_filter",
+    "ml_fixed_size_sample",
+    "ml_sequence_packing",
+    "ml_contamination_ngram",
+    "text_inverted_index",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_stopword_removal",
+    "sim_lsh_candidate_stats",
+    "sim_ann_ivf_trained",
+    "sql_recursive_cte",
+    "sql_lateral_topn",
+    "sql_agg_filter_clause",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q18_shape",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
 ]
 
 
