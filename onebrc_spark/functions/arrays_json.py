@@ -160,3 +160,34 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY k_bucket ORDER BY k_bucket
+    """,
+    survey_ref="F10 (VARIANT semi-structured type: parse_json + typed variant_get)",
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): parse_json
+    once into a binary-encoded variant, then variant_get typed paths —
+    the schema-on-read path for ingest where props keys drift. Unlike
+    from_json (fixed schema, one parse per schema) or get_json_object
+    (string re-parse per call), the variant parses once and serves every
+    path extraction from the encoded form — the scan stays single-pass at
+    100 TB.
+
+    Oracle extracts the same path with DuckDB's JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.select(F.floor(k / 10).cast("long").alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
+        .orderBy("k_bucket")
+    )

@@ -225,3 +225,51 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("d_sha256"),
         F.length(F.md5("text")).alias("md5_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value / NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 0)
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
+           round(sum(coalesce(value / NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 0), 0)), 2)
+             AS sum_safe_div,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="F7,F8 (error-safe arithmetic: try_divide/try_cast under ANSI mode)",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: under ANSI SQL mode (Spark 4 default)
+    a division by zero or bad cast THROWS and kills the job at row
+    3-billion-of-100-TB; try_divide / try_cast return NULL instead — the
+    production posture for dirty data. The oracle encodes the same
+    semantics with NULLIF guards and DuckDB TRY_CAST.
+
+    All JVM codegen expressions — no Python, no exception handling in the
+    hot loop (the try_* forms compile to null-checks, not try/catch)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    safe_div = F.try_divide("value", k % 7)
+    return (
+        ev.select(
+            "event_type",
+            safe_div.alias("sd"),
+            F.col("event_type").try_cast("double").alias("tc"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("sd").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_div"),
+            F.round(F.sum(F.coalesce("sd", F.lit(0.0))), 2).alias("sum_safe_div"),
+            F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_uncastable"),
+        )
+        .orderBy("event_type")
+    )

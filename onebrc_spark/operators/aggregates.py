@@ -463,3 +463,59 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("bin_avg"))
         .orderBy("bin_lo")
     )
+
+
+@query(
+    "agg_partial_reaggregation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n, round(sum(value), 4) AS sum_v,
+             min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(date_trunc('week', day) AS DATE) AS week,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(sum_v), 4) AS sum_v,
+           round(min(min_v), 4) AS min_v,
+           round(max(max_v), 4) AS max_v
+    FROM daily GROUP BY 1, 2 ORDER BY event_type, week
+    """,
+    survey_ref="A1-A7 (algebraic partial re-aggregation: daily rollup -> weekly)",
+)
+def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregate pre-aggregated partials: maintain a daily rollup table
+    and derive the weekly view from the PARTIALS, never re-scanning raw
+    events — sum of sums, sum of counts, min of mins, max of maxes; avg is
+    recomposed DOWNSTREAM as sum_v/n (never avg-of-avgs, wrong under
+    unequal day sizes, and never a stored rounded ratio — sum/count of
+    grid-rounded partials lands on exact round-half boundaries, e.g.
+    2409.18/48 = 50.19125, which engines then tie-break differently). This algebraic-merge property is what makes hierarchical
+    rollup tables (hour→day→week→month) correct and is the manual twin of
+    Spark's own partial/final aggregation split.
+
+    Scale: the weekly query touches day-cardinality rows, not raw events —
+    at 100 TB the rollup is the only thing that makes dashboard-latency
+    aggregation possible. The oracle computes the same two-level plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return (
+        daily.groupBy(
+            "event_type", F.date_trunc("week", "day").cast("date").alias("week")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+            F.round(F.min("min_v"), 4).alias("min_v"),
+            F.round(F.max("max_v"), 4).alias("max_v"),
+        )
+        .orderBy("event_type", "week")
+    )

@@ -127,3 +127,56 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         F.round("zscore", 4).alias("zscore"),
     ).orderBy("user_id", "event_id")
+
+
+_CHUNK = 10  # words per chunk
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % 10 = 0
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_idx,
+             least({_CHUNK}, len(ws) - i * {_CHUNK}) AS n_words,
+             ws[i * {_CHUNK} + 1] AS first_word
+      FROM words, unnest(range(CAST(ceil(len(ws) / {_CHUNK}.0) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, CAST(n_words AS INT) AS n_words, first_word
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    survey_ref="U4 (Python UDTF: one-to-many table function via LATERAL)",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, U4 — completes the U1-U3 UDF
+    surface): split each document into fixed-size word chunks, one OUTPUT
+    ROW per chunk via LATERAL — the tokenize-and-shard step expressed as a
+    user table function. Python UDTFs are row-at-a-time (the slow path,
+    like all of udfs.py, kept to a doc_id%10 slice to bound cost); the
+    JVM formulation of this exact transform is curation.ml_sequence_packing
+    (posexplode over slice), which is what the 100 TB path uses.
+
+    Oracle reproduces the chunk arithmetic with unnest(range(...))."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, chunk_idx: int, n_words: int, first_word: string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            words = text.split(" ")
+            for i in range(0, (len(words) + _CHUNK - 1) // _CHUNK):
+                chunk = words[i * _CHUNK : (i + 1) * _CHUNK]
+                yield doc_id, i, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_words, c.first_word
+        FROM _udtf_docs d, LATERAL chunk_doc(d.doc_id, d.text) c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )

@@ -18,6 +18,10 @@ Registration rules (SURVEY §7.4 definition-of-done):
     sum(int) yields HUGEINT, which pandas renders float64 and the driver's
     value hash then diverges from Spark's bigint (tests/compare.py layer 2
     reproduces this class locally);
+  - never emit round(sum(x)/count, d)-style RATIO columns over grid-rounded
+    inputs — exact rationals land on round-half boundaries (2409.18/48 =
+    50.19125) and parallel summation order then tie-breaks differently per
+    run/engine; emit the numerator and denominator instead;
   - oracle=None marks a genuinely non-SQL-expressible op (driver then runs a
     rows-only check).
 """
@@ -157,6 +161,10 @@ _PRIORITY = [
     "sql_tpch_q18_shape",
     "storage_orc_roundtrip",
     "storage_zorder_layout",
+    "fn_variant_json",
+    "fn_try_arithmetic",
+    "udtf_chunk_documents",
+    "agg_partial_reaggregation",
 ]
 
 
