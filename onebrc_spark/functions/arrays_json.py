@@ -191,3 +191,48 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "fn_map_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           round(sum(value), 4) AS sum_v
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="F9 (map type: map_from_entries -> map_filter/transform_values -> explode)",
+)
+def fn_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per event, build a map from entry structs
+    (map_from_entries), transform its values (transform_values — a
+    higher-order map lambda), then explode the map back to rows and
+    aggregate. Proves the map column type + its higher-order functions
+    compose without leaving the JVM; the oracle never builds the map,
+    pinning that the round-trip is semantically invisible."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("k").alias("key"), k.cast("double").alias("value")),
+            F.struct(F.lit("v").alias("key"), F.col("value").alias("value")),
+        )
+    )
+    # transform_values: double every value, then halve at read — identity
+    # overall, but exercises the map lambda machinery.
+    doubled = F.transform_values(m, lambda _, v: v * 2.0)
+    exploded = ev.select("event_type", F.explode(doubled).alias("mk", "mv"))
+    return (
+        exploded.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n"),
+            F.sum(F.when(F.col("mk") == "k", F.col("mv") / 2.0).otherwise(0.0))
+            .cast("long")
+            .alias("sum_k"),
+            F.round(
+                F.sum(F.when(F.col("mk") == "v", F.col("mv") / 2.0).otherwise(0.0)), 4
+            ).alias("sum_v"),
+        )
+        .orderBy("event_type")
+    )

@@ -519,3 +519,81 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS distinct_users
+      FROM events GROUP BY event_type
+    ), total AS (
+      SELECT 'ALL_MERGED' AS event_type, count(DISTINCT user_id) AS distinct_users
+      FROM events
+    )
+    SELECT * FROM per_type UNION ALL SELECT * FROM total ORDER BY event_type
+    """,
+    survey_ref="A8 (mergeable HLL sketches: per-group sketch -> union -> estimate)",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): build one sketch per event_type, UNION-merge the sketches,
+    estimate. The merge property — sketch(A ∪ B) = union(sketch(A),
+    sketch(B)) — is what count(DISTINCT) lacks and what makes hierarchical
+    rollups possible at 100 TB: partial sketches merge across
+    partitions/days/clusters with bounded error and fixed size.
+
+    The oracle can be EXACT count(DISTINCT): at this user cardinality
+    (≤ a few hundred per group) the lgK=12 HLL stays in sparse list mode,
+    whose estimate is exact by construction; the property test in
+    tests/test_properties.py covers the approximate regime."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("distinct_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL_MERGED").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("distinct_users"),
+    )
+    return est.unionAll(merged).orderBy("event_type")
+
+
+@query(
+    "agg_table_fingerprint",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST('0x' || substring(
+             md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 CAST(l_quantity AS BIGINT) || '|' || l_returnflag),
+             1, 8) AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM lineitem
+    """,
+    survey_ref="F5,A4 (order-independent table fingerprint for replica verification)",
+)
+def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: SUM of a per-row content hash —
+    equal iff two replicas hold the same multiset of rows, regardless of
+    row order, partitioning, or engine. This is how a 100 TB migration
+    (or this repo vs the reference engine) verifies a copy without sorting
+    or shuffling anything: one narrow scan, one scalar out, commutative-
+    associative combine.
+
+    The hash is the portable md5-prefix-as-bigint used across the repo
+    (dedup.py), so DuckDB reproduces it bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("long").cast("string"),
+        F.col("l_returnflag"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("long").alias("fingerprint"),
+    )

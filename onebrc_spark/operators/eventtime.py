@@ -337,3 +337,43 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_avg", ignorenulls=True).over(locf).alias("value_filled"),
         F.col("day_avg").isNull().cast("int").alias("is_gap"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "evt_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY event_type, next_type
+    """,
+    survey_ref="W2,A6 (behavioral transition matrix: per-user lead + count)",
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-next-event transition matrix per user (the Markov-chain
+    census behind session flow analysis): one lead() window over
+    (user, time) then a tiny aggregation. event_id breaks timestamp ties
+    deterministically in both engines.
+
+    Scale: one shuffle on user_id for the window; the matrix itself is
+    |types|² — dim-sized. No self-join (the naive formulation) — the
+    window form touches each event once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )

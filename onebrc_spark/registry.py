@@ -165,6 +165,10 @@ _PRIORITY = [
     "fn_try_arithmetic",
     "udtf_chunk_documents",
     "agg_partial_reaggregation",
+    "agg_hll_sketch_merge",
+    "agg_table_fingerprint",
+    "fn_map_roundtrip",
+    "evt_transition_matrix",
 ]
 
 

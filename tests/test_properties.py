@@ -259,3 +259,25 @@ def test_approx_percentile_within_tolerance(spark, duck):
         ).collect()[0]["p"]
         below = li.filter(F.col("l_extendedprice") <= approx).count()
         assert abs(below / n - q) <= 0.01, (q, approx, below / n)
+
+
+def test_hll_union_equals_sketch_of_union(spark):
+    """The merge property in the APPROXIMATE regime (cardinality >> sparse
+    threshold): union of per-partition sketches must estimate the same as
+    one global sketch — that identity is what makes HLL rollups correct —
+    and both within 3*1.04/sqrt(2^12) of the true distinct count."""
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 50_000).alias("v"), (F.col("id") % 8).alias("part")
+    )
+    per_part = df.groupBy("part").agg(F.hll_sketch_agg("v").alias("sk"))
+    merged = per_part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).collect()[0]["est"]
+    true = 50_000
+    rse = 1.04 / (2**12) ** 0.5
+    assert abs(merged - true) <= 3 * rse * true, (merged, true)
+    assert abs(direct - true) <= 3 * rse * true, (direct, true)
