@@ -597,3 +597,91 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("long").alias("fingerprint"),
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ntile(10) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+    survey_ref="A10,W1 (equi-depth histogram: ntile deciles with total tiebreak)",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram via ntile deciles — the
+    statistics a cost-based optimizer keeps per column, and the dual of
+    the equi-WIDTH agg_histogram. The ORDER BY carries a full tiebreak
+    (price, orderkey, linenumber): ntile splits ties arbitrarily without
+    it, making bucket edges engine-dependent.
+
+    Scale: a global ntile is a total sort — acceptable for stats jobs; the
+    streaming-friendly form is approx_percentile cut points + a narrow
+    bucketize pass (no global sort), same output contract."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_rank_correlation",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(rq, rp), 4) AS spearman
+    FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_ref="A10,W1 (Spearman rank correlation: rank windows + Pearson corr)",
+)
+def agg_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group: rank both measures within the
+    group (rank() gives ties identical ranks in both engines — no
+    tiebreak needed, unlike ntile), then Pearson corr of the ranks.
+    Monotonic-association stats are the outlier-robust complement to
+    agg_corr_covar's Pearson on raw values.
+
+    Scale: two windows + corr over the SAME partition key — one shuffle
+    total; corr itself is a decomposable moment aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return (
+        li.select(
+            "l_returnflag",
+            F.rank().over(wq).alias("rq"),
+            F.rank().over(wp).alias("rp"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("rq", "rp"), 4).alias("spearman"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -169,6 +169,8 @@ _PRIORITY = [
     "agg_table_fingerprint",
     "fn_map_roundtrip",
     "evt_transition_matrix",
+    "agg_equidepth_histogram",
+    "agg_rank_correlation",
 ]
 
 

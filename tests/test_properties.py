@@ -281,3 +281,47 @@ def test_hll_union_equals_sketch_of_union(spark):
     rse = 1.04 / (2**12) ** 0.5
     assert abs(merged - true) <= 3 * rse * true, (merged, true)
     assert abs(direct - true) <= 3 * rse * true, (direct, true)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must agree with a driver-side union-find on
+    arbitrary small graphs (chains, cliques, self-loops, duplicates)."""
+    from onebrc_spark.operators.clustering import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical label = min node id in component
+    label = {}
+    for n in list(parent):
+        root = find(n)
+        label.setdefault(root, root)
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, max_iters=50).collect()
+    }
+    assert got == expected
