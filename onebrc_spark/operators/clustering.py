@@ -62,6 +62,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    prev_sum = cur.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             bidir.join(
@@ -80,15 +81,14 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            nxt.select("id", F.col("label").alias("new_label"))
-            .join(cur, "id")
-            .filter(F.col("new_label") < F.col("label"))
-            .count()
-        )
+        # Labels only ever decrease, so sum(label) is a strictly monotone
+        # progress measure: unchanged sum == fixpoint. One scalar aggregate
+        # per round instead of a join + filter + count convergence probe.
+        cur_sum = nxt.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         cur = nxt
-        if changed == 0:
+        if cur_sum == prev_sum:
             return cur.select(F.col("id"), F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iters} rounds "
         "(pathological chain graph — use large-star/small-star)"
