@@ -273,3 +273,52 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT 'https://data.example.org/' || event_type || '/ingest?k=' ||
+             CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) ||
+             '&u=' || CAST(user_id AS VARCHAR) AS url
+      FROM events
+    )
+    SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           CAST(regexp_extract(url, 'k=([0-9]+)', 1) AS INT) AS k_param,
+           count(*) AS n
+    FROM urls GROUP BY host, path, k_param ORDER BY path, k_param
+    """,
+    survey_ref="F5 (URL decomposition: parse_url host/path/query-param)",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (HOST / PATH / QUERY:key) — the
+    first transform of every web-crawl curation pipeline (domain
+    reputation, path-based routing, tracking-param stripping). URLs are
+    built deterministically from events so the oracle — which decomposes
+    with regexes, pinning parse_url's semantics rather than assuming
+    DuckDB had the same builtin — sees identical input.
+
+    Narrow per-row JVM expressions; the aggregate is a wordcount shape on
+    (host, path, k)."""
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://data.example.org/"),
+        F.col("event_type"),
+        F.lit("/ingest?k="),
+        F.get_json_object("props", "$.k").cast("int").cast("string"),
+        F.lit("&u="),
+        F.col("user_id").cast("string"),
+    )
+    u = ev.select(url.alias("url"))
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("k")).cast("int").alias("k_param"),
+        )
+        .groupBy("host", "path", "k_param")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("path", "k_param")
+    )

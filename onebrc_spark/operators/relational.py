@@ -136,3 +136,84 @@ def project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "net")
     )
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_negative_price' AS constraint_name,
+           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice < 0) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+           )) AS BIGINT)
+    ORDER BY constraint_name
+    """,
+    survey_ref="P6,J4,A6 (data-quality gate: range/null/FK/PK constraint audit)",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one row per declared constraint with its
+    violation count — range checks, null checks, FK orphans (anti-join),
+    PK uniqueness — the audit a pipeline runs before publishing a corpus
+    snapshot (cdc.py's diff is the content gate; this is the schema gate).
+
+    Scale: range/null checks are narrow scan aggregates and share ONE pass
+    per table (conditional sums, not N scans); the FK orphan check is a
+    LEFT ANTI join that broadcasts the key side when dim-sized; PK
+    uniqueness is a keyed count. All violation counts, not violating rows —
+    the report stays scalar no matter how dirty the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    li_audit = li.agg(
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("lineitem_negative_price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("lineitem_discount_range"),
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("n").alias("lineitem_orphan_orderkey"))
+    )
+    o_audit = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_null_custkey"),
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_duplicate_pk"))
+    )
+    wide = li_audit.crossJoin(orphans).crossJoin(o_audit).crossJoin(dup_pk)
+    stacked = wide.selectExpr(
+        "stack(5, "
+        "'lineitem_negative_price', lineitem_negative_price, "
+        "'lineitem_discount_range', lineitem_discount_range, "
+        "'lineitem_orphan_orderkey', lineitem_orphan_orderkey, "
+        "'orders_null_custkey', orders_null_custkey, "
+        "'orders_duplicate_pk', orders_duplicate_pk"
+        ") AS (constraint_name, n_violations)"
+    )
+    return stacked.orderBy("constraint_name")

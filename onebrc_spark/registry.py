@@ -171,6 +171,8 @@ _PRIORITY = [
     "evt_transition_matrix",
     "agg_equidepth_histogram",
     "agg_rank_correlation",
+    "dq_constraint_audit",
+    "fn_url_parse",
 ]
 
 
