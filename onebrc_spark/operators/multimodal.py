@@ -318,3 +318,98 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+_BYTESTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_spaces", T.LongType()),
+        T.StructField("n_newlines", T.LongType()),
+    ]
+)
+
+
+def byte_stats_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow byte-scan stage: operates on pyarrow RecordBatches
+    directly — no pandas conversion at all, one step lower than mapInPandas.
+
+    The kernel counts target bytes (0x20 space, 0x0A newline) per payload by
+    scanning the Arrow binary buffer with numpy: one vectorized pass over
+    the raw data buffer plus an offsets-indexed cumsum — zero per-row Python.
+    This is the shape a real media pipeline uses for magic-number sniffing,
+    corruption scans, or entropy estimation where decoding is overkill.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def _per_row_byte_counts(arr: pa.Array, byte: int) -> "np.ndarray":
+        # BinaryArray layout: buffers = [validity, int32 offsets, data].
+        # Respect arr.offset (the batch may be a slice of a larger array).
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        cum = np.concatenate(([0], np.cumsum(data == byte, dtype=np.int64)))
+        return cum[off[1:]] - cum[off[:-1]]
+
+    def batches(it: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in it:
+            pay = b.column(b.schema.get_field_index("payload"))
+            off = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+                pay.offset : pay.offset + len(pay) + 1
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("media_type")),
+                    pa.array((off[1:] - off[:-1]).astype(np.int64), type=pa.int64()),
+                    pa.array(_per_row_byte_counts(pay, 0x20), type=pa.int64()),
+                    pa.array(_per_row_byte_counts(pay, 0x0A), type=pa.int64()),
+                ],
+                names=["media_type", "n_bytes", "n_spaces", "n_newlines"],
+            )
+
+    return media.select("media_type", "payload").mapInArrow(
+        batches, _BYTESTATS_SCHEMA
+    )
+
+
+@query(
+    "mm_byte_stats_arrow",
+    oracle="""
+    WITH p AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             octet_length(encode(text))
+               - octet_length(encode(replace(text, ' ', ''))) AS n_spaces,
+             octet_length(encode(text))
+               - octet_length(encode(replace(text, chr(10), ''))) AS n_newlines
+      FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_spaces) AS BIGINT) AS total_spaces,
+           CAST(sum(n_newlines) AS BIGINT) AS total_newlines
+    FROM p GROUP BY media_type ORDER BY media_type
+    """,
+    survey_ref="X5,U3 (mapInArrow zero-copy byte scan)",
+)
+def mm_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native byte scan end-to-end: media table → mapInArrow kernel
+    (numpy over the raw Arrow buffers, no pandas) → JVM aggregate. The
+    oracle recomputes space/newline byte counts via UTF-8 octet-length
+    deltas (both bytes are single-byte in UTF-8, so char-replace deltas
+    equal byte counts), pinning the buffer-offset arithmetic exactly."""
+    stats = byte_stats_arrow(spread(media_table(spark, sf_dir), spark))
+    return (
+        stats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_spaces").alias("total_spaces"),
+            F.sum("n_newlines").alias("total_newlines"),
+        )
+        .orderBy("media_type")
+    )

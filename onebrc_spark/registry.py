@@ -173,6 +173,7 @@ _PRIORITY = [
     "agg_rank_correlation",
     "dq_constraint_audit",
     "fn_url_parse",
+    "mm_byte_stats_arrow",
 ]
 
 

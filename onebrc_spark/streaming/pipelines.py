@@ -145,6 +145,54 @@ def run_to_completion(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stream_foreach_batch_upsert(events: DataFrame, target_dir: str) -> None:
+    """foreachBatch keyed upsert: streaming aggregation merged into a parquet
+    target per micro-batch — the pattern for sinks without native streaming
+    support (JDBC, key-value stores, plain parquet/ORC). In production the
+    merge body is one `MERGE INTO` on Delta/Iceberg; here it is expressed
+    with the same semantics as a keyed anti-join + union over parquet.
+
+    Exactly-once: foreachBatch is at-least-once, but the merge is keyed and
+    idempotent (same batch replayed → same target state), which upgrades the
+    pipeline to effectively-once; `epoch_id` is available for sinks that
+    dedup by transaction id instead. State note: outputMode("update") emits
+    only keys whose aggregate changed in the batch, so the merge touches
+    O(changed keys), not O(all keys)."""
+    totals = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            current = s.read.parquet(target_dir)
+            merged = current.join(
+                batch_df.select("event_type"), "event_type", "left_anti"
+            ).unionByName(batch_df)
+        except AnalysisException:  # first batch: target doesn't exist yet
+            merged = batch_df
+        # Materialize BEFORE overwriting the path we just read from —
+        # otherwise the lazy plan would scan a target it is deleting.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", target_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_enrich_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a batch dimension
     (the feature-lookup / metadata-tagging step of an ingest pipeline). The

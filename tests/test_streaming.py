@@ -136,3 +136,39 @@ def test_stream_stream_interval_join_attributes_clicks(spark):
         & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert n_stream == n_batch
+
+
+def test_stream_foreach_batch_upsert_matches_batch(spark, tmp_path):
+    from onebrc_spark.streaming.pipelines import stream_foreach_batch_upsert
+
+    target = str(tmp_path / "evt_totals")
+    stream_foreach_batch_upsert(read_events_stream(spark, SMOKE_SF_DIR), target)
+    got = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in (
+            load_table(spark, SMOKE_SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+    # Idempotency: re-running the whole pipeline against the same target
+    # (fresh checkpoint) must converge to the same state, not double-count.
+    import shutil
+
+    shutil.rmtree(target + "_ckpt")
+    stream_foreach_batch_upsert(read_events_stream(spark, SMOKE_SF_DIR), target)
+    again = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == want
