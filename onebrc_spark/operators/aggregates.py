@@ -216,16 +216,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL++ sketch value is engine-specific; driver rows-only check
+    # The HLL++ estimate itself is engine-specific, so the oracle pins what
+    # IS portable: the exact distinct count, and that Spark's estimate lands
+    # within 5× the requested 1% relative error (TRUE on the oracle side by
+    # construction). A broken sketch (or a silent fall-through to count(*))
+    # flips within_tol to false and fails the hash — a real check, not
+    # rows-only.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     survey_ref="A8",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the scale path for 100 TB distinct
-    counts: fixed-size sketch per group instead of a distinct shuffle."""
+    counts: fixed-size sketch per group instead of a distinct shuffle.
+    Verified against the exact count with a 5% tolerance flag (estimate is
+    requested at 1% standard error)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
 
