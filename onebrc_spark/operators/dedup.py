@@ -95,28 +95,36 @@ def word_3grams(text_col: Column) -> Column:
     "dedup_exact",
     oracle="""
     WITH hashed AS (
-      SELECT doc_id, md5(text) AS digest FROM documents
-    ), groups AS (
-      SELECT digest, min(doc_id) AS keeper, count(*) AS n_copies
-      FROM hashed GROUP BY digest
+      SELECT doc_id, source, md5(text) AS digest FROM documents
     )
-    SELECT keeper, n_copies FROM groups WHERE n_copies > 1
-    ORDER BY keeper
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_dup_rows,
+           min(digest) AS min_digest
+    FROM hashed GROUP BY source ORDER BY source
     """,
     survey_ref="X1",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content digest: groups of byte-identical documents,
-    keeping the smallest doc_id. At 100 TB the shuffle carries only
-    (16-byte digest, doc_id) pairs — the text never moves."""
+    """Exact-dedup audit via content digest: per source, total vs distinct
+    document digests (the dup-rate report a curation run publishes).
+    `min_digest` pins the actual md5 values so the hash check verifies the
+    digest pipeline even at SFs where the corpus has zero exact duplicates
+    (sf0.01 has none; sf0.1 has 8 dup groups — returning only dup groups
+    made this green-but-vacuous at driver scale). At 100 TB the shuffle
+    carries only (16-byte digest, source) pairs — the text never moves."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.md5("text").alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-        .select("keeper", "n_copies")
-        .orderBy("keeper")
+        d.select("doc_id", "source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_dup_rows"),
+            F.min("digest").alias("min_digest"),
+        )
+        .orderBy("source")
     )
 
 

@@ -26,8 +26,8 @@ from onebrc_spark.sources.catalog import register_views
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '2024-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
     GROUP BY l_orderkey, orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 20
@@ -45,8 +45,8 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '2024-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         GROUP BY l_orderkey, orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 20
