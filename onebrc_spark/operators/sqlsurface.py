@@ -392,3 +392,164 @@ def sql_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+_TPCH_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "sql_tpch_q4_shape",
+    oracle=_TPCH_Q4_SQL,
+    survey_ref="J4,A6 (TPC-H Q4 shape: EXISTS -> left-semi over correlated interval)",
+)
+def sql_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) shape: count orders per priority
+    that have at least one late-shipping line (reduced schema has no
+    l_commitdate/l_receiptdate, so 'late' = shipped >90 days after the
+    order date — the same correlated-EXISTS-with-interval shape).
+
+    Catalyst decorrelates the EXISTS into a LEFT SEMI join on l_orderkey
+    with the interval comparison as the join condition residual, so the
+    lineitem side is touched once — no per-order subquery execution. At
+    100 TB both sides shuffle on orderkey; the date window on orders prunes
+    first (partition pruning when orders is date-partitioned)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q14_SQL = """
+    SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query(
+    "sql_tpch_q14_shape",
+    oracle=_TPCH_Q14_SQL,
+    survey_ref="J1,F8,A6 (TPC-H Q14 shape: conditional aggregate over dim join)",
+)
+def sql_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) shape: one month of lineitem joined to
+    part, conditional revenue split by p_type prefix. Emits numerator and
+    denominator rather than the percentage — the ratio-column rule: a
+    rounded quotient of two parallel sums can flip its last digit with
+    summation order, while the two rounded sums are stable.
+
+    Plan: the date filter pushes to the lineitem scan; part is the
+    broadcast side; single-row final aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q14_SQL)
+
+
+_TPCH_Q19_SQL = """
+    SELECT count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query(
+    "sql_tpch_q19_shape",
+    oracle=_TPCH_Q19_SQL,
+    survey_ref="P6,J1 (TPC-H Q19 shape: disjunctive predicates over a join)",
+)
+def sql_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) shape: an OR-of-ANDs predicate mixing
+    columns from both join sides (reduced schema: brand/size/quantity
+    bands). The optimizer lesson is predicate *splitting*: Catalyst
+    factors the single-side conjuncts it can (`p_brand IN (...)` and the
+    l_quantity hull are implied filters pushed to each scan) while the full
+    disjunction stays as the join residual — so most rows die at the scans
+    even though the predicate spans the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q19_SQL)
+
+
+_TPCH_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "sql_tpch_q21_shape",
+    oracle=_TPCH_Q21_SQL,
+    survey_ref="J4 (TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact)",
+)
+def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape: for finished
+    multi-supplier orders, find the supplier whose line shipped late while
+    every co-supplier's line was on time — the canonical EXISTS + NOT
+    EXISTS pair against the same fact table.
+
+    Catalyst turns the pair into a LEFT SEMI then a LEFT ANTI join, both
+    keyed on l_orderkey — three passes over lineitem total, all
+    shuffle-partitioned the same way so AQE can reuse the exchange. The
+    `<>` supplier condition rides as the join residual."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q21_SQL)
+
+
+_TPCH_Q22_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "sql_tpch_q22_shape",
+    oracle=_TPCH_Q22_SQL,
+    survey_ref="J4,A5 (TPC-H Q22 shape: scalar subquery + anti-join)",
+)
+def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) shape: wealthy-but-dormant
+    customers — balance above the positive-balance average (uncorrelated
+    scalar subquery → broadcast one-row value) with no order in the final
+    two years (NOT EXISTS → left anti join on o_custkey with the date
+    filter pushed below the join). Reduced schema groups by market segment
+    instead of phone country code."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q22_SQL)

@@ -174,6 +174,11 @@ _PRIORITY = [
     "dq_constraint_audit",
     "fn_url_parse",
     "mm_byte_stats_arrow",
+    "sql_tpch_q4_shape",
+    "sql_tpch_q14_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q22_shape",
 ]
 
 
