@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.mlprep",
     "onebrc_spark.operators.curation",
     "onebrc_spark.operators.cdc",
+    "onebrc_spark.sources.pysource",
 ]
 
 
@@ -179,6 +180,7 @@ _PRIORITY = [
     "sql_tpch_q19_shape",
     "sql_tpch_q21_shape",
     "sql_tpch_q22_shape",
+    "src_python_datasource",
 ]
 
 

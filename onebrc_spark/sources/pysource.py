@@ -1,0 +1,164 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`) — SURVEY §2.1.
+
+The reference's sources are file readers plus a synthetic generator
+(`rust_1brc/src/bin/generate.rs:10-39`); Spark's idiomatic extension point
+for "a source that isn't a file format" is the Python Data Source API:
+implement `DataSource` + `DataSourceReader`, register once per session, and
+`spark.read.format("onebrc_synth")` plans it like any other scan — with
+genuine input partitions, so executors generate their slices in parallel
+and the driver never materializes a row.
+
+The generation math is the content-addressed md5 arithmetic of
+`generator.generate_measurements_ca` (pure function of the row id), so the
+source's output is bit-identical to both the JVM formulation and the DuckDB
+oracle regeneration — one relation, three independent engines.
+
+Scale notes: this is the API-surface demo; per-row Python makes it the slow
+path by design (the 100 TB generator is the JVM-side
+`generate_measurements_ca`). What IS scale-real here: `partitions()` drives
+genuine parallelism (one task per slice, no skew — equal ranges), and the
+reader streams tuples without buffering the partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from onebrc_spark.registry import query
+from onebrc_spark.sources.generator import (
+    MEAN_HI,
+    MEAN_LO,
+    NUM_STATIONS,
+    measurements_oracle_sql,
+)
+
+_SRC_ROWS = 20_000
+_SRC_SEED = 7
+_SRC_PARTS = 8
+
+
+def _u(tag: str, seed: int, i: int) -> float:
+    """Python twin of generator._unit_uniform: md5(tag:seed:id) → (0,1).
+
+    int(hex, 16) + 0.5 and the division are exact/correctly-rounded double
+    ops, so this is bit-identical to the JVM and DuckDB formulations.
+    """
+    h = int(hashlib.md5(f"{tag}:{seed}:{i}".encode()).hexdigest()[:8], 16)
+    return (h + 0.5) / 4294967296.0
+
+
+def _round1(x: float) -> float:
+    """Spark's round(x, 1): BigDecimal.valueOf(x).setScale(1, HALF_UP).
+
+    BigDecimal.valueOf uses Double.toString (shortest round-trip repr) —
+    exactly Python's repr(float) — so Decimal(repr(x)) + ROUND_HALF_UP is
+    bit-identical; Python's built-in round() (banker's) is NOT.
+    """
+    return float(Decimal(repr(x)).quantize(Decimal("0.1"), rounding=ROUND_HALF_UP))
+
+
+def _station(i: int) -> tuple[str, float, float]:
+    """(name, mean, sigma) for station i — twin of generator.station_table."""
+    mean = _round1(MEAN_LO + ((MEAN_HI - MEAN_LO) * i) / (NUM_STATIONS - 1))
+    u1 = _u("sigma_u1", _SRC_SEED, i)
+    u2 = _u("sigma_u2", _SRC_SEED, i)
+    z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+    sigma = max(0.1, 10.0 + 2.5 * z)
+    return (f"station_{i:03d}", mean, sigma)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class OnebrcSynthDataSource(DataSource):
+    """`spark.read.format("onebrc_synth").option("n", ...).load()`.
+
+    Options: n (rows), seed, partitions.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "onebrc_synth"
+
+    def schema(self) -> str:
+        return "station string, measure double"
+
+    def reader(self, schema) -> "OnebrcSynthReader":
+        return OnebrcSynthReader(self.options)
+
+
+class OnebrcSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", _SRC_ROWS))
+        self.seed = int(options.get("seed", _SRC_SEED))
+        self.parts = int(options.get("partitions", _SRC_PARTS))
+
+    def partitions(self):
+        step = -(-self.n // self.parts)
+        return [
+            _Slice(s, min(s + step, self.n)) for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Slice):
+        stations = [_station(i) for i in range(NUM_STATIONS)]
+        for i in range(partition.start, partition.end):
+            pick = int(_u("pick", self.seed, i) * NUM_STATIONS)
+            u1 = _u("temp_u1", self.seed, i)
+            u2 = _u("temp_u2", self.seed, i)
+            z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            name, mean, sigma = stations[pick]
+            yield (name, _round1(mean + z * sigma) + 0.0)
+
+
+def read_synth(spark: SparkSession, n: int = _SRC_ROWS, seed: int = _SRC_SEED) -> DataFrame:
+    spark.dataSource.register(OnebrcSynthDataSource)
+    return (
+        spark.read.format("onebrc_synth")
+        .option("n", n)
+        .option("seed", seed)
+        .load()
+    )
+
+
+@query(
+    "src_python_datasource",
+    # The oracle regenerates the identical relation with the shared
+    # content-addressed SQL and aggregates it the same way. sum over
+    # decidegrees (round(measure*10) as int) keeps the sum integer —
+    # immune to float summation order.
+    oracle=f"""
+    SELECT station,
+           count(*) AS n,
+           min(measure) AS min_measure,
+           max(measure) AS max_measure,
+           CAST(sum(CAST(round(measure * 10) AS BIGINT)) AS BIGINT) AS sum_dm
+    FROM ({measurements_oracle_sql(_SRC_ROWS, _SRC_SEED)})
+    GROUP BY station ORDER BY station
+    """,
+    survey_ref="S7 (custom Python Data Source, Spark 4 API)",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python data source and aggregate per station. The
+    hash check proves the full loop: Python-process generation → Arrow
+    transfer → JVM aggregate ≡ DuckDB's SQL regeneration of the same
+    content-addressed relation (sf_dir unused — the source IS the data)."""
+    df = read_synth(spark)
+    return (
+        df.groupBy("station")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("measure").alias("min_measure"),
+            F.max("measure").alias("max_measure"),
+            F.sum(F.round(F.col("measure") * 10).cast("long")).alias("sum_dm"),
+        )
+        .orderBy("station")
+    )
