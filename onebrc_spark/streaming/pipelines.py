@@ -236,3 +236,56 @@ def stream_stream_interval_join(
         F.unix_timestamp("view_ts").alias("view_epoch"),
         F.unix_timestamp("click_ts").alias("click_epoch"),
     )
+
+
+def stream_user_stats_tws(events: DataFrame) -> DataFrame:
+    """ST6 on the Spark 4 transformWithStateInPandas API: per-user running
+    (count, max) via a StatefulProcessor with typed ValueState — the
+    successor to applyInPandasWithState (stream_running_user_stats is the
+    legacy-API twin). The handle exposes composable state primitives
+    (value/list/map state, timers, TTL) instead of one opaque tuple; state
+    still lives in the per-key state store, so scale-out is by key exactly
+    as before.
+
+    Environment gate: the TWS state-server protocol needs `google.protobuf`,
+    which is not in this container (and installs are off-limits), so the
+    smoke test skips when the import fails — the operator itself is the
+    production formulation and runs unchanged where protobuf exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store provider (its
+    # column-family state layout isn't supported by the default HDFS-backed
+    # store); RocksDB is also what you'd run in production for state this
+    # shape — changelog-checkpointed, spill-to-disk, O(state) not O(heap).
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n LONG, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, mx = self._stats.get() if self._stats.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

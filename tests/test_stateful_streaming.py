@@ -4,6 +4,8 @@ consistent with batch counts)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from onebrc_spark.sources.catalog import load_table
@@ -30,3 +32,38 @@ def test_stateful_running_user_stats(spark):
     }
     # single finite micro-batch → final state equals batch aggregate
     assert rows == want
+
+
+def test_transform_with_state_running_stats(spark):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf (absent here)",
+    )
+    from onebrc_spark.sources.catalog import load_table
+    from onebrc_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_completion,
+        stream_user_stats_tws,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    got = run_to_completion(
+        stream_user_stats_tws(read_events_stream(spark, SMOKE_SF_DIR)),
+        "t_tws_stats",
+        spark,
+        mode="update",
+    )
+    # Update mode emits one row per (key, batch); the LAST emission per key
+    # is the final running state — compare that against the batch aggregate.
+    import pyspark.sql.functions as F
+
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+    )
+    want = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
