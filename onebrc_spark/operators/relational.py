@@ -217,3 +217,61 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (constraint_name, n_violations)"
     )
     return stacked.orderBy("constraint_name")
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    """,
+    survey_ref="P6,A3-A6 (observe()/Observation: in-flight pipeline metrics)",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` + Observation: data-quality counters collected as a
+    side effect of a pass the pipeline was already making — the metrics
+    piggyback the action via AggregatingAccumulators, so there is NO second
+    scan (contrast dq_constraint_audit, which is its own aggregate job).
+    This is how a 100 TB ingest job reports row counts / null rates to its
+    monitoring without doubling I/O. The observed values are re-emitted as
+    a single-row DataFrame so the driver can hash-check them against the
+    oracle's explicit aggregation."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("dq_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    # The "real work" action the metrics ride on (here: a count; in prod:
+    # the write). obs.get blocks until the action finishes.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_value"],
+                m["n_negative"],
+                m["min_value"],
+                m["max_value"],
+            )
+        ],
+        "n_rows long, n_null_value long, n_negative long, "
+        "min_value double, max_value double",
+    )

@@ -553,3 +553,40 @@ def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of phone country code."""
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q22_SQL)
+
+
+@query(
+    "sql_udf_declared",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(1.0 / (1.0 + exp(-(value / 100.0)))), 4) AS sum_sig,
+           round(sum(CASE WHEN value >= 0 THEN value ELSE 0.0 END), 4)
+             AS sum_clamped
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="F7,U1 (SQL UDF: CREATE FUNCTION ... RETURN, Spark 4)",
+)
+def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`): named scalar
+    functions declared in SQL and inlined by Catalyst at plan time — unlike
+    Python UDFs they stay JVM-side inside whole-stage codegen, so this is
+    the FAST path for reusable scalar logic (udfs.py's pandas sigmoid exists
+    to demo the Arrow path; this is what you'd deploy). The oracle inlines
+    the same expressions, which is exactly what Catalyst does."""
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION sigmoid_scaled(x DOUBLE)
+        RETURNS DOUBLE RETURN 1.0 / (1.0 + exp(-(x / 100.0)))
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION clamp_nonneg(x DOUBLE)
+        RETURNS DOUBLE RETURN CASE WHEN x >= 0 THEN x ELSE 0.0 END
+    """)
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(sigmoid_scaled(value)), 4) AS sum_sig,
+               round(sum(clamp_nonneg(value)), 4) AS sum_clamped
+        FROM events GROUP BY event_type ORDER BY event_type
+    """)

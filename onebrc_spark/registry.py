@@ -181,6 +181,8 @@ _PRIORITY = [
     "sql_tpch_q21_shape",
     "sql_tpch_q22_shape",
     "src_python_datasource",
+    "sql_udf_declared",
+    "dq_observe_metrics",
 ]
 
 
