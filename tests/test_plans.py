@@ -170,3 +170,50 @@ def test_q18_in_subquery_becomes_semi_join(spark):
 
     df = sql_tpch_q18_shape(spark, SMOKE_SF_DIR)
     assert "LeftSemi" in explain_str(df)
+
+
+def test_q19_disjunction_splits_to_both_scans(spark):
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q19_shape
+
+    df = sql_tpch_q19_shape(spark, SMOKE_SF_DIR)
+    filters = pushed_filters(df)
+    # Catalyst factors per-side hulls out of the OR-of-ANDs: the quantity
+    # bands reach the lineitem scan, the brand/size disjunction reaches the
+    # part scan — most rows die before the join.
+    assert any("l_quantity" in f for f in filters), filters
+    assert any("p_brand" in f for f in filters), filters
+    txt = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark):
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q21_shape
+
+    df = sql_tpch_q21_shape(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed joins (no
+    # per-order re-execution), top-20 fused into TakeOrderedAndProject.
+    assert "LeftSemi" in txt, txt
+    assert "LeftAnti" in txt, txt
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q4_shape
+
+    df = sql_tpch_q4_shape(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "LeftSemi" in txt, txt
+    # The date window reaches the orders scan.
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q22_scalar_subquery_and_anti_join(spark):
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q22_shape
+
+    df = sql_tpch_q22_shape(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "LeftAnti" in txt, txt
+    assert "Subquery" in txt or "scalar-subquery" in txt, txt
