@@ -28,7 +28,12 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from onebrc_spark.registry import query
 from onebrc_spark.sources.generator import (
@@ -161,4 +166,73 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("measure") * 10).cast("long")).alias("sum_dm"),
         )
         .orderBy("station")
+    )
+
+
+class OnebrcSynthStreamReader(DataSourceStreamReader):
+    """Micro-batched streaming reader over the same content-addressed
+    relation: offsets are row ids, each trigger serves `rows_per_batch`
+    more rows, split into `partitions` genuine input partitions.
+
+    This is the full (not Simple) stream-reader contract — initialOffset /
+    latestOffset / partitions / read / commit — i.e. the same offset
+    protocol a Kafka source speaks, so checkpoint recovery and
+    exactly-once replay work: a batch is defined by its (start, end)
+    offsets and regenerating it is deterministic.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.max_rows = int(options.get("n", _SRC_ROWS))
+        self.seed = int(options.get("seed", _SRC_SEED))
+        self.parts = int(options.get("partitions", 4))
+        self._offset = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._offset = min(self._offset + self.rows_per_batch, self.max_rows)
+        return {"row": self._offset}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        step = max(1, -(-(hi - lo) // self.parts))
+        return [_Slice(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _Slice):
+        stations = [_station(i) for i in range(NUM_STATIONS)]
+        for i in range(partition.start, partition.end):
+            pick = int(_u("pick", self.seed, i) * NUM_STATIONS)
+            u1 = _u("temp_u1", self.seed, i)
+            u2 = _u("temp_u2", self.seed, i)
+            z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            name, mean, sigma = stations[pick]
+            yield (name, _round1(mean + z * sigma) + 0.0)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: batches are regenerable by offset
+
+
+def _streaming_source_with_reader():
+    class OnebrcSynthStreamSource(OnebrcSynthDataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "onebrc_synth_stream"
+
+        def streamReader(self, schema) -> OnebrcSynthStreamReader:
+            return OnebrcSynthStreamReader(self.options)
+
+    return OnebrcSynthStreamSource
+
+
+def read_synth_stream(
+    spark: SparkSession, n: int = 4000, rows_per_batch: int = 1000
+) -> DataFrame:
+    spark.dataSource.register(_streaming_source_with_reader())
+    return (
+        spark.readStream.format("onebrc_synth_stream")
+        .option("n", n)
+        .option("rows_per_batch", rows_per_batch)
+        .load()
     )
