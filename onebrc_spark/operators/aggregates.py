@@ -709,3 +709,47 @@ def agg_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_approx_percentile",
+    # Same tolerance-flag pattern as agg_approx_count_distinct: the sketch
+    # values are engine-specific, so the oracle pins the exact quantiles and
+    # asserts Spark's estimates land inside a rank-error band. accuracy=1000
+    # bounds rank error at 0.1%; the check allows 1% rank slack, converted
+    # to a value band via the exact p49/p51 (p89/p91) quantiles.
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.9), 4) AS p90_exact,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="A10 (approx_percentile vs exact, rank-error tolerance)",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style quantile sketch) — the 100 TB quantile
+    path: fixed-size mergeable sketch instead of a full sort. Verified, not
+    demoed: each estimate must land between the exact 1%-rank-neighbor
+    quantiles, computed in the same query via exact `percentile`."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_exact"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_est"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("p90_est"),
+        F.percentile("value", F.lit(0.49)).alias("p49"),
+        F.percentile("value", F.lit(0.51)).alias("p51"),
+        F.percentile("value", F.lit(0.89)).alias("p89"),
+        F.percentile("value", F.lit(0.91)).alias("p91"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        ((F.col("p50_est") >= F.col("p49")) & (F.col("p50_est") <= F.col("p51")))
+        .alias("p50_in_band"),
+        ((F.col("p90_est") >= F.col("p89")) & (F.col("p90_est") <= F.col("p91")))
+        .alias("p90_in_band"),
+    ).orderBy("event_type")

@@ -377,3 +377,109 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "evt_gap_fill_lerp",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(avg(value), 4) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), scaffold AS (
+      SELECT user_id, CAST(unnest(generate_series(d0::TIMESTAMP,
+                                                  d1::TIMESTAMP,
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), joined AS (
+      SELECT s.user_id, s.day, d.day_avg
+      FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+    ), nbr AS (
+      SELECT user_id, day, day_avg,
+             last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT user_id, day,
+           CASE WHEN day_avg IS NOT NULL THEN day_avg
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                       (CAST(date_diff('day', pd, day) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END AS value_filled,
+           CAST(day_avg IS NULL AS INT) AS is_gap
+    FROM nbr ORDER BY user_id, day
+    """,
+    survey_ref="ST1,W3,F9 (time-series gap fill: linear interpolation)",
+)
+def evt_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of evt_gap_fill_locf: gaps are filled by
+    the straight line between the nearest observed neighbors (LOCF answers
+    "what was the state", lerp answers "what was the level" — the choice
+    every feature-store densification makes). Two IGNORE NULLS window
+    passes (backward value+day, forward value+day) over the same user_id
+    partitioning as the scaffold join; edges degrade to nearest-neighbor.
+
+    The lerp arithmetic is written in the identical order on both sides
+    (pv + (nv-pv) * (k/m), doubles) and left UNROUNDED: every op is a
+    correctly-rounded scalar on deterministic inputs, so the bits agree
+    exactly — while rounding the quotient would hit half-way cases
+    (x.xxxx5) where Spark's string-BigDecimal HALF_UP and DuckDB's
+    binary-double round disagree (seen live: 46.94725 → .9473 vs .9472)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    nbr = joined.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    filled = (
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return nbr.select(
+        "user_id",
+        "day",
+        filled.alias("value_filled"),
+        F.col("day_avg").isNull().cast("int").alias("is_gap"),
+    ).orderBy("user_id", "day")

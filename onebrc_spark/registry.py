@@ -183,6 +183,8 @@ _PRIORITY = [
     "src_python_datasource",
     "sql_udf_declared",
     "dq_observe_metrics",
+    "agg_approx_percentile",
+    "evt_gap_fill_lerp",
 ]
 
 

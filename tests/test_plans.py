@@ -217,3 +217,36 @@ def test_q22_scalar_subquery_and_anti_join(spark):
     txt = explain_str(df)
     assert "LeftAnti" in txt, txt
     assert "Subquery" in txt or "scalar-subquery" in txt, txt
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """100 TB skew story, executed not narrated: a 90%-one-key join under
+    AQE must show skew-split sort-merge join in the FINAL (adaptive) plan.
+    Thresholds are lowered so the tiny fixture trips the same code path a
+    hot key trips at scale; operators/skew.py covers the complementary
+    case (skewed AGGREGATION) that AQE cannot rewrite."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+        )
+        right = spark.range(2_000).selectExpr("id AS k", "id * 2 AS w")
+        joined = left.join(right, "k").groupBy().count()
+        joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
