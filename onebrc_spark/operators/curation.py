@@ -431,3 +431,101 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@query(
+    "text_pii_redaction",
+    # Deterministic PII is planted identically on both sides (synthetic docs
+    # contain none), then detected and redacted with the same regexes — the
+    # check pins match counts AND the redacted byte totals.
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    ), scanned AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+             octet_length(encode(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g')))
+               AS redacted_len
+      FROM planted
+    )
+    SELECT source,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_phones) AS BIGINT) AS total_phones,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(redacted_len) AS BIGINT) AS total_redacted_bytes
+    FROM scanned GROUP BY source ORDER BY source
+    """,
+    survey_ref="F5,X4 (PII detection + redaction: regex scrub with audit counts)",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the compliance gate every training corpus passes before
+    tokenization: detect emails/phone numbers, replace with typed
+    placeholders, and publish per-source audit counts (match counts + final
+    byte sizes, so the replacement itself is verified, not just the scan).
+    Synthetic docs carry no PII, so deterministic addresses are planted on
+    doc_id % 7 == 0 rows — identically in the oracle — keeping the check
+    non-vacuous at every SF.
+
+    Scale: pure per-row JVM regex (codegen, no Python); the aggregate is a
+    narrow per-source rollup. At 100 TB this runs in the same pass as any
+    other per-row transform — zero extra shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scanned = planted.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.octet_length(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).cast("long").alias("redacted_len"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum("n_phones").cast("long").alias("total_phones"),
+            F.sum(
+                F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("redacted_len").cast("long").alias("total_redacted_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -185,6 +185,7 @@ _PRIORITY = [
     "dq_observe_metrics",
     "agg_approx_percentile",
     "evt_gap_fill_lerp",
+    "text_pii_redaction",
 ]
 
 
