@@ -753,3 +753,44 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p90_est") >= F.col("p89")) & (F.col("p90_est") <= F.col("p91")))
         .alias("p90_in_band"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_bitmap_distinct",
+    # Bitmap distinct is EXACT, so the oracle is a plain count(DISTINCT) —
+    # no tolerance flag needed (contrast the HLL/KLL sketches above).
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ref="A8 (bitmap-index exact distinct: bucketed bitmap_construct/or_agg)",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap indexes — the third point on the
+    distinct-count cost curve: count(DISTINCT) shuffles every (group, id)
+    pair; HLL shuffles a sketch but is approximate; bitmaps shuffle one
+    4 KB bitmap per (group, 32768-id bucket) and stay EXACT. The two-level
+    shape — bitmap_construct_agg per (group, bucket), then sum of
+    bitmap_count — is the decomposable partial/final form, so map-side
+    combine works and re-aggregation over saved bucket bitmaps is free
+    (same property as agg_partial_reaggregation). The id domain must be
+    integral — exactly the doc_id/user_id/vec_id case in every table here."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.col("user_id"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    bitmap = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type").orderBy("event_type")

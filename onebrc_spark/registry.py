@@ -186,6 +186,7 @@ _PRIORITY = [
     "agg_approx_percentile",
     "evt_gap_fill_lerp",
     "text_pii_redaction",
+    "agg_bitmap_distinct",
 ]
 
 
