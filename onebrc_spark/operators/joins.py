@@ -295,58 +295,126 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof",
+    # Events-to-events (purchase ← last view of the same user): both streams
+    # share the 2024 time range, so matches AND non-matches occur (~92% /
+    # ~8% at sf0.01). Round-1 anchored the probe on orders, whose 1995-2001
+    # dates all precede the events — every match NULL, a vacuous green.
     oracle="""
-    SELECT o.o_orderkey,
-           e.event_id AS last_event_id,
-           CAST(floor(epoch(o.o_orderdate)) - floor(epoch(e.ts)) AS BIGINT)
+    SELECT c.event_id AS purchase_id,
+           v.event_id AS last_view_id,
+           CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
              AS lag_seconds
-    FROM orders o
-    ASOF LEFT JOIN events e
-      ON e.user_id = o.o_custkey % 150 AND o.o_orderdate >= e.ts
-    ORDER BY o.o_orderkey
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id AND c.ts >= v.ts
+    ORDER BY purchase_id
     """,
     survey_ref="J7",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each order, the latest event (same user) at or before
-    the order date. Implemented as ONE union + window pass: tag both streams,
-    sort by (user, ts) within partitions, and carry the last-seen event id
-    forward with last_value(ignorenulls) — no cross join, no per-key probe.
+    """Backward as-of join (attribution shape): for each purchase, the
+    latest view by the same user at or before it. Implemented as ONE union
+    + window pass: tag both streams, sort by (user, ts) within partitions,
+    and carry the last-seen view id forward with last(ignorenulls) — no
+    cross join, no per-key probe. The oracle is DuckDB's native ASOF JOIN.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
-        F.col("event_id").alias("ev_id"),
-        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("event_id").alias("build_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
         F.lit(0).alias("is_probe"),
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 150).alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(None).cast("long").alias("ev_id"),
-        "o_orderkey",
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("build_id"),
+        F.col("event_id").alias("purchase_id"),
         F.lit(1).alias("is_probe"),
     )
-    # Events sort before probes at equal t (is_probe 0 < 1) so ties honor
-    # `e.ts <= o.o_orderdate`. ev_id breaks exact duplicates (latest wins,
+    # Views sort before probes at equal t (is_probe 0 < 1) so ties honor
+    # `v.ts <= c.ts`. build_id breaks exact duplicates (latest wins,
     # matching ASOF's single-match semantics deterministically).
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "is_probe", "ev_id")
+        .orderBy("t", "is_probe", "build_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tagged = ev.unionByName(o).withColumn(
-        "last_ev_id", F.last("ev_id", ignorenulls=True).over(w)
+    tagged = v.unionByName(c).withColumn(
+        "last_view_id", F.last("build_id", ignorenulls=True).over(w)
     ).withColumn(
-        "last_ev_t",
+        "last_view_t",
         F.last(F.when(F.col("is_probe") == 0, F.col("t")), ignorenulls=True).over(w),
     )
     return (
         tagged.filter(F.col("is_probe") == 1)
         .select(
-            "o_orderkey",
-            F.col("last_ev_id").alias("last_event_id"),
-            (F.unix_timestamp("t") - F.unix_timestamp("last_ev_t")).alias("lag_seconds"),
+            "purchase_id",
+            "last_view_id",
+            (F.unix_timestamp("t") - F.unix_timestamp("last_view_t")).alias(
+                "lag_seconds"
+            ),
         )
-        .orderBy("o_orderkey")
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           c.event_id AS next_purchase_id,
+           CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+             AS lead_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY view_id
+    """,
+    survey_ref="J7 (forward direction: next-match instead of last-match)",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (conversion shape): for each view, the NEXT
+    purchase by the same user at or after it — the direction axis J7
+    implementations expose (backward/forward/nearest). Same union-window
+    construction mirrored: probes sort before builds at equal t (so
+    `v.ts <= c.ts` ties match) and first(ignorenulls) over the FOLLOWING
+    frame carries the next purchase backward to each view."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("build_id"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(0).alias("is_probe"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("build_id"),
+        F.col("event_id").alias("view_id"),
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("is_probe"), "build_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    tagged = c.unionByName(v).withColumn(
+        "next_purchase_id", F.first("build_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "next_purchase_t",
+        F.first(F.when(F.col("is_probe") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter(F.col("is_probe") == 1)
+        .select(
+            "view_id",
+            "next_purchase_id",
+            (F.unix_timestamp("next_purchase_t") - F.unix_timestamp("t")).alias(
+                "lead_seconds"
+            ),
+        )
+        .orderBy("view_id")
     )

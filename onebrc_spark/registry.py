@@ -187,6 +187,7 @@ _PRIORITY = [
     "evt_gap_fill_lerp",
     "text_pii_redaction",
     "agg_bitmap_distinct",
+    "join_asof_forward",
 ]
 
 
