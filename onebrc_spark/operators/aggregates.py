@@ -547,15 +547,22 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_sketch_merge",
+    # Tolerance-flag pattern (same as agg_approx_count_distinct): the HLL
+    # estimate is dense-mode-approximate once cardinality outgrows the
+    # sparse list (seen live at sf0.1: 1480 vs exact 1500), so the oracle
+    # pins the exact count and a 5%-band flag rather than the estimate.
     oracle="""
     WITH per_type AS (
-      SELECT event_type, count(DISTINCT user_id) AS distinct_users
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
       FROM events GROUP BY event_type
     ), total AS (
-      SELECT 'ALL_MERGED' AS event_type, count(DISTINCT user_id) AS distinct_users
+      SELECT 'ALL_MERGED' AS event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
       FROM events
     )
-    SELECT * FROM per_type UNION ALL SELECT * FROM total ORDER BY event_type
+    SELECT event_type, exact_users, TRUE AS within_tol
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+    ORDER BY event_type
     """,
     survey_ref="A8 (mergeable HLL sketches: per-group sketch -> union -> estimate)",
 )
@@ -565,24 +572,44 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate. The merge property — sketch(A ∪ B) = union(sketch(A),
     sketch(B)) — is what count(DISTINCT) lacks and what makes hierarchical
     rollups possible at 100 TB: partial sketches merge across
-    partitions/days/clusters with bounded error and fixed size.
-
-    The oracle can be EXACT count(DISTINCT): at this user cardinality
-    (≤ a few hundred per group) the lgK=12 HLL stays in sparse list mode,
-    whose estimate is exact by construction; the property test in
-    tests/test_properties.py covers the approximate regime."""
+    partitions/days/clusters with bounded error and fixed size. Each
+    estimate (including the UNION-merged one) must land within 5% of the
+    exact distinct count computed in the same pass."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     est = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("distinct_users")
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("est"),
     )
-    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL_MERGED").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("distinct_users"),
+    merged = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        .select(
+            F.lit("ALL_MERGED").alias("event_type"),
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
     )
-    return est.unionAll(merged).orderBy("event_type")
+    return (
+        est.unionAll(merged)
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @query(

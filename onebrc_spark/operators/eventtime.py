@@ -283,7 +283,8 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             round(avg(value), 4) AS day_avg
+             (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+              / CAST(count(value) AS DOUBLE)) / 100.0 AS day_avg
       FROM events GROUP BY 1, 2
     ), span AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
@@ -318,9 +319,21 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # Exact-integer daily metric: value is a 2-dp grid, so cent sums are
+    # exact BIGINTs and the quotient is bit-identical across engines —
+    # round(avg(value), 4) hit a round-half boundary at sf0.1 (56.35625)
+    # where the engines' parallel sums tie-broke differently.
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    ).agg(
+        (
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.count("value").cast("double")
+            )
+            / 100.0
+        ).alias("day_avg")
+    )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -384,7 +397,8 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             round(avg(value), 4) AS day_avg
+             (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+              / CAST(count(value) AS DOUBLE)) / 100.0 AS day_avg
       FROM events GROUP BY 1, 2
     ), span AS (
       SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
@@ -442,9 +456,21 @@ def evt_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # Exact-integer daily metric: value is a 2-dp grid, so cent sums are
+    # exact BIGINTs and the quotient is bit-identical across engines —
+    # round(avg(value), 4) hit a round-half boundary at sf0.1 (56.35625)
+    # where the engines' parallel sums tie-broke differently.
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    ).agg(
+        (
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.count("value").cast("double")
+            )
+            / 100.0
+        ).alias("day_avg")
+    )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

@@ -95,15 +95,22 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
            round(coalesce(sum(o_totalprice), 0), 2) AS sum_spend
-    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    FROM customer LEFT JOIN (SELECT * FROM orders
+                             WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') o
+      ON o_custkey = c_custkey
     GROUP BY c_custkey ORDER BY c_custkey
     """,
     survey_ref="J3",
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join keeping order-less customers (count(col) skips NULLs)."""
+    """Left outer join keeping order-less customers (count(col) skips
+    NULLs). The order side is windowed to the final two years so unmatched
+    customers actually exist (~55 at sf0.01) — with all orders, every
+    customer matched and the outer-ness was never exercised."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
@@ -117,21 +124,31 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_full_outer",
+    # Both sides made genuinely partial (customers sans %5==0 keys; orders
+    # from the final year only) so BOTH outer directions produce rows —
+    # round 1's all-customers/all-orders version never emitted an unmatched
+    # row on either side, making the full-outer green vacuous (sf0.01:
+    # 1371 rows = 171 customer-less + 486 order-less + 714 matched).
     oracle="""
-    WITH by_cust AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+    WITH cust AS (SELECT * FROM customer WHERE c_custkey % 5 <> 0),
+    by_cust AS (SELECT o_custkey, count(*) AS n FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+                GROUP BY o_custkey)
     SELECT coalesce(c_custkey, o_custkey) AS custkey,
            CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
            coalesce(n, 0) AS n_orders
-    FROM customer FULL JOIN by_cust ON o_custkey = c_custkey
+    FROM cust FULL JOIN by_cust ON o_custkey = c_custkey
     ORDER BY custkey
     """,
     survey_ref="J3",
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join against a pre-aggregated side."""
-    c = load_table(spark, sf_dir, "customer")
+    """Full outer join against a pre-aggregated side, with both unmatched
+    directions exercised (see oracle note)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 != 0)
     o = (
         load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -155,20 +172,27 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o_custkey = c_custkey AND o_totalprice > 100000))
         AS n_big_spenders,
       (SELECT count(*) FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
-        AS n_no_orders
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+        AS n_dormant
     """,
     survey_ref="J4",
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins."""
+    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) joins. The anti side
+    counts customers dormant in the final two years (~55 at sf0.01) — the
+    all-time version counted 0 (every customer has some order), leaving the
+    anti join unexercised."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 100000)
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi")
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    anti = c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
     return semi.agg(F.count(F.lit(1)).alias("n_big_spenders")).crossJoin(
-        anti.agg(F.count(F.lit(1)).alias("n_no_orders"))
+        anti.agg(F.count(F.lit(1)).alias("n_dormant"))
     )
 
 

@@ -107,7 +107,8 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT user_id, event_id,
            round(value, 4) AS value,
            round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) + 0.0
+             AS zscore
     FROM events ORDER BY user_id, event_id
     """,
     survey_ref="U3",
@@ -125,7 +126,11 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        F.round("zscore", 4).alias("zscore"),
+        # + 0.0 canonicalizes IEEE -0.0: a value within half an ulp-of-4dp
+        # of its group mean rounds to ±0.0 depending on which side the
+        # engine's summation lands (seen at sf0.1: pandas mean vs DuckDB
+        # window avg disagree by one ulp, flipping the sign of a ~1e-15 z).
+        (F.round("zscore", 4) + 0.0).alias("zscore"),
     ).orderBy("user_id", "event_id")
 
 

@@ -91,22 +91,44 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_quantity, l_extendedprice
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_qty,
-           round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-             AS moving_avg_price
+           (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  l_quantity, l_extendedprice
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(count(*) OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  l_quantity, l_extendedprice
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE))
+            / 100.0 AS moving_avg_price
     FROM lineitem
     ORDER BY l_suppkey, l_orderkey, l_linenumber
     """,
     survey_ref="W3",
 )
 def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-spec aggregates: running sum + 5-row moving average."""
+    """Frame-spec aggregates: running sum + 5-row moving average.
+
+    The moving average runs on exact cent BIGINTs (l_extendedprice is a
+    2-dp grid), then divides once — round(avg(double)) hit a 4-dp
+    round-half boundary at sf0.1 where Spark's running-frame accumulation
+    and DuckDB's segment-tree window summation associate differently.
+    running_qty needs no such care: l_quantity values are whole numbers,
+    so its double sum is exact at any frame length."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
+    # value columns join the sort key so the running order is total wrt the
+    # aggregated values (sf0.1 has a full-key duplicate with differing
+    # quantity, which made prefix sums order-dependent).
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    frame = w.rowsBetween(-4, 0)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.select(
             "l_suppkey",
@@ -115,8 +137,12 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
             ).alias("running_qty"),
-            F.round(
-                F.avg("l_extendedprice").over(w.rowsBetween(-4, 0)), 4
+            (
+                (
+                    F.sum(cents).over(frame).cast("double")
+                    / F.count(F.lit(1)).over(frame).cast("double")
+                )
+                / 100.0
             ).alias("moving_avg_price"),
         )
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
