@@ -34,14 +34,28 @@ def onebrc_aggregate(df: DataFrame, key: str, value: str) -> DataFrame:
     Mirrors SURVEY §3.4's canonical output contract: per-key min / 1-dp mean /
     max, ordered by key. `purple_mist.rs:67-75`'s unsorted-unrounded variant is
     deliberately not reproduced (SURVEY §7.3 non-goals).
+
+    The 1-dp mean is computed on exact integer cents (values are ≤2-dp
+    grids), with half-away-from-zero expressed in integer arithmetic —
+    `round(avg(double), 1)` leaves the rounding to wherever the parallel
+    sum's last ulp lands, and at sf0.1 two stations' means sit EXACTLY on a
+    .x5 boundary, making the float formulation a per-run coin flip. The
+    plan is unchanged: same partial→final hash aggregate, the sum is just
+    a long instead of a double.
     """
+    cents = F.round(F.col(value) * 100).cast("long")
+    s, n = F.col("_s"), F.col("_n")
+    tenths = F.floor((2 * F.abs(s) + 10 * n) / (20 * n))
+    mean = (F.when(s >= 0, tenths).otherwise(-tenths) / 10.0 + 0.0).alias("mean")
     return (
         df.groupBy(F.col(key).alias("station"))
         .agg(
             F.min(value).alias("min"),
-            F.round(F.avg(value), 1).alias("mean"),
+            F.sum(cents).alias("_s"),
+            F.count(value).alias("_n"),
             F.max(value).alias("max"),
         )
+        .select("station", "min", mean, "max")
         .orderBy("station")
     )
 
@@ -49,11 +63,17 @@ def onebrc_aggregate(df: DataFrame, key: str, value: str) -> DataFrame:
 @query(
     "onebrc_flagship",
     oracle="""
-    SELECT user_id AS station,
-           min(value) AS min,
-           round(avg(value), 1) AS mean,
-           max(value) AS max
-    FROM events GROUP BY user_id ORDER BY station
+    WITH g AS (
+      SELECT user_id AS station, min(value) AS mn, max(value) AS mx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             count(value) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT station, mn AS min,
+           CASE WHEN s >= 0 THEN floor((2 * s + 10 * n) / (20 * n))
+                ELSE -floor((2 * (-s) + 10 * n) / (20 * n)) END / 10.0 + 0.0 AS mean,
+           mx AS max
+    FROM g ORDER BY station
     """,
     survey_ref="A1-A7,O1,S6",
 )
@@ -66,10 +86,18 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "onebrc_report",
     oracle="""
-    WITH agg AS (
+    WITH g AS (
       SELECT user_id AS station, round(min(value), 1) AS mn,
-             round(avg(value), 1) AS mean, round(max(value), 1) AS mx
+             round(max(value), 1) AS mx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             count(value) AS n
       FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT station, mn,
+             CASE WHEN s >= 0 THEN floor((2 * s + 10 * n) / (20 * n))
+                ELSE -floor((2 * (-s) + 10 * n) / (20 * n)) END / 10.0 + 0.0 AS mean,
+             mx
+      FROM g
     ), lines AS (
       SELECT format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
       FROM agg
@@ -93,11 +121,17 @@ def _generated_oracle() -> str:
 
     return f"""
     WITH meas AS ({measurements_oracle_sql(100_000, seed=42)})
-    SELECT station,
-           min(measure) AS min,
-           round(avg(measure), 1) AS mean,
-           max(measure) AS max
-    FROM meas GROUP BY station ORDER BY station
+    , g AS (
+      SELECT station, min(measure) AS mn, max(measure) AS mx,
+             CAST(sum(CAST(round(measure * 100) AS BIGINT)) AS BIGINT) AS s,
+             count(measure) AS n
+      FROM meas GROUP BY station
+    )
+    SELECT station, mn AS min,
+           CASE WHEN s >= 0 THEN floor((2 * s + 10 * n) / (20 * n))
+                ELSE -floor((2 * (-s) + 10 * n) / (20 * n)) END / 10.0 + 0.0 AS mean,
+           mx AS max
+    FROM g ORDER BY station
     """
 
 
