@@ -21,7 +21,27 @@ Registration rules (SURVEY §7.4 definition-of-done):
   - never emit round(sum(x)/count, d)-style RATIO columns over grid-rounded
     inputs — exact rationals land on round-half boundaries (2409.18/48 =
     50.19125) and parallel summation order then tie-breaks differently per
-    run/engine; emit the numerator and denominator instead;
+    run/engine; emit the numerator and denominator instead — or compute the
+    ratio on EXACT INTEGERS: value/price columns are ≤2-dp grids, so
+    sum(CAST(round(x*100) AS BIGINT))/count/100.0 is bit-identical across
+    engines at any scale (this fixed three sf0.1 divergences that were
+    invisible at sf0.01; the flagship mean uses the integer-arithmetic
+    half-away-from-zero form for the same reason);
+  - per-row derived scalars (lerp, parsed fields) stay UNROUNDED: every op
+    is correctly rounded on deterministic inputs, so identical expression
+    order means identical bits — rounding them is what INTRODUCES
+    divergence (Spark string-BigDecimal HALF_UP vs DuckDB binary round
+    disagree on x.xxxx5);
+  - sketch estimates (HLL, approx_percentile) are engine-specific: the
+    oracle pins the EXACT value plus a tolerance-band boolean computed on
+    the Spark side — never the estimate itself;
+  - window ORDER BY must be a TOTAL order over the partition — synthetic
+    keys are not unique ((l_orderkey, l_linenumber) repeats); add the
+    aggregated value columns to the sort key or running frames are
+    order-ambiguous;
+  - every oracle must be NON-VACUOUS at sf0.01: result rows exist, outer/
+    anti joins produce unmatched rows, thresholds are calibrated to the
+    corpus (sweep: 0-row results, all-NULL columns, constant columns);
   - oracle=None marks a genuinely non-SQL-expressible op (driver then runs a
     rows-only check).
 """
