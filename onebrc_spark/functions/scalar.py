@@ -322,3 +322,61 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("path", "k_param")
     )
+
+
+@query(
+    "fn_collation_ci",
+    # Mixed-case spellings are constructed deterministically (user_id % 3
+    # picks lower/UPPER/Initcap), then grouped under a case-insensitive
+    # collation. The oracle normalizes with lower() — the pre-collation
+    # idiom — so the check pins that UNICODE_CI grouping merges exactly the
+    # classes lower() merges on this ASCII domain.
+    oracle="""
+    WITH spell AS (
+      SELECT CASE user_id % 3
+               WHEN 0 THEN lower(event_type)
+               WHEN 1 THEN upper(event_type)
+               ELSE upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+             END AS styled,
+             value
+      FROM events
+    )
+    SELECT lower(styled) AS event_type_ci,
+           count(*) AS n,
+           CAST(count(DISTINCT styled) AS BIGINT) AS n_spellings,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM spell GROUP BY 1 ORDER BY 1
+    """,
+    survey_ref="F5 (Spark 4 collations: UNICODE_CI-aware grouping)",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): `collate(s, 'UNICODE_CI')` makes
+    GROUP BY / joins / comparisons case-insensitive at the TYPE level — the
+    engine-native replacement for sprinkling lower() at every call site,
+    and unlike lower() it extends to locale-correct Unicode folding. Three
+    deterministic spellings of each event type collapse to one group;
+    n_spellings (counted case-sensitively) proves they were distinct
+    strings before collation merged them."""
+    ev = load_table(spark, sf_dir, "events")
+    styled = (
+        F.when(F.col("user_id") % 3 == 0, F.lower("event_type"))
+        .when(F.col("user_id") % 3 == 1, F.upper("event_type"))
+        .otherwise(F.initcap("event_type"))
+        .alias("styled")
+    )
+    spell = ev.select(styled, "value")
+    return (
+        spell.groupBy(F.collate("styled", "UNICODE_CI").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.collate("styled", "UTF8_BINARY")).alias("n_spellings"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_spellings",
+            "sum_cents",
+        )
+        .orderBy("event_type_ci")
+    )

@@ -208,6 +208,7 @@ _PRIORITY = [
     "text_pii_redaction",
     "agg_bitmap_distinct",
     "join_asof_forward",
+    "fn_collation_ci",
 ]
 
 
