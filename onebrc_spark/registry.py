@@ -92,76 +92,37 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 2): the correctness driver verifies the
-# FIRST 50 registry entries per round. Round 1 covered build order 0-49, so
-# this list front-loads (a) the two round-1 red rows after their fixes
-# (filter_null_semantics hash mismatch, agg_collect_sorted_list canonicalizer
-# crash) and (b) the 47 queries the round-1 gate never reached (event-time,
-# dedup, similarity, text, multimodal, UDF, SQL-surface, storage, skew,
-# ml-prep, fn_json/fn_date_scaffold), then the flagship as slot 50. The 46
-# round-1-green queries stay pinned locally by tests/test_oracle_parity.py,
-# which runs the same oracle comparison (plus a driver-strict canonicalizer)
-# over ALL queries regardless of this ordering.
+# Driver-coverage rotation (round 3): the correctness driver verifies the
+# FIRST 50 registry entries per round. r1+r2 covered ~97 distinct queries, so
+# this round's window is: (a) the four driver-red r2 rows (all one root cause
+# — the events.ts nanos->micros testdata drift, fixed by the catalog footer
+# sniffer) for re-verification, (b) the flagship, pinned every round, and
+# (c) 45 oracle-bearing queries that have NEVER had a driver row (round-2
+# additions in slots 51+ of the old ordering, plus the five ts-fixed rows
+# the driver never reached). The remaining ts-affected r1-green rows
+# (join_asof, join_range_interval, window_lag_lead) sit at 51-53 in case the
+# driver checks more than 50. Every query not in the window stays pinned
+# locally by tests/test_oracle_parity.py, which runs the same oracle
+# comparison (plus a driver-strict canonicalizer) over ALL queries.
 _PRIORITY = [
-    "filter_null_semantics",
-    "agg_collect_sorted_list",
-    "fn_json",
-    "fn_date_scaffold",
+    # (a) driver-red in r2 — ts-unit root cause, re-verify after the fix
     "evt_tumbling_window",
     "evt_sliding_window",
     "evt_session_window",
     "evt_watermark_late_drop",
-    "evt_dedup_by_id",
-    "evt_funnel",
-    "dedup_exact",
-    "dedup_exact_distinct",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_keep_first",
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_label_centroid",
-    "dedup_embedding_neardup",
-    "sim_ann_ivf",
-    "text_token_stats",
-    "text_token_count_bpe",
-    "text_langid",
-    "text_quality_score",
-    "text_ngram_tf",
-    "text_fingerprint",
-    "text_fuzzy_levenshtein",
-    "mm_decode_stats",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "mm_resize",
-    "udf_scalar_sigmoid",
-    "udf_grouped_agg_geomean",
-    "udf_grouped_map_zscore",
-    "sql_tpch_q3_shape",
-    "sql_tpch_q5_shape",
-    "sql_exists_correlated",
-    "pivot_status_matrix",
-    "unpivot_stack",
-    "sql_tpch_q6_shape",
-    "storage_partitioned_pruning",
-    "storage_bucketed_join",
-    "storage_csv_roundtrip",
-    "storage_json_roundtrip",
-    "agg_salted_twophase",
-    "join_salted_skew",
-    "ml_hash_split",
-    "ml_source_mix",
+    # (b) flagship, pinned
     "onebrc_flagship",
-    # Slots 51+: round-2 additions (no driver row yet either) — ahead of the
-    # round-1-green queries in case the driver checks more than 50.
-    "onebrc_generated",  # upgraded rows-only -> hash-verified oracle
+    # (c) ts-fixed rows with no prior driver row
+    "join_asof_forward",
+    "evt_gap_fill_locf",
+    "evt_gap_fill_lerp",
+    "evt_retention_cohorts",
+    "agg_partial_reaggregation",
+    # (c) never driver-checked, oracle-bearing (round-2 additions)
     "dedup_cluster_components",
     "dedup_cluster_survivors",
     "cdc_merge_upsert",
     "cdc_snapshot_diff",
-    "evt_retention_cohorts",
-    "evt_gap_fill_locf",
     "ml_stratified_sample",
     "ml_temperature_mix",
     "ml_quantile_filter",
@@ -172,43 +133,50 @@ _PRIORITY = [
     "text_repetition_score",
     "text_tfidf_top_terms",
     "text_stopword_removal",
+    "text_pii_redaction",
     "sim_lsh_candidate_stats",
-    "sim_ann_ivf_trained",
     "sql_recursive_cte",
     "sql_lateral_topn",
-    "sql_agg_filter_clause",
+    "sql_tpch_q4_shape",
     "sql_tpch_q13_shape",
+    "sql_tpch_q14_shape",
     "sql_tpch_q17_shape",
     "sql_tpch_q18_shape",
-    "storage_orc_roundtrip",
-    "storage_zorder_layout",
-    "fn_variant_json",
-    "fn_try_arithmetic",
-    "udtf_chunk_documents",
-    "agg_partial_reaggregation",
-    "agg_hll_sketch_merge",
-    "agg_table_fingerprint",
-    "fn_map_roundtrip",
-    "evt_transition_matrix",
-    "agg_equidepth_histogram",
-    "agg_rank_correlation",
-    "dq_constraint_audit",
-    "fn_url_parse",
-    "mm_byte_stats_arrow",
-    "sql_tpch_q4_shape",
-    "sql_tpch_q14_shape",
     "sql_tpch_q19_shape",
     "sql_tpch_q21_shape",
     "sql_tpch_q22_shape",
-    "src_python_datasource",
-    "sql_udf_declared",
-    "dq_observe_metrics",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
+    "fn_variant_json",
+    "udtf_chunk_documents",
+    "agg_hll_sketch_merge",
+    "agg_equidepth_histogram",
+    "agg_rank_correlation",
     "agg_approx_percentile",
-    "evt_gap_fill_lerp",
-    "text_pii_redaction",
     "agg_bitmap_distinct",
-    "join_asof_forward",
+    "dq_constraint_audit",
+    "dq_observe_metrics",
+    "evt_transition_matrix",
+    "src_python_datasource",
+    "mm_byte_stats_arrow",
+    # ---- slot 51+ ----
+    # ts-affected rows that were r1-green on the OLD data — re-proof targets
+    "join_asof",
+    "join_range_interval",
+    "window_lag_lead",
+    # never-driver-checked spillover (locally green, low-risk scalar shapes)
+    "fn_map_roundtrip",
+    "fn_url_parse",
     "fn_collation_ci",
+    "fn_try_arithmetic",
+    "sql_agg_filter_clause",
+    "sql_udf_declared",
+    "agg_table_fingerprint",
+    # prior rows-only; queue for a hash-verified row once oracles land
+    "dedup_simhash",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "sim_ann_ivf_trained",
 ]
 
 

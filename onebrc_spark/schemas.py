@@ -93,12 +93,31 @@ LINEITEM = T.StructType(
     ]
 )
 
-# NOTE: events.ts is TIMESTAMP(NANOS) on disk. With
-# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) Spark reads it
-# as LongType nanos; sources/catalog.py converts to TimestampType (micros,
-# truncating — the same truncation DuckDB applies) at load time. This schema
-# describes the ON-DISK read schema.
+# NOTE: the on-disk parquet unit of events.ts has CHANGED across testdata
+# regenerations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so the unit is never
+# hard-coded: sources/catalog.py sniffs the parquet footer per sf_dir and
+# picks the read path. This is the LOGICAL schema every query sees —
+# ts is always TimestampType (micros precision, session tz UTC for DuckDB
+# oracle parity). EVENTS_NANOS below is the raw read schema for the
+# legacy-nanos path only.
 EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# Raw read schema when the footer says TIMESTAMP(NANOS): Spark's vectorized
+# reader cannot decode nanos as TimestampType, so with
+# spark.sql.legacy.parquet.nanosAsLong=true (session.py) the column arrives
+# as LongType nanos and catalog.py truncates to micros with integer DIV
+# (a double division would lose precision above 2^53 — matching DuckDB's
+# nanos→micros truncation).
+EVENTS_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.LongType(), True),

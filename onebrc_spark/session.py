@@ -50,10 +50,12 @@ def get_spark(app_name: str = "onebrc_spark", master: str | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which the
-        # vectorized reader cannot decode as TimestampType; read as long
-        # nanos and convert in sources/catalog.py (integer DIV — doubles
-        # cannot represent 1.7e18 nanos exactly).
+        # If events.ts is parquet TIMESTAMP(NANOS) — the unit has changed
+        # across testdata regenerations, so sources/catalog.py sniffs the
+        # footer per directory — the vectorized reader cannot decode nanos
+        # as TimestampType; this flag makes it arrive as long nanos for
+        # catalog.normalize_events_ts to convert. Harmless for MICROS files
+        # (the flag only affects NANOS-encoded columns).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     active = SparkSession.getActiveSession()

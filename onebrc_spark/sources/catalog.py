@@ -11,10 +11,61 @@ directory plus partition pruning covers that with the same call shape.
 
 from __future__ import annotations
 
+import functools
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from onebrc_spark import schemas
+
+
+@functools.lru_cache(maxsize=None)
+def events_ts_unit(sf_dir: str) -> str:
+    """Sniff the parquet logical-type unit of ``events.ts`` from the footer.
+
+    The driver has regenerated the testdata with a different unit before
+    (nanos → micros), silently shifting every event timestamp 1000× when the
+    unit was hard-coded. The footer is the single source of truth; everything
+    downstream (batch catalog, streaming source, tests) branches on this one
+    function. Footer read is metadata-only (no row groups touched) and cached
+    per directory.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # directory-style parquet dataset
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit is None:
+        raise TypeError(f"events.ts is not a parquet timestamp: {t}")
+    return unit  # 'ns' | 'us' | 'ms' | 's'
+
+
+def events_read_schema(sf_dir: str) -> T.StructType:
+    """Raw reader schema for the events table at this sf_dir's actual unit."""
+    return schemas.EVENTS_NANOS if events_ts_unit(sf_dir) == "ns" else schemas.EVENTS
+
+
+def normalize_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Bring a raw events scan to the logical schema (ts = TimestampType).
+
+    micros (current data): the reader already decoded TimestampType — no-op.
+    nanos (legacy data): ts arrived as long nanos (nanosAsLong=true);
+    truncate to micros with integer DIV — a double division would lose
+    precision above 2^53 — matching DuckDB's nanos→micros truncation.
+    """
+    if events_ts_unit(sf_dir) != "ns":
+        return df
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).select(
+        *[f.name for f in schemas.EVENTS.fields]
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -23,19 +74,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     We pass the expected schema to the reader: for parquet Spark uses it as
     the read schema (column pruning still applies on top), and any drift
     between FIXTURES.md and the files surfaces as an error here, not as a
-    subtly-wrong query result.
+    subtly-wrong query result. events.ts is unit-sniffed (see
+    events_ts_unit) rather than assumed.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
-    df = spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long nanos (see schemas.EVENTS note); truncate to
-        # micros with integer DIV — a double division would lose precision
-        # above 2^53 — matching DuckDB's nanos→micros truncation.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).select(*[f.name for f in schemas.TABLES[name].fields])
-    return df
+        raw = spark.read.schema(events_read_schema(sf_dir)).parquet(f"{sf_dir}/events.parquet")
+        return normalize_events_ts(raw, sf_dir)
+    return spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -23,26 +23,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onebrc_spark.schemas import EVENTS, TABLES
+from onebrc_spark.sources import catalog
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet (one-file-per-trigger smoke
     source; swap `.format("kafka")` in production — the plan is unchanged).
 
-    Converts long-nanos ts exactly as the batch catalog does.
+    The ts unit handling lives in ONE place — sources/catalog.py sniffs the
+    parquet footer and normalize_events_ts applies the matching conversion —
+    so a testdata regeneration cannot desynchronize batch and streaming.
     """
     # File streaming sources need a DIRECTORY; pathGlobFilter narrows the
     # listing to the events table within the sf dir.
     raw = (
-        spark.readStream.schema(EVENTS)
+        spark.readStream.schema(catalog.events_read_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).select(
-        *[f.name for f in TABLES["events"].fields]
-    )
+    return catalog.normalize_events_ts(raw, sf_dir)
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:

@@ -1,0 +1,148 @@
+"""Executable form of FIXTURES.md §B: assert the on-disk parquet footers.
+
+The driver regenerates /root/testdata between rounds and has already changed
+`events.ts` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) once, silently shifting
+every event timestamp 1000x while the repo hard-coded nanos (round-2 verdict:
+13 red queries from that one drift). This module turns the fixture contract
+into tests so the NEXT regeneration flips one assertion here instead of a
+dozen query results.
+
+No SparkSession needed — pure pyarrow footer reads (metadata only).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR, SMOKE_SF_DIR, TABLE_NAMES
+
+# Logical column -> pyarrow type string the repo's schemas/queries assume.
+# Timestamp columns are listed separately because their *unit* is the part
+# that has drifted; everything else is assert-equal.
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64",
+        "c_name": "string",
+        "c_nationkey": "int32",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64",
+        "s_name": "string",
+        "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int32",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64",
+        "o_custkey": "int64",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64",
+        "l_partkey": "int64",
+        "l_suppkey": "int64",
+        "l_linenumber": "int32",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+    },
+    "events": {
+        "event_id": "int64",
+        "user_id": "int64",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int64",
+    },
+    "embeddings": {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"},
+}
+
+# (table, column) -> units the repo can actually read. events.ts is
+# unit-sniffed (catalog.events_ts_unit) and supports us|ns; the TPC-H date
+# columns are read straight into Spark TimestampType, which decodes us/ms
+# but NOT ns — a ns regeneration there must fail loudly here.
+TIMESTAMP_COLUMNS = {
+    ("orders", "o_orderdate"): {"us", "ms"},
+    ("lineitem", "l_shipdate"): {"us", "ms"},
+    ("events", "ts"): {"us", "ns"},
+}
+
+
+def _footer(sf_dir: str, table: str):
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        assert parts, f"no part files under {path}"
+        path = parts[0]
+    return pq.read_schema(path)
+
+
+@pytest.mark.parametrize("sf_dir", [SMOKE_SF_DIR, SF_DIR])
+@pytest.mark.parametrize("table", TABLE_NAMES)
+def test_footer_matches_fixture_contract(sf_dir: str, table: str) -> None:
+    schema = _footer(sf_dir, table)
+    on_disk = {f.name: str(f.type) for f in schema}
+
+    expected = EXPECTED_COLUMNS[table]
+    ts_cols = {c for (t, c) in TIMESTAMP_COLUMNS if t == table}
+    assert set(on_disk) == set(expected) | ts_cols, (
+        f"{sf_dir}/{table}: column set drifted: {sorted(on_disk)}"
+    )
+    for col, want in expected.items():
+        assert on_disk[col] == want, f"{sf_dir}/{table}.{col}: {on_disk[col]} != {want}"
+    for col in ts_cols:
+        typ = schema.field(col).type
+        unit = getattr(typ, "unit", None)
+        allowed = TIMESTAMP_COLUMNS[(table, col)]
+        assert unit in allowed, (
+            f"{sf_dir}/{table}.{col} is {typ} (unit={unit}); the repo only "
+            f"reads {sorted(allowed)} for this column — teach "
+            f"sources/catalog.py the new unit before trusting any query result"
+        )
+
+
+def test_catalog_sniffer_agrees_with_footer() -> None:
+    from onebrc_spark.sources import catalog
+
+    for sf_dir in (SMOKE_SF_DIR, SF_DIR):
+        want = _footer(sf_dir, "events").field("ts").type.unit
+        assert catalog.events_ts_unit(sf_dir) == want
+
+
+def test_events_timeline_span_is_days(spark) -> None:
+    """Semantic backstop: a unit mis-normalization compresses/stretches the
+    timeline 1000x. TESTDATA.md's events span ~30 days; assert the loaded
+    (normalized) span is in [2 days, 10 years] — any unit slip lands far
+    outside this band (43 min or 82 years)."""
+    from onebrc_spark.sources import catalog
+
+    events = catalog.load_table(spark, SF_DIR, "events")
+    lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
+    span_days = (hi - lo).total_seconds() / 86400.0
+    assert 2.0 <= span_days <= 3650.0, f"events span {span_days:.3f} days"
