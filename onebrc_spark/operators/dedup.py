@@ -446,18 +446,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(hashes_col: Column) -> Column:
-    """64-bit SimHash over a pre-hashed token array (xxhash64, Spark-only).
+def simhash64(hashes_col: Column, bits: int = 64) -> Column:
+    """SimHash over a pre-hashed token array, packed into one long.
 
     Per bit b: sign of Σ_tokens (bit b of token hash ? +1 : -1); the
-    signature packs the 64 signs into one long. One fold with a 64-element
-    vote accumulator (same single-pass rationale as minhash_signature: 64
-    separate aggregates would re-inline the token-hash transform 64×). Bit
+    signature packs the signs into one long. One fold with a `bits`-element
+    vote accumulator (same single-pass rationale as minhash_signature: N
+    separate aggregates would re-inline the token-hash transform N×). Bit
     masks are Python-int constants (bit 63 as the signed min-long) so
-    everything stays in codegen'd higher-order functions.
+    everything stays in codegen'd higher-order functions. bits=60 pairs
+    with md5-derived token hashes (15 hex chars) for cross-engine oracles;
+    bits=64 pairs with xxhash64 (Spark-only, unit-tested).
     """
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    init = F.array_repeat(F.lit(0), 64)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    init = F.array_repeat(F.lit(0), bits)
 
     def step(acc: Column, h: Column) -> Column:
         bit_votes = F.array(
@@ -477,20 +479,60 @@ def simhash64(hashes_col: Column) -> Column:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific; rows-only check (see docstring)
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+      -- 60-bit token hash from the first 15 md5 hex chars: both engines
+      -- implement standard md5, and 60 bits fits BIGINT exactly.
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+      FROM words
+    ), votes AS (
+      SELECT doc_id, b.bit AS bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, LATERAL (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, sig, c.chunk AS chunk,
+             (sig >> (c.chunk * 15)) & 32767 AS chunk_val
+      FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS chunk) c
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+        AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+    """,
     survey_ref="X2",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit chunks
+    """SimHash near-dup pairs: 60-bit signatures, banded into 4×15-bit chunks
     (a pair within hamming distance 3 must agree on ≥1 chunk), verified at
-    hamming ≤ 3. Signature correctness is covered by unit tests
-    (tests/test_dedup.py) since DuckDB lacks xxhash64."""
+    hamming ≤ 3.
+
+    Token hashes are the first 15 md5 hex chars as a 60-bit integer — md5 is
+    identical across engines, so the DuckDB oracle replays the whole
+    signature computation bit-for-bit (the previous xxhash64 form was
+    Spark-only and could only be rows-count-checked). The 64-bit xxhash64
+    variant of simhash64 stays unit-tested for production use where oracle
+    twinning doesn't constrain the hash."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     hashed = d.select(
         "doc_id",
-        F.transform(_WORDS(F.col("text")), lambda w: F.xxhash64(w)).alias("hs"),
+        F.transform(
+            _WORDS(F.col("text")),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
     )
-    sigs = hashed.select("doc_id", simhash64(F.col("hs")).alias("sig"))
+    sigs = hashed.select("doc_id", simhash64(F.col("hs"), bits=60).alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -499,8 +541,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        F.shiftrightunsigned(F.col("sig"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF).cast("long"))
                         .alias("chunk_val"),
                     )
                     for i in range(4)

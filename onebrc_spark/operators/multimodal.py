@@ -146,12 +146,35 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_frame_sample", oracle=None, survey_ref="X5")
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             greatest(octet_length(encode(text)) // 256, 1) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, n_bytes,
+             unnest(generate_series(0, n_frames - 1)) AS frame_no
+      FROM p
+    )
+    SELECT media_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(least(256, n_bytes - frame_no * 256) AS INT) AS frame_bytes
+    FROM frames ORDER BY media_id, frame_no
+    """,
+    survey_ref="X5",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled 'frame' (every 256-byte
     slice of the payload stands in for a video frame), via posexplode over a
     JVM-computed slice index array — the fan-out shape of real frame
-    extraction (row → N frames), with frame bytes sliced JVM-side."""
+    extraction (row → N frames), with frame bytes sliced JVM-side.
+
+    Oracle: the fan-out is pure arithmetic over byte lengths (media_type
+    'video' ⇔ doc_id % 3 = 2, frame count = max(floor(bytes/256), 1)), so
+    DuckDB replays it exactly — upgraded from the round-2 rows-only check."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
     n_frames = F.greatest(
         (F.length("payload") / 256).cast("int"), F.lit(1)
@@ -180,6 +203,8 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("bin_counts", T.ArrayType(T.LongType())),
+        T.StructField("n_bytes", T.LongType()),
     ]
 )
 
@@ -199,41 +224,83 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            feats = []
+            feats, counts, nbytes = [], [], []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
-                norm = float(np.linalg.norm(hist))
-                feats.append((hist / norm if norm else hist).tolist())
+                raw = bytes(payload)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)
+                histf = hist.astype("float32")
+                norm = float(np.linalg.norm(histf))
+                feats.append((histf / norm if norm else histf).tolist())
+                counts.append(hist.tolist())
+                nbytes.append(len(raw))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "features": feats,
+                    "bin_counts": counts,
+                    "n_bytes": nbytes,
                 }
             )
 
     return media.mapInPandas(feature_batches, FEATURES_SCHEMA)
 
 
-@query("mm_feature_extract", oracle=None, survey_ref="X5 (feature extraction)")
+@query(
+    "mm_feature_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             -- bytes with high nibble 2 are exactly the codepoints
+             -- U+0020..U+002F (space + ASCII punctuation): they are
+             -- single-byte in UTF-8 and never occur inside multi-byte
+             -- sequences (continuation bytes are >= 0x80).
+             CAST(length(text) - length(regexp_replace(text, '[ -/]', '', 'g'))
+                  AS BIGINT) AS bin2
+      FROM documents
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           CAST(sum(bin2) AS BIGINT) AS sum_bin2,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           TRUE AS all_norm_unit
+    FROM p GROUP BY media_type ORDER BY media_type
+    """,
+    survey_ref="X5 (feature extraction)",
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction pipeline: media table → Arrow-batched histogram
-    features → per-type census with mean first-bin weight. rows-only check
-    (DuckDB cannot fold payload bytes); unit tests pin norm==1 and
-    determinism."""
+    features (L2-normalized float32) + exact integer bin counts → per-type
+    census.
+
+    Oracle strategy (upgraded from the round-2 rows-only check): the checked
+    aggregates are EXACT INTEGERS — the count of nibble-2 bytes, which DuckDB
+    recomputes as the count of U+0020..U+002F codepoints, and total payload
+    bytes — while the float32 normalization is verified as a Spark-side
+    tolerance boolean (`all_norm_unit`, same pattern as the HLL sketch
+    bands): every feature vector's sum of squares must be within 1e-3 of 1.
+    The oracle pins TRUE."""
     feats = extract_features(spread(media_table(spark, sf_dir), spark))
+    sumsq = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
     return (
         feats.select(
             "media_type",
-            F.element_at("features", 3).alias("bin2"),
-            F.size("features").alias("dim"),
+            F.element_at("bin_counts", 3).alias("bin2"),
+            "n_bytes",
+            (F.abs(sumsq - F.lit(1.0)) < 1e-3).alias("norm_ok"),
         )
         .groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("bin2"), 4).alias("avg_bin2"),
-            F.max("dim").alias("dim"),
+            F.sum("bin2").alias("sum_bin2"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.bool_and("norm_ok").alias("all_norm_unit"),
         )
         .orderBy("media_type")
     )
