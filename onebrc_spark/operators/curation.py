@@ -529,3 +529,78 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X4c: corpus-LM rarity scoring (perplexity-style quality signal) --------
+
+_RARITY_TOPK = 20
+
+
+@query(
+    "text_unigram_rarity",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS c FROM words GROUP BY w
+    ), corpus AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+    ), scored AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             CAST(sum(corpus.total // vocab.c) AS BIGINT) AS rarity_sum
+      FROM words JOIN vocab USING (w) CROSS JOIN corpus
+      GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, rarity_sum,
+             rarity_sum * 1000 // n_words AS rarity_density,
+             row_number() OVER (
+               ORDER BY rarity_sum * 1000 // n_words DESC, doc_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, n_words, rarity_sum, rarity_density
+    FROM ranked WHERE rn <= {_RARITY_TOPK} ORDER BY doc_id
+    """,
+    survey_ref="X4c (corpus unigram LM -> per-doc rarity; top-k outliers)",
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: build a corpus word-frequency model in
+    one pass, score every document by mean token rarity against it, report
+    the top-k rarest documents (the classic 'surprising docs' quality
+    audit; the inverse ranking finds boilerplate).
+
+    Rarity weight is the EXACT integer ``total_words // count(w)`` (integer
+    division) rather than ``-ln(count/total)``: same monotone ordering, but
+    bit-identical across engines at any scale — a float NLL sum lands on
+    round-half boundaries under engine libm drift (registry rule on ratio
+    columns). A real-NLL variant is the same pipeline with the weight
+    expression swapped.
+
+    Scale notes (100 TB): wordcount shuffle for the vocab (word, count) —
+    never the text; the per-doc scoring re-explodes words and shuffle-joins
+    on word (vocab is Zipf-shaped but the join carries counts, not
+    documents, and AQE splits any hot word key); the final top-k is a
+    TakeOrdered over doc-level rows."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_WORDS(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("total"))
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.expr("total DIV c")).cast("long").alias("rarity_sum"),
+        )
+    )
+    return (
+        scored.withColumn("rarity_density", F.expr("rarity_sum * 1000 DIV n_words"))
+        # TakeOrderedAndProject (distributed top-k, no global sort); the
+        # (density, doc_id) key is a total order so the cut is deterministic.
+        .orderBy(F.col("rarity_density").desc(), F.col("doc_id"))
+        .limit(_RARITY_TOPK)
+        .select("doc_id", "n_words", "rarity_sum", "rarity_density")
+        .orderBy("doc_id")
+    )

@@ -351,3 +351,56 @@ def ml_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X11b: deterministic global shuffle + sharding --------------------------
+
+_N_SHARDS = 64
+
+
+@query(
+    "ml_deterministic_shard",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+               % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, h) AS first_doc
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    survey_ref="X11b (content-addressed shuffle -> training shards)",
+)
+def ml_deterministic_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that turns
+    a curated corpus into training shards: shard = first md5 byte of the
+    key mod N, within-shard order = full md5 (a content-addressed
+    permutation, so 'shuffled' yet bit-reproducible across runs, engines,
+    cluster sizes, and task retries — rand() re-draws under Spark retry,
+    md5 cannot). Emits the per-shard manifest (sizes + head-of-shard doc);
+    the write path is `df.repartitionByRange('shard', 'h').write
+    .partitionBy('shard')` with the same expressions.
+
+    Scale notes (100 TB): one hash-partition shuffle on (shard) carrying
+    (doc_id, n_chars, 32-byte hash) — the text goes straight from scan to
+    sink; the manifest aggregation is map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _N_SHARDS
+    )
+    return (
+        d.select("doc_id", "n_chars", h.alias("h"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

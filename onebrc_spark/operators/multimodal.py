@@ -480,3 +480,211 @@ def mm_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --- X5b: REAL container decode (WAV / BMP, pure-Python parsers) ------------
+#
+# The generic decode path above stubs its kernel because no codec libraries
+# ship in this environment. Uncompressed containers need none: RIFF/WAV and
+# BMP headers are fixed-layout structs, so the parsers below are REAL
+# decoders (they correctly decode any standard PCM WAV / uncompressed BMP,
+# not just the synthesized fixtures). The pipeline synthesizes spec-valid
+# files from the documents table, then decodes them by actually walking the
+# container structure — upgrading the round-2 "deterministic fake decode"
+# to genuine format decoding for the formats that allow it.
+
+CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+DECODED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def _build_wav(samples: bytes, sample_rate: int) -> bytes:
+    """Spec-valid PCM16 mono WAV (RIFF container, fmt + data chunks)."""
+    import struct
+
+    data = samples[: len(samples) - (len(samples) % 2)]
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _build_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Spec-valid 24-bpp bottom-up BMP (BITMAPFILEHEADER+BITMAPINFOHEADER)."""
+    import struct
+
+    row = width * 3
+    stride = (row + 3) & ~3
+    need = stride * height
+    body = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\0" * need
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, need, 2835, 2835, 0, 0)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + need, 0, 0, 14 + 40)
+        + info
+        + body
+    )
+
+
+def synthesize_containers(media: DataFrame) -> DataFrame:
+    """mapInPandas producer: wrap each payload in a real container format
+    (audio → PCM16 WAV at a media_id-derived sample rate; image → 24-bpp
+    BMP at byte-length-derived dimensions). Deterministic, so the decode
+    oracle can replay the geometry arithmetically."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_type, out_payload = [], [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                n = len(raw)
+                if mtype == "audio":
+                    built = _build_wav(raw, 8000 + int(mid) % 8 * 1000)
+                elif mtype == "image":
+                    built = _build_bmp(raw, n % 64 + 1, n % 48 + 1)
+                else:
+                    continue  # no uncompressed container for 'video' here
+                out_id.append(mid)
+                out_type.append(mtype)
+                out_payload.append(built)
+            yield pd.DataFrame(
+                {"media_id": out_id, "media_type": out_type, "payload": out_payload}
+            )
+
+    return media.mapInPandas(synth, CONTAINER_SCHEMA)
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int]:
+    """REAL RIFF/WAV decoder: validates magic, walks chunks, parses fmt,
+    returns (channels, sample_rate, n_samples). Raises on malformed input."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, channels, rate, bits, n_samples = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, block, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if channels is None:
+                raise ValueError("data chunk before fmt chunk")
+            n_samples = len(body) // (channels * bits // 8)
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if n_samples is None:
+        raise ValueError("no data chunk")
+    return channels, rate, n_samples
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, int]:
+    """REAL BMP decoder: validates magic, parses BITMAPINFOHEADER, returns
+    (width, height, bpp). Raises on malformed input."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    header_size, width, height = struct.unpack("<Iii", buf[14:26])
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    bpp = struct.unpack("<H", buf[28:30])[0]
+    return width, abs(height), bpp
+
+
+def decode_containers(containers: DataFrame) -> DataFrame:
+    """mapInPandas decode stage over real container bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur, pix = [], []
+            for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                buf = bytes(payload)
+                if mtype == "audio":
+                    channels, rate, n_samples = decode_wav(buf)
+                    dur.append(n_samples * 1000 // rate)
+                    pix.append(0)
+                else:
+                    width, height, bpp = decode_bmp(buf)
+                    if bpp != 24:
+                        raise ValueError(f"unexpected bpp {bpp}")
+                    dur.append(0)
+                    pix.append(width * height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "duration_ms": dur,
+                    "n_pixels": pix,
+                }
+            )
+
+    return containers.mapInPandas(decode, DECODED_REAL_SCHEMA)
+
+
+@query(
+    "mm_decode_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' END
+               AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 3 < 2
+    )
+    SELECT media_type,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN media_type = 'audio'
+                 THEN (n // 2) * 1000 // (8000 + (doc_id % 8) * 1000)
+                 ELSE 0 END) AS BIGINT) AS total_duration_ms,
+           CAST(sum(CASE WHEN media_type = 'image'
+                 THEN (n % 64 + 1) * (n % 48 + 1)
+                 ELSE 0 END) AS BIGINT) AS total_pixels
+    FROM p GROUP BY media_type ORDER BY media_type
+    """,
+    survey_ref="X5b (real WAV/BMP container decode, no codec libs needed)",
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine decode pipeline: synthesize spec-valid WAV/BMP files →
+    decode them by actually parsing the container structure (RIFF chunk
+    walk / BITMAPINFOHEADER) → aggregate durations and pixel counts.
+
+    The oracle replays the synthesis geometry arithmetically (sample count
+    from byte length, dimensions from length mod), so a decoder bug —
+    misread chunk size, wrong struct offset, stride error — breaks the
+    hash match. Unlike mm_decode_stats' declared stub, every byte of this
+    path does what its name says; compressed formats (JPEG/MP3) would slot
+    into the same two-stage shape given codec libraries."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") != "video")
+    decoded = decode_containers(synthesize_containers(spread(media, spark)))
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.sum("n_pixels").alias("total_pixels"),
+        )
+        .orderBy("media_type")
+    )

@@ -590,3 +590,87 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KNN_K)
         .orderBy("qid", "rn")
     )
+
+
+# --- X3b: embedding quantization (int8) -------------------------------------
+
+
+@query(
+    "sim_embedding_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS maxabs
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - round(CAST(x AS DOUBLE) * (127.0 / maxabs))
+                          / (127.0 / maxabs)))) AS max_abs_err,
+             list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT)))
+               AS sum_qsq
+      FROM m WHERE maxabs > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sum_qsq) AS BIGINT) AS total_qsq,
+           max(max_abs_err) AS max_abs_err
+    FROM q GROUP BY label ORDER BY label
+    """,
+    survey_ref="X3b (int8 symmetric quantization + reconstruction error)",
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving form of an ANN index (4× smaller than float32, 127-level grid):
+    per-vector scale = 127 / max|v|, q_i = round(v_i · scale), plus the
+    audit a pipeline runs before committing to a quantization scheme:
+    worst-case reconstruction error and the integer energy of the quantized
+    codes.
+
+    Determinism: every per-element value is either exact integer arithmetic
+    (q_i, q_i², their sums — exact in any order) or a fixed-expression
+    double (max_abs_err via order-insensitive max), so the output is
+    bit-identical across engines with NO rounding — the oracle replays the
+    identical expression tree over the same parquet floats.
+
+    Scale notes (100 TB): narrow per-row map (JVM codegen, no Python, no
+    shuffle) + one map-side-combinable aggregation on `label`; the
+    quantized codes would be written columnar as `array<tinyint>` with
+    per-vector scale, halving ANN memory traffic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x_d(x)))
+    )
+    scale = F.lit(127.0) / F.col("maxabs")
+    q_of = lambda x: F.round(x_d(x) * scale)  # noqa: E731
+    per_vec = (
+        e.withColumn("maxabs", maxabs)
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "label",
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, F.abs(x_d(x) - q_of(x) / scale)),
+            ).alias("max_abs_err"),
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("long"),
+                lambda a, x: a + q_of(x).cast("long") * q_of(x).cast("long"),
+            ).alias("sum_qsq"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sum_qsq").cast("long").alias("total_qsq"),
+            F.max("max_abs_err").alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

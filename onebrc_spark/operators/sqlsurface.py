@@ -590,3 +590,164 @@ def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(clamp_nonneg(value)), 4) AS sum_clamped
         FROM events GROUP BY event_type ORDER BY event_type
     """)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+         OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_tpch_q7_shape", oracle=_Q7_SQL, survey_ref="J1,J2,A7 (SQL surface: Q7 nation-pair volume)")
+def sql_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) shape: 5-way join with a symmetric
+    nation-pair predicate, yearly rollup. The two nation dims broadcast;
+    the fact-fact join (lineitem ⋈ orders) is the only big shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                          ELSE 0 END), 2) AS nation_volume,
+           round(sum(volume), 2) AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+@query("sql_tpch_q8_shape", oracle=_Q8_SQL, survey_ref="J1,J2,A7 (SQL surface: Q8 market share)")
+def sql_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (market share) shape: 6-way join, region-filtered customers,
+    one nation's share of yearly volume. Per the determinism rules the
+    share is emitted as (nation_volume, total_volume), not a ratio."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("sql_tpch_q9_shape", oracle=_Q9_SQL, survey_ref="J1,J2,A7 (SQL surface: Q9 product-line profit)")
+def sql_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) shape: part-name LIKE filter pushed to
+    the part scan, 5-way join, nation/year rollup. The driver schema has no
+    partsupp table, so supply cost is proxied as p_retailprice·qty·0.1 —
+    same join tree and aggregation shape as spec Q9."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_tpch_q10_shape", oracle=_Q10_SQL, survey_ref="J1,J2,A7,O3 (SQL surface: Q10 returned items)")
+def sql_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: quarter-windowed orders,
+    returnflag filter on the fact, top-20 customers by lost revenue."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query("sql_tpch_q15_shape", oracle=_Q15_SQL, survey_ref="J1,A7 (SQL surface: Q15 top supplier, scalar subquery on CTE)")
+def sql_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) shape: revenue CTE reused twice — once as
+    the join input, once inside a scalar max() subquery (spec Q15's view).
+    Catalyst plans the CTE once per consumer; the scalar subquery becomes
+    a broadcast of one row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+_Q20_SQL = """
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 2500
+    )
+    ORDER BY s_name
+"""
+
+
+@query("sql_tpch_q20_shape", oracle=_Q20_SQL, survey_ref="J4,A7 (SQL surface: Q20 semi-join on aggregated subquery)")
+def sql_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) shape: IN-subquery with its own
+    join + HAVING aggregate, planned as a left-semi join against the
+    aggregated subquery. The driver schema has no partsupp, so the
+    availability predicate is adapted to shipped-quantity-per-supplier —
+    the semi-join-on-aggregate shape is the point."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)

@@ -125,3 +125,38 @@ def test_multimodal_resize_payload_is_stride_sample(spark):
         stride = max(1, -(-len(orig) // _RESIZE_TARGET))
         assert bytes(row["payload"]) == orig[::stride]
         assert row["orig_bytes"] == len(orig)
+
+
+def test_real_wav_decoder_roundtrip_and_malformed():
+    """decode_wav is a REAL RIFF parser: round-trips _build_wav output,
+    decodes standard PCM WAVs (odd chunk padding included), rejects junk."""
+    import pytest as _pytest
+
+    from onebrc_spark.operators.multimodal import _build_wav, decode_wav
+
+    buf = _build_wav(b"\x01\x02\x03\x04\x05\x06", 16000)
+    assert decode_wav(buf) == (1, 16000, 3)
+    # extra pre-data chunk with odd size exercises word-alignment padding
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = buf[:12] + extra + buf[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (1, 16000, 3)
+    with _pytest.raises(ValueError):
+        decode_wav(b"JUNKJUNKJUNKJUNK")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no data chunk
+
+
+def test_real_bmp_decoder_roundtrip_and_malformed():
+    import pytest as _pytest
+
+    from onebrc_spark.operators.multimodal import _build_bmp, decode_bmp
+
+    buf = _build_bmp(b"\x10\x20\x30", 5, 7)
+    assert decode_bmp(buf) == (5, 7, 24)
+    # stride: 5px * 3Bpp = 15 -> padded to 16 per row
+    assert len(buf) == 14 + 40 + 16 * 7
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX whatever")

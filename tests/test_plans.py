@@ -268,3 +268,58 @@ def test_join_strategy_hints_are_honored(spark):
 
     smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
     assert "SortMergeJoin" in explain_str(smj)
+
+
+def test_unigram_rarity_topk_is_take_ordered(spark):
+    """X4c: the outlier cut must be distributed top-k, not a global sort."""
+    from onebrc_spark.operators.curation import text_unigram_rarity
+
+    df = text_unigram_rarity(spark, SMOKE_SF_DIR)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_deterministic_shard_single_shuffle(spark):
+    """X11b: shard manifest = partial/final agg over ONE hash exchange
+    (plus the output orderBy's range exchange) — the text never shuffles.
+    min_by's string ordering buffer forces SortAggregate (not hash), but
+    the partial/final split — the map-side-combine property the 100 TB
+    design needs — must still hold."""
+    from onebrc_spark.operators.mlprep import ml_deterministic_shard
+
+    df = ml_deterministic_shard(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert txt.count("SortAggregate") + txt.count("HashAggregate") >= 2
+    assert "partial_min_by" in txt, txt[:2000]
+    assert num_exchanges(df) == 2, txt[:2000]
+
+
+def test_embedding_quantize_no_join_no_window(spark):
+    """X3b: narrow per-row fold + one agg — no joins, no windows, and the
+    scan reads only the two referenced columns."""
+    from onebrc_spark.operators.similarity import sim_embedding_quantize
+
+    df = sim_embedding_quantize(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "Join" not in txt and "Window" not in txt
+    cols = read_schema_columns(df)
+    assert cols and all(len(c) <= 2 for c in cols), cols
+
+
+def test_q15_scalar_subquery_reuses_cte_aggregate(spark):
+    """Q15: the revenue CTE feeds both the join and the scalar max() —
+    the plan must contain the scalar subquery (broadcast of one row), and
+    the supplier dim side must broadcast, not sort-merge."""
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q15_shape
+
+    df = sql_tpch_q15_shape(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "Subquery" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_q20_in_subquery_with_having_is_semi_join(spark):
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q20_shape
+
+    df = sql_tpch_q20_shape(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert "LeftSemi" in txt, txt[:2000]
