@@ -323,3 +323,38 @@ def test_q20_in_subquery_with_having_is_semi_join(spark):
     df = sql_tpch_q20_shape(spark, SMOKE_SF_DIR)
     txt = explain_str(df)
     assert "LeftSemi" in txt, txt[:2000]
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark):
+    """Runtime filtering (the 100 TB fact-fact join lever): a selective
+    filter on one join side must inject a bloom_filter_agg on that side and
+    pre-filter the big side's rows BEFORE the join shuffle — at cluster
+    scale this is the difference between shuffling the whole fact table and
+    shuffling the ~1% that can match. Thresholds are lowered because smoke
+    data is far below the production defaults (10 MB creation side)."""
+    from onebrc_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+        o = load_table(spark, SMOKE_SF_DIR, "orders")
+        df = (
+            li.join(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .groupBy("l_returnflag")
+            .count()
+        )
+        txt = explain_str(df)
+        assert "bloom_filter_agg" in txt, txt[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
