@@ -98,8 +98,8 @@ LINEITEM = T.StructType(
 # hard-coded: sources/catalog.py sniffs the parquet footer per sf_dir and
 # picks the read path. This is the LOGICAL schema every query sees —
 # ts is always TimestampType (micros precision, session tz UTC for DuckDB
-# oracle parity). EVENTS_NANOS below is the raw read schema for the
-# legacy-nanos path only.
+# oracle parity); catalog._read_schema derives the raw reader schema for
+# legacy-nanos files dynamically (LongType for ns columns).
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -111,22 +111,6 @@ EVENTS = T.StructType(
     ]
 )
 
-# Raw read schema when the footer says TIMESTAMP(NANOS): Spark's vectorized
-# reader cannot decode nanos as TimestampType, so with
-# spark.sql.legacy.parquet.nanosAsLong=true (session.py) the column arrives
-# as LongType nanos and catalog.py truncates to micros with integer DIV
-# (a double division would lose precision above 2^53 — matching DuckDB's
-# nanos→micros truncation).
-EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
 
 # events.props JSON payload schema (FIXTURES.md: from_json fixture).
 # Observed payloads are `{"k": <int>}` at every sf.

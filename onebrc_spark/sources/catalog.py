@@ -23,49 +23,89 @@ from onebrc_spark import schemas
 
 
 @functools.lru_cache(maxsize=None)
-def events_ts_unit(sf_dir: str) -> str:
-    """Sniff the parquet logical-type unit of ``events.ts`` from the footer.
+def ts_units(sf_dir: str, name: str) -> tuple[tuple[str, str], ...]:
+    """Sniff the parquet logical-type unit of every timestamp column of one
+    table from the footer: ((column, unit), ...), unit ∈ 'ns'|'us'|'ms'|'s'.
 
     The driver has regenerated the testdata with a different unit before
-    (nanos → micros), silently shifting every event timestamp 1000× when the
-    unit was hard-coded. The footer is the single source of truth; everything
-    downstream (batch catalog, streaming source, tests) branches on this one
-    function. Footer read is metadata-only (no row groups touched) and cached
-    per directory.
+    (events.ts nanos → micros between rounds 1 and 2), silently shifting
+    every event timestamp 1000× while the unit was hard-coded. The footer is
+    the single source of truth; everything downstream (batch catalog,
+    streaming source, tests) branches on this one function — and it covers
+    ALL timestamp columns (o_orderdate, l_shipdate, ts), not just the one
+    that drifted last time. Footer read is metadata-only (no row groups
+    touched) and cached per (directory, table).
     """
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):  # directory-style parquet dataset
         parts = sorted(glob.glob(f"{path}/*.parquet"))
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
         path = parts[0]
-    t = pq.read_schema(path).field("ts").type
-    unit = getattr(t, "unit", None)
-    if unit is None:
-        raise TypeError(f"events.ts is not a parquet timestamp: {t}")
-    return unit  # 'ns' | 'us' | 'ms' | 's'
+    footer = pq.read_schema(path)
+    out = []
+    for field in schemas.TABLES[name].fields:
+        if not isinstance(field.dataType, T.TimestampType):
+            continue
+        typ = footer.field(field.name).type
+        unit = getattr(typ, "unit", None)
+        if unit is None:
+            raise TypeError(f"{name}.{field.name} is not a parquet timestamp: {typ}")
+        out.append((field.name, unit))
+    return tuple(out)
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """The events.ts unit for this directory (see ts_units)."""
+    return dict(ts_units(sf_dir, "events"))["ts"]
+
+
+def _read_schema(sf_dir: str, name: str) -> T.StructType:
+    """Raw reader schema at this sf_dir's actual on-disk units.
+
+    Columns whose footer says TIMESTAMP(NANOS) are requested as LongType:
+    Spark's vectorized reader cannot decode nanos as TimestampType, but with
+    spark.sql.legacy.parquet.nanosAsLong=true (session.py) it delivers the
+    raw long for normalize_ts to convert. All other units decode directly.
+    """
+    nanos = {c for c, u in ts_units(sf_dir, name) if u == "ns"}
+    if not nanos:
+        return schemas.TABLES[name]
+    return T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType, f.nullable)
+            for f in schemas.TABLES[name].fields
+        ]
+    )
+
+
+def normalize_ts(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Bring a raw scan to the logical schema (every ts = TimestampType).
+
+    micros/millis (current data): the reader already decoded TimestampType —
+    no-op. nanos (legacy data): the column arrived as long nanos
+    (nanosAsLong=true); truncate to micros with integer DIV — a double
+    division would lose precision above 2^53 — matching DuckDB's
+    nanos→micros truncation.
+    """
+    nanos = [c for c, u in ts_units(sf_dir, name) if u == "ns"]
+    for col in nanos:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if nanos:
+        df = df.select(*[f.name for f in schemas.TABLES[name].fields])
+    return df
+
+
+def normalize_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Back-compat alias used by the streaming source."""
+    return normalize_ts(df, sf_dir, "events")
 
 
 def events_read_schema(sf_dir: str) -> T.StructType:
     """Raw reader schema for the events table at this sf_dir's actual unit."""
-    return schemas.EVENTS_NANOS if events_ts_unit(sf_dir) == "ns" else schemas.EVENTS
-
-
-def normalize_events_ts(df: DataFrame, sf_dir: str) -> DataFrame:
-    """Bring a raw events scan to the logical schema (ts = TimestampType).
-
-    micros (current data): the reader already decoded TimestampType — no-op.
-    nanos (legacy data): ts arrived as long nanos (nanosAsLong=true);
-    truncate to micros with integer DIV — a double division would lose
-    precision above 2^53 — matching DuckDB's nanos→micros truncation.
-    """
-    if events_ts_unit(sf_dir) != "ns":
-        return df
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).select(
-        *[f.name for f in schemas.EVENTS.fields]
-    )
+    return _read_schema(sf_dir, "events")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,15 +114,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     We pass the expected schema to the reader: for parquet Spark uses it as
     the read schema (column pruning still applies on top), and any drift
     between FIXTURES.md and the files surfaces as an error here, not as a
-    subtly-wrong query result. events.ts is unit-sniffed (see
-    events_ts_unit) rather than assumed.
+    subtly-wrong query result. Timestamp columns are unit-sniffed from the
+    footer (see ts_units) rather than assumed.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
-    if name == "events":
-        raw = spark.read.schema(events_read_schema(sf_dir)).parquet(f"{sf_dir}/events.parquet")
-        return normalize_events_ts(raw, sf_dir)
-    return spark.read.schema(schemas.TABLES[name]).parquet(f"{sf_dir}/{name}.parquet")
+    raw = spark.read.schema(_read_schema(sf_dir, name)).parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ts(raw, sf_dir, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -83,14 +83,14 @@ EXPECTED_COLUMNS = {
     "embeddings": {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"},
 }
 
-# (table, column) -> units the repo can actually read. events.ts is
-# unit-sniffed (catalog.events_ts_unit) and supports us|ns; the TPC-H date
-# columns are read straight into Spark TimestampType, which decodes us/ms
-# but NOT ns — a ns regeneration there must fail loudly here.
+# (table, column) -> units the repo can actually read. Every timestamp
+# column is unit-sniffed per directory (catalog.ts_units): us/ms decode
+# directly as TimestampType; ns reads as long + integer-DIV conversion.
+# Seconds precision has no read path — a 's' regeneration must fail here.
 TIMESTAMP_COLUMNS = {
-    ("orders", "o_orderdate"): {"us", "ms"},
-    ("lineitem", "l_shipdate"): {"us", "ms"},
-    ("events", "ts"): {"us", "ns"},
+    ("orders", "o_orderdate"): {"us", "ms", "ns"},
+    ("lineitem", "l_shipdate"): {"us", "ms", "ns"},
+    ("events", "ts"): {"us", "ms", "ns"},
 }
 
 
@@ -131,8 +131,40 @@ def test_catalog_sniffer_agrees_with_footer() -> None:
     from onebrc_spark.sources import catalog
 
     for sf_dir in (SMOKE_SF_DIR, SF_DIR):
-        want = _footer(sf_dir, "events").field("ts").type.unit
-        assert catalog.events_ts_unit(sf_dir) == want
+        assert catalog.events_ts_unit(sf_dir) == (
+            _footer(sf_dir, "events").field("ts").type.unit
+        )
+        for table in ("orders", "lineitem", "events"):
+            for col, unit in catalog.ts_units(sf_dir, table):
+                assert unit == _footer(sf_dir, table).field(col).type.unit
+
+
+def test_nanos_fallback_read_path(spark, tmp_path) -> None:
+    """End-to-end proof the legacy-nanos branch still works: write an events
+    file with ns timestamps, load it through the catalog, and check the
+    values land on the same micros the us path produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from onebrc_spark.sources import catalog
+
+    src = catalog.load_table(spark, SMOKE_SF_DIR, "events").limit(50).toPandas()
+    tbl = pa.Table.from_pandas(src)
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        idx, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    d = str(tmp_path / "nsdir")
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/events.parquet", coerce_timestamps=None)
+    assert catalog.events_ts_unit(d) == "ns"
+    back = catalog.load_table(spark, d, "events")
+    assert [f.dataType for f in back.schema.fields if f.name == "ts"] == [
+        __import__("pyspark.sql.types", fromlist=["TimestampType"]).TimestampType()
+    ]
+    got = {r["event_id"]: r["ts"] for r in back.collect()}
+    want = dict(zip(src["event_id"], src["ts"]))
+    assert all(got[k] == want[k].to_pydatetime() for k in want)
 
 
 def test_events_timeline_span_is_days(spark) -> None:
