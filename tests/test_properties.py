@@ -325,3 +325,50 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df, max_iters=50).collect()
     }
     assert got == expected
+
+
+# --- X5b container codecs: property-based roundtrips (no Spark needed) ------
+
+
+def test_wav_roundtrip_properties():
+    """For ANY payload and sample rate: decode(build(x)) recovers channel
+    count, rate, and floor(len/2) samples — the property the mm_decode_real
+    oracle arithmetic relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from onebrc_spark.operators.multimodal import _build_wav, decode_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=4096),
+        rate=st.integers(min_value=1, max_value=192_000),
+    )
+    def check(payload: bytes, rate: int) -> None:
+        channels, got_rate, n_samples = decode_wav(_build_wav(payload, rate))
+        assert (channels, got_rate, n_samples) == (1, rate, len(payload) // 2)
+
+    check()
+
+
+def test_bmp_roundtrip_properties():
+    """For ANY pixel payload and dimensions: decode(build(x)) recovers the
+    header geometry, and the file length obeys 4-byte row stride."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from onebrc_spark.operators.multimodal import _build_bmp, decode_bmp
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pixels=st.binary(min_size=0, max_size=2048),
+        width=st.integers(min_value=1, max_value=128),
+        height=st.integers(min_value=1, max_value=96),
+    )
+    def check(pixels: bytes, width: int, height: int) -> None:
+        buf = _build_bmp(pixels, width, height)
+        assert decode_bmp(buf) == (width, height, 24)
+        stride = (width * 3 + 3) & ~3
+        assert len(buf) == 14 + 40 + stride * height
+
+    check()
