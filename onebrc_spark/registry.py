@@ -172,7 +172,9 @@ _PRIORITY = [
     "sql_agg_filter_clause",
     "sql_udf_declared",
     "agg_table_fingerprint",
-    # prior rows-only; queue for a hash-verified row once oracles land
+    # prior rows-only in r2, upgraded to real oracles in round 3 (md5
+    # simhash / arithmetic replay / integer-census / recall-band audit) —
+    # queued for hash-verified driver rows after the no-prior block above
     "dedup_simhash",
     "mm_frame_sample",
     "mm_feature_extract",
