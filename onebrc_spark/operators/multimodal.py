@@ -547,6 +547,21 @@ def _build_bmp(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+def _build_y4m(pixels: bytes, width: int, height: int, n_frames: int) -> bytes:
+    """Spec-valid YUV4MPEG2 (Y4M) stream: plain-text stream header, FRAME
+    markers, raw 4:2:0 planar frames — the one video container that needs
+    no codec. Dimensions must be even for C420."""
+    frame_len = width * height * 3 // 2
+    need = frame_len * n_frames
+    body = (pixels * (need // max(len(pixels), 1) + 1))[:need] if pixels else b"\0" * need
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    out = [header]
+    for i in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(body[i * frame_len : (i + 1) * frame_len])
+    return b"".join(out)
+
+
 def synthesize_containers(media: DataFrame) -> DataFrame:
     """mapInPandas producer: wrap each payload in a real container format
     (audio → PCM16 WAV at a media_id-derived sample rate; image → 24-bpp
@@ -565,8 +580,10 @@ def synthesize_containers(media: DataFrame) -> DataFrame:
                     built = _build_wav(raw, 8000 + int(mid) % 8 * 1000)
                 elif mtype == "image":
                     built = _build_bmp(raw, n % 64 + 1, n % 48 + 1)
-                else:
-                    continue  # no uncompressed container for 'video' here
+                else:  # video -> Y4M (even dims required by C420)
+                    built = _build_y4m(
+                        raw, 16 + n % 8 * 2, 12 + n % 6 * 2, 1 + n % 3
+                    )
                 out_id.append(mid)
                 out_type.append(mtype)
                 out_payload.append(built)
@@ -614,6 +631,41 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int]:
     return width, abs(height), bpp
 
 
+def decode_y4m(buf: bytes) -> tuple[int, int, int, int, int]:
+    """REAL Y4M decoder: parses the stream header tokens, walks FRAME
+    markers validating 4:2:0 frame sizes, returns
+    (width, height, n_frames, fps_num, fps_den). Raises on malformed input."""
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = fps_num = fps_den = None
+    colorspace = "C420"
+    for tok in buf[:nl].decode("ascii").split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok
+    if None in (width, height, fps_num, fps_den):
+        raise ValueError("missing W/H/F header tokens")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    frame_len = width * height * 3 // 2
+    pos, n_frames = nl + 1, 0
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if buf[pos : pos + 5] != b"FRAME" or fnl < 0:
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = fnl + 1 + frame_len
+        if pos > len(buf):
+            raise ValueError("truncated frame payload")
+        n_frames += 1
+    return width, height, n_frames, fps_num, fps_den
+
+
 def decode_containers(containers: DataFrame) -> DataFrame:
     """mapInPandas decode stage over real container bytes."""
 
@@ -626,12 +678,16 @@ def decode_containers(containers: DataFrame) -> DataFrame:
                     channels, rate, n_samples = decode_wav(buf)
                     dur.append(n_samples * 1000 // rate)
                     pix.append(0)
-                else:
+                elif mtype == "image":
                     width, height, bpp = decode_bmp(buf)
                     if bpp != 24:
                         raise ValueError(f"unexpected bpp {bpp}")
                     dur.append(0)
                     pix.append(width * height)
+                else:
+                    width, height, n_frames, num, den = decode_y4m(buf)
+                    dur.append(n_frames * 1000 * den // num)
+                    pix.append(width * height * n_frames)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -649,35 +705,42 @@ def decode_containers(containers: DataFrame) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' END
-               AS media_type,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
-      FROM documents WHERE doc_id % 3 < 2
+      FROM documents
     )
     SELECT media_type,
            count(*) AS n_items,
            CAST(sum(CASE WHEN media_type = 'audio'
                  THEN (n // 2) * 1000 // (8000 + (doc_id % 8) * 1000)
+                 WHEN media_type = 'video'
+                 THEN (1 + n % 3) * 40
                  ELSE 0 END) AS BIGINT) AS total_duration_ms,
            CAST(sum(CASE WHEN media_type = 'image'
                  THEN (n % 64 + 1) * (n % 48 + 1)
+                 WHEN media_type = 'video'
+                 THEN (16 + n % 8 * 2) * (12 + n % 6 * 2) * (1 + n % 3)
                  ELSE 0 END) AS BIGINT) AS total_pixels
     FROM p GROUP BY media_type ORDER BY media_type
     """,
-    survey_ref="X5b (real WAV/BMP container decode, no codec libs needed)",
+    survey_ref="X5b (real WAV/BMP/Y4M container decode, no codec libs needed)",
 )
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Genuine decode pipeline: synthesize spec-valid WAV/BMP files →
-    decode them by actually parsing the container structure (RIFF chunk
-    walk / BITMAPINFOHEADER) → aggregate durations and pixel counts.
+    """Genuine decode pipeline across all three modalities: synthesize
+    spec-valid WAV (audio), BMP (image), and Y4M (video) files → decode
+    them by actually parsing the container structure (RIFF chunk walk /
+    BITMAPINFOHEADER / YUV4MPEG2 header + FRAME walk) → aggregate
+    durations and pixel counts.
 
     The oracle replays the synthesis geometry arithmetically (sample count
-    from byte length, dimensions from length mod), so a decoder bug —
-    misread chunk size, wrong struct offset, stride error — breaks the
-    hash match. Unlike mm_decode_stats' declared stub, every byte of this
-    path does what its name says; compressed formats (JPEG/MP3) would slot
-    into the same two-stage shape given codec libraries."""
-    media = media_table(spark, sf_dir).filter(F.col("media_type") != "video")
+    from byte length, dimensions and frame counts from length mod), so a
+    decoder bug — misread chunk size, wrong struct offset, stride error,
+    frame-length drift — breaks the hash match. Unlike mm_decode_stats'
+    declared stub, every byte of this path does what its name says;
+    compressed formats (JPEG/MP3/H.264) would slot into the same two-stage
+    shape given codec libraries."""
+    media = media_table(spark, sf_dir)
     decoded = decode_containers(synthesize_containers(spread(media, spark)))
     return (
         decoded.groupBy("media_type")

@@ -372,3 +372,26 @@ def test_bmp_roundtrip_properties():
         assert len(buf) == 14 + 40 + stride * height
 
     check()
+
+
+def test_y4m_roundtrip_properties():
+    """For ANY even dimensions and frame count: decode(build(x)) recovers
+    the header geometry and exact frame count — the properties the
+    mm_decode_real video oracle arithmetic relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from onebrc_spark.operators.multimodal import _build_y4m, decode_y4m
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pixels=st.binary(min_size=0, max_size=1024),
+        width=st.integers(min_value=1, max_value=32).map(lambda x: x * 2),
+        height=st.integers(min_value=1, max_value=24).map(lambda x: x * 2),
+        n_frames=st.integers(min_value=1, max_value=5),
+    )
+    def check(pixels: bytes, width: int, height: int, n_frames: int) -> None:
+        got = decode_y4m(_build_y4m(pixels, width, height, n_frames))
+        assert got == (width, height, n_frames, 25, 1)
+
+    check()
