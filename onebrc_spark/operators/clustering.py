@@ -186,3 +186,111 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X11c: cluster-safe (leakage-free) train/val/test split -----------------
+
+
+@query(
+    "ml_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({minhash_pairs_sql()}),
+    nodes AS (
+      SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges
+    ), bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT b.dst AS id, r.root
+      FROM reach r JOIN bidir b ON b.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    ), grouped AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS gk
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), assigned AS (
+      SELECT doc_id, gk,
+             CASE WHEN b < 12 THEN 'train'
+                  WHEN b < 14 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, gk,
+               CASE WHEN ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) <= 57
+                    THEN ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) - 48
+                    ELSE ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) - 87
+               END AS b
+        FROM grouped
+      )
+    )
+    SELECT
+      CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+      CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+      CAST((SELECT count(*) FROM edges e
+            JOIN assigned a1 ON e.doc_a = a1.doc_id
+            JOIN assigned a2 ON e.doc_b = a2.doc_id
+            WHERE a1.split <> a2.split) AS BIGINT) AS leaked_pairs
+    FROM assigned
+    """,
+    survey_ref="X11c (cluster-aware split: near-dups share a split, leakage audited)",
+)
+def ml_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: a plain per-document hash split
+    puts near-duplicate documents in DIFFERENT splits (train/test leakage —
+    the classic eval-inflation bug); here every near-dup CLUSTER is
+    assigned as a unit. Pipeline: MinHash-LSH pairs → connected components
+    → group key = cluster id (or own doc_id for singletons) →
+    content-addressed 12/2/2 split on md5(group key) → one-row manifest
+    plus an explicit leakage audit (count of near-dup pairs straddling
+    splits — zero BY CONSTRUCTION, and the oracle recomputes it zero from
+    the same edge set, so a grouping bug breaks the hash).
+
+    Scale notes (100 TB): reuses the iterative component resolution
+    (localCheckpoint label propagation); assignment adds one narrow map on
+    (doc_id, cluster_id) and the audit joins the dim-sized assignment back
+    to the edge set — the corpus text never shuffles."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    grouped = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("gk")
+    )
+    a = F.ascii(F.substring(F.md5(F.col("gk").cast("string")), 1, 1))
+    bucket = F.when(a <= 57, a - 48).otherwise(a - 87)
+    assigned = grouped.select(
+        "doc_id",
+        "gk",
+        F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    leaked = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs"))
+    )
+    manifest = assigned.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.countDistinct("gk").alias("n_groups"),
+    )
+    return manifest.crossJoin(leaked)
