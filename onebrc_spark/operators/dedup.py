@@ -398,7 +398,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on band signature (only colliding docs pair) → exact shingle-
     Jaccard verification ≥ 0.7. The oracle reproduces the identical
     signatures/bands in DuckDB, so this is hash-verified end to end — LSH
-    prunes, Jaccard decides."""
+    prunes, Jaccard decides.
+
+    The verified pair set is memoized per (application, sf_dir) as an
+    eager localCheckpoint: four registered queries consume these pairs
+    (minhash itself, both cluster queries, the cluster-safe split), and
+    round 3 showed each call pinning a fresh `ws` persist — a slow
+    executor-memory leak across a 161-query drive. Now the shingle cache
+    lives only for the duration of this function (unpersisted in a finally)
+    and downstream consumers share one materialized pair set."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached.orderBy("doc_a", "doc_b")
+    ws = None
+    try:
+        pairs = _minhash_pairs_plan(spark, sf_dir)
+        ws = pairs._onebrc_ws_handle  # set by the plan builder
+        materialized = pairs.localCheckpoint()  # eager: runs while ws is hot
+    finally:
+        if ws is not None:
+            ws.unpersist()
+    _MINHASH_PAIRS_CACHE[key] = materialized
+    return materialized.orderBy("doc_a", "doc_b")
+
+
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized verified near-dup pair set, UNORDERED — for consumers
+    (cluster resolution, survivors, leakage-safe split) that don't need the
+    presentation sort dedup_minhash_lsh's query contract adds."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is None:
+        dedup_minhash_lsh(spark, sf_dir)  # populates the cache
+        cached = _MINHASH_PAIRS_CACHE[key]
+    return cached
+
+
+def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered verified near-dup pairs (doc_a, doc_b, jaccard) plan; the
+    transient shingle persist is exposed as `._onebrc_ws_handle` so the
+    caller can release it after materialization."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     # persist: ws feeds the signature path AND both sides of the
     # verification join — without it the shingling recomputes 3×.
@@ -437,13 +480,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
     jac = inter / union
-    return (
+    out = (
         candidates.join(wa, "doc_a")
         .join(wb, "doc_b")
         .filter(jac >= _MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+    out._onebrc_ws_handle = ws
+    return out
 
 
 def simhash64(hashes_col: Column, bits: int = 64) -> Column:

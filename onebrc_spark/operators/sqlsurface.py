@@ -11,6 +11,7 @@ tests/test_plans.py for the flagship).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import register_views
@@ -515,14 +516,64 @@ def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting) shape: for finished
     multi-supplier orders, find the supplier whose line shipped late while
     every co-supplier's line was on time — the canonical EXISTS + NOT
-    EXISTS pair against the same fact table.
+    EXISTS pair against the same fact table (the oracle keeps that form).
 
-    Catalyst turns the pair into a LEFT SEMI then a LEFT ANTI join, both
-    keyed on l_orderkey — three passes over lineitem total, all
-    shuffle-partitioned the same way so AQE can reuse the exchange. The
-    `<>` supplier condition rides as the join residual."""
+    Catalyst decorrelates the SQL form into LeftSemi + LeftAnti joins, but
+    round 3's bench showed what `.explain` confirms: the three lineitem
+    branches do NOT share an exchange (0 ReusedExchange), so the fact is
+    scanned and shuffled three times — the 1.3× regression. The Spark plan
+    here is the algebraic rewrite of the same predicate: per order, the
+    EXISTS pair is exactly `n_distinct_suppliers ≥ 2 AND
+    n_distinct_LATE_suppliers == 1 AND this row is late` — so ONE scan of
+    lineitem, one shuffle by l_orderkey (the groupBy reuses the join
+    partitioning — no second exchange), and numwait = the late-row count
+    of each order's unique late supplier. Pinned by
+    tests/test_plans.py::test_q21_single_lineitem_scan (one lineitem scan,
+    no LeftSemi/LeftAnti rescans)."""
     register_views(spark, sf_dir)
-    return spark.sql(_TPCH_Q21_SQL)
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        spark.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    ).cast("int")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    # Two-level aggregation instead of countDistinct×2: a single groupBy
+    # with two DISTINCT aggregates compiles to an Expand (3× the shuffle
+    # rows); per-(order, supplier) partials first make the wide shuffle
+    # carry compact pre-aggregated rows, and both groupBys' clustering is
+    # satisfied by the join's l_orderkey partitioning (subset rule), so
+    # neither adds an exchange.
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"), F.sum("late").alias("late_rows")
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("any_late").alias("n_late_supp"),
+            F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+            # with exactly one late supplier, Σ late_rows IS that
+            # supplier's late-line count (on-time suppliers contribute 0)
+            F.sum("late_rows").alias("n_late_rows"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
 
 
 _TPCH_Q22_SQL = """

@@ -187,15 +187,24 @@ def test_q19_disjunction_splits_to_both_scans(spark):
     assert "CartesianProduct" not in txt and "NestedLoop" not in txt
 
 
-def test_q21_decorrelates_to_semi_and_anti(spark):
+def test_q21_single_lineitem_scan(spark):
+    """The q21 rewrite's whole point: the EXISTS + NOT EXISTS pair is
+    folded into per-order distinct-supplier counts, so lineitem is scanned
+    ONCE (the SQL decorrelation scans it three times with no
+    ReusedExchange — round-3 regression), and the top-20 fuses into
+    TakeOrderedAndProject."""
     from onebrc_spark.operators.sqlsurface import sql_tpch_q21_shape
+
+    import re
 
     df = sql_tpch_q21_shape(spark, SMOKE_SF_DIR)
     txt = explain_str(df)
-    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed joins (no
-    # per-order re-execution), top-20 fused into TakeOrderedAndProject.
-    assert "LeftSemi" in txt, txt
-    assert "LeftAnti" in txt, txt
+    scans = re.findall(r"Location:[^\n]*lineitem", txt)
+    assert len(scans) == 1, txt
+    assert "LeftSemi" not in txt and "LeftAnti" not in txt, txt
+    # two countDistincts would compile to an Expand (3x shuffle volume);
+    # the two-level aggregation must keep the plan Expand-free
+    assert "Expand" not in txt, txt
     assert "TakeOrderedAndProject" in txt
     assert "CartesianProduct" not in txt
 

@@ -325,6 +325,36 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df, max_iters=50).collect()
     }
     assert got == expected
+    # the star-contraction path must agree on the same graph
+    got_star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, max_iters=50, algorithm="star").collect()
+    }
+    assert got_star == expected
+
+
+def test_connected_components_deep_chain(spark):
+    """A 61-node chain (diameter 60) exceeds the propagation iteration cap;
+    auto mode must escalate to large-star/small-star and still return exact
+    min-labels in O(log n) rounds — round 3's implementation raised here."""
+    from onebrc_spark.operators.clustering import connected_components
+
+    n = 61
+    # two disjoint chains, ids interleaved so labels aren't trivially sorted:
+    # chain A over even ids 0,2,..,120 and chain B over odd ids 1,3,..,121
+    edges = [(2 * i, 2 * (i + 1)) for i in range(n - 1)]
+    edges += [(2 * i + 1, 2 * (i + 1) + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    expected = {2 * i: 0 for i in range(n)} | {2 * i + 1: 1 for i in range(n)}
+    assert got == expected
+    # pure label mode must still refuse (documented diameter bound)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iters=10, algorithm="label")
 
 
 # --- X5b container codecs: property-based roundtrips (no Spark needed) ------
