@@ -38,7 +38,10 @@ HEADLINE = [
     "window_topn_per_group",
     "evt_session_window",
     "dedup_minhash_lsh",
-    "sim_ann_lsh",
+    # banded (4×12) construction is the scale path; the single-table 8-bit
+    # sim_ann_lsh stays registered as the teaching variant but its N²/256
+    # candidate growth is not what we want to certify at 100 TB.
+    "sim_ann_lsh_banded",
     "text_ngram_tf",
     # round-2 surface: cluster resolution (iterative joins), MERGE (full-
     # outer on key), Z-order audit (pure bit arithmetic), weighted sampling.

@@ -198,14 +198,54 @@ def banded_lsh_buckets(e: DataFrame, n_bands: int, rows_per_band: int) -> DataFr
     at 100 TB.
     """
     planes = banded_hyperplanes(n_bands, rows_per_band)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                _bucket_for(F.col("embedding"), planes[band]).alias("bucket"),
+    # ONE Literal node holding all bands' planes, consumed by nested
+    # higher-order functions — NOT n_bands×rows separate inlined fold
+    # expressions. The unrolled form was ~3.5 s of constant per-call
+    # planning/codegen overhead (measured flat across sf0.01 and sf0.1);
+    # this form is a constant-size expression tree regardless of band
+    # count. The fold order inside each dot product is unchanged
+    # (sequential over dims, cast-to-double multiply, 0.0 init), so bucket
+    # ids stay bit-equal to the DuckDB oracle's inlined constants.
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(v)}D" for v in plane) + ")"
+                for plane in band
             )
-            for band in range(n_bands)
-        ]
+            + ")"
+            for band in planes
+        )
+        + ")"
+    )
+    emb = F.col("embedding")
+
+    def dot(plane: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    entries = F.transform(
+        planes_lit,
+        lambda band_planes, band: F.struct(
+            band.cast("int").alias("band"),
+            F.aggregate(
+                F.transform(
+                    band_planes,
+                    lambda plane, j: F.when(
+                        # 1 << j, as an exact power of two (shiftleft needs
+                        # a Python-int bit count; j here is a Column)
+                        dot(plane) > 0,
+                        F.pow(F.lit(2.0), j.cast("double")).cast("int"),
+                    ).otherwise(0),
+                ),
+                F.lit(0),
+                lambda s, x: s + x,
+            ).alias("bucket"),
+        ),
     )
     return e.select("vec_id", "embedding", F.explode(entries).alias("bb")).select(
         "vec_id", "embedding", "bb.band", "bb.bucket"
@@ -326,6 +366,89 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _ANN_COS_MIN)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _banded_pairs_sql() -> str:
+    """DuckDB twin of banded_lsh_pairs(4, 12) + exact-cosine verification —
+    the sim_ann_lsh_banded oracle body. Same inlined hyperplane constants
+    as the Spark plan, so buckets and cosines are bit-equal."""
+    planes = banded_hyperplanes(_STATS_BANDS, _STATS_ROWS)
+    band_tables = " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"{_bucket_sql_for('embedding', planes[band])} AS bucket FROM embeddings"
+        for band in range(_STATS_BANDS)
+    )
+    return f"""
+    WITH bands AS ({band_tables}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    , verified AS (
+      SELECT id_a, id_b,
+             round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM verified
+    WHERE cos_sim >= {_ANN_COS_MIN}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "sim_ann_lsh_banded",
+    oracle=_banded_pairs_sql(),
+    survey_ref="X3 (banded LSH ANN pairs: the 100 TB candidate path)",
+)
+def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-neighbor pairs via BANDED sign-LSH (4 bands × 12 planes),
+    exact cosine ≥ {_ANN_COS_MIN} on candidates only — the headline ANN
+    pairs query.
+
+    Why this replaces the single-table sim_ann_lsh as the headline: one
+    8-plane table is 256 buckets forever, so candidate pairs grow as
+    N²/256 — quadratic at 100× embeddings. Here each band has 2^12 buckets
+    and rows_per_band tracks log2(N) (see banded_lsh_buckets), keeping
+    per-band candidate load ~O(N) with recall restored by band count —
+    1 - (1 - p^rows)^bands. The candidate census that prices this join
+    before launch is sim_lsh_candidate_stats (same plane constants);
+    tests/test_plans.py pins the sub-quadratic candidate bound.
+
+    Plan shape: explode to (vec_id, embedding, band, bucket) and shuffle
+    ONCE on (band, bucket) with the embedding carried through — the exact
+    cosine is computed inside the band join and the ≥threshold filter runs
+    BEFORE the pair-dedup, so no separate verification join is needed (two
+    joins saved; a candidate colliding in k≤4 bands pays k cosine folds,
+    cheaper than re-joining the embedding table twice). Shuffle payload is
+    n_bands × the vector (~1 KB/vec at 64 dims) — linear in corpus size.
+    Candidate pruning and exact verification are the same
+    LSH-prunes/cosine-decides contract as dedup_minhash_lsh."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    b = banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
+    a = b.alias("a")
+    bb = b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= _ANN_COS_MIN)
+        .distinct()  # a pair may collide in several bands; cosine is
+        # deterministic (fixed-order fold) so the copies are identical rows
         .orderBy("id_a", "id_b")
     )
 

@@ -92,93 +92,91 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 3): the correctness driver verifies the
-# FIRST 50 registry entries per round. r1+r2 covered ~97 distinct queries, so
-# this round's window is: (a) the four driver-red r2 rows (all one root cause
-# — the events.ts nanos->micros testdata drift, fixed by the catalog footer
-# sniffer) for re-verification, (b) the flagship, pinned every round, and
-# (c) 45 oracle-bearing queries that have NEVER had a driver row (round-2
-# additions in slots 51+ of the old ordering, plus the five ts-fixed rows
-# the driver never reached). The remaining ts-affected r1-green rows
-# (join_asof, join_range_interval, window_lag_lead) sit at 51-53 in case the
-# driver checks more than 50. Every query not in the window stays pinned
-# locally by tests/test_oracle_parity.py, which runs the same oracle
-# comparison (plus a driver-strict canonicalizer) over ALL queries.
+# Driver-coverage rotation (round 4): the correctness driver verifies the
+# FIRST 50 registry entries per round. After r3's 50/50-green window, 24
+# registered queries remain that have never had a driver-green row on their
+# CURRENT oracle (19 never checked + 5 whose only row predates an oracle
+# upgrade) — VERDICT.md round-3 task 2 lists them; they are front-loaded
+# here so round 4 closes 161/161 cumulative driver coverage. Also in-window:
+# (a) the flagship + the four event-time rows, pinned every round, and
+# (b) every query whose IMPLEMENTATION changed this round (cluster
+# components/survivors, minhash memoization, the q21 single-pass rewrite,
+# the banded-LSH headline ANN) — changed code needs fresh driver proof, not
+# a stale green row. Every query not in the window stays pinned locally by
+# tests/test_oracle_parity.py, which runs the same oracle comparison (plus
+# a driver-strict canonicalizer) over ALL queries.
 _PRIORITY = [
-    # (a) driver-red in r2 — ts-unit root cause, re-verify after the fix
+    # (a) pinned every round
+    "onebrc_flagship",
     "evt_tumbling_window",
     "evt_sliding_window",
     "evt_session_window",
     "evt_watermark_late_drop",
-    # (b) flagship, pinned
-    "onebrc_flagship",
-    # (c) ts-fixed rows with no prior driver row
-    "join_asof_forward",
-    "evt_gap_fill_locf",
-    "evt_gap_fill_lerp",
-    "evt_retention_cohorts",
-    "agg_partial_reaggregation",
-    # (c) never driver-checked, oracle-bearing (round-2 additions)
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    "cdc_merge_upsert",
-    "cdc_snapshot_diff",
-    "ml_stratified_sample",
-    "ml_temperature_mix",
-    "ml_quantile_filter",
-    "ml_fixed_size_sample",
-    "ml_sequence_packing",
-    "ml_contamination_ngram",
-    "text_inverted_index",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_stopword_removal",
-    "text_pii_redaction",
-    "sim_lsh_candidate_stats",
-    "sql_recursive_cte",
-    "sql_lateral_topn",
-    "sql_tpch_q4_shape",
-    "sql_tpch_q13_shape",
-    "sql_tpch_q14_shape",
-    "sql_tpch_q17_shape",
-    "sql_tpch_q18_shape",
-    "sql_tpch_q19_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q22_shape",
-    "storage_orc_roundtrip",
-    "storage_zorder_layout",
-    "fn_variant_json",
-    "udtf_chunk_documents",
-    "agg_hll_sketch_merge",
-    "agg_equidepth_histogram",
-    "agg_rank_correlation",
-    "agg_approx_percentile",
-    "agg_bitmap_distinct",
-    "dq_constraint_audit",
-    "dq_observe_metrics",
-    "evt_transition_matrix",
-    "src_python_datasource",
-    "mm_byte_stats_arrow",
-    # ---- slot 51+ ----
-    # ts-affected rows that were r1-green on the OLD data — re-proof targets
-    "join_asof",
-    "join_range_interval",
-    "window_lag_lead",
-    # never-driver-checked spillover (locally green, low-risk scalar shapes)
+    # (b) the 24 never-driver-green-on-current-oracle rows (VERDICT r3 §2)
+    "dedup_simhash",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "agg_approx_count_distinct",
+    "onebrc_generated",
+    "sim_ann_ivf_trained",
+    "mm_decode_real",
+    "ml_cluster_safe_split",
+    "ml_deterministic_shard",
+    "sim_embedding_quantize",
+    "text_unigram_rarity",
+    "agg_table_fingerprint",
+    "sql_tpch_q7_shape",
+    "sql_tpch_q8_shape",
+    "sql_tpch_q9_shape",
+    "sql_tpch_q10_shape",
+    "sql_tpch_q15_shape",
+    "sql_tpch_q20_shape",
+    "sql_agg_filter_clause",
+    "sql_udf_declared",
     "fn_map_roundtrip",
     "fn_url_parse",
     "fn_collation_ci",
     "fn_try_arithmetic",
-    "sql_agg_filter_clause",
-    "sql_udf_declared",
-    "agg_table_fingerprint",
-    # prior rows-only in r2, upgraded to real oracles in round 3 (md5
-    # simhash / arithmetic replay / integer-census / recall-band audit) —
-    # queued for hash-verified driver rows after the no-prior block above
-    "dedup_simhash",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "sim_ann_ivf_trained",
+    # (c) implementation changed in round 4 — fresh proof required
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "sql_tpch_q21_shape",
+    "sim_ann_lsh_banded",
+    # (d) remaining window: r1-green rows never re-proven since the
+    # testdata regenerations — rotate through the big operator families
+    "join_asof",
+    "join_range_interval",
+    "window_lag_lead",
+    "agg_tpch_q1",
+    "join_inner_fact",
+    "join_broadcast_dims",
+    "join_semi_anti",
+    "window_topn_per_group",
+    "window_running_frames",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_knn_bruteforce",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "text_token_stats",
+    "text_langid",
+    "evt_funnel",
+    "udf_scalar_sigmoid",
+    "udf_grouped_map_zscore",
+    "fn_json",
+    "onebrc_report",
+    # ---- slot 51+ (driver may check more than 50; keep useful order) ----
+    "ml_hash_split",
+    "ml_source_mix",
+    "cdc_merge_upsert",
+    "cdc_snapshot_diff",
+    "storage_csv_roundtrip",
+    "storage_zorder_layout",
+    "agg_hll_sketch_merge",
+    "mm_byte_stats_arrow",
+    "udtf_chunk_documents",
+    "sim_lsh_candidate_stats",
 ]
 
 

@@ -134,6 +134,35 @@ def test_banded_lsh_candidates_bounded_as_corpus_grows(spark):
     assert b_big < f_big  # banded strictly cheaper once N >> 2^8
 
 
+def test_banded_pairs_bounded_by_census(spark):
+    """The headline ANN query's candidate join must agree with (and be
+    bounded by) the planning-time census sim_lsh_candidate_stats computes:
+    distinct pairs ≤ Σ per-band C(occupancy, 2), and that census is
+    sub-quadratic — a tiny fraction of all N(N-1)/2 pairs. This ties the
+    registered sim_ann_lsh_banded query to the scale claim, not just the
+    abstract construction."""
+    from onebrc_spark.operators.similarity import (
+        _STATS_BANDS,
+        _STATS_ROWS,
+        banded_lsh_buckets,
+        banded_lsh_pairs,
+    )
+    from onebrc_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = e.count()
+    pairs = banded_lsh_pairs(e, _STATS_BANDS, _STATS_ROWS).count()
+    occ = (
+        banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
+        .groupBy("band", "bucket")
+        .count()
+    )
+    c = F.col("count")
+    census = occ.agg(F.sum(c * (c - 1) / 2)).first()[0] or 0
+    assert pairs <= census, (pairs, census)
+    assert census < 0.05 * n * (n - 1) / 2, (census, n)
+
+
 def test_approx_count_distinct_within_tolerance(spark, duck):
     """A8 scale path, verified not just runnable: the HLL++ estimate must be
     within 2·rsd of the exact distinct count per group (rsd=0.01 in the
