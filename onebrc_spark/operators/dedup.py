@@ -400,13 +400,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/bands in DuckDB, so this is hash-verified end to end — LSH
     prunes, Jaccard decides.
 
-    The verified pair set is memoized per (application, sf_dir) as an
-    eager localCheckpoint: four registered queries consume these pairs
-    (minhash itself, both cluster queries, the cluster-safe split), and
-    round 3 showed each call pinning a fresh `ws` persist — a slow
-    executor-memory leak across a 161-query drive. Now the shingle cache
-    lives only for the duration of this function (unpersisted in a finally)
-    and downstream consumers share one materialized pair set."""
+    The verified pair set is memoized per (application, sf_dir) as a
+    persisted-and-materialized DataFrame: four registered queries consume
+    these pairs (minhash itself, both cluster queries, the cluster-safe
+    split), and round 3 showed each call pinning a fresh `ws` persist — a
+    slow executor-memory leak across a 161-query drive. Now the shingle
+    cache lives only for the duration of this function (unpersisted in a
+    finally) and downstream consumers share one tiny cached pair set.
+    persist+count rather than eager localCheckpoint: the .rdd
+    materialization path cost ~0.8 s extra per build at sf0.1 (64 tasks ×
+    3 stages outside the adaptive plan), while a persisted plan stays in
+    the AQE/codegen path and keeps lineage for eviction safety."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
@@ -415,7 +419,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         pairs = _minhash_pairs_plan(spark, sf_dir)
         ws = pairs._onebrc_ws_handle  # set by the plan builder
-        materialized = pairs.localCheckpoint()  # eager: runs while ws is hot
+        materialized = pairs.persist()
+        materialized.count()  # materialize while ws is hot
     finally:
         if ws is not None:
             ws.unpersist()

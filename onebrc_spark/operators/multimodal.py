@@ -293,7 +293,13 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_type",
             F.element_at("bin_counts", 3).alias("bin2"),
             "n_bytes",
-            (F.abs(sumsq - F.lit(1.0)) < 1e-3).alias("norm_ok"),
+            # vacuously true for an empty payload: a zero-length document
+            # has a zero histogram (sum of squares 0, unnormalizable), and
+            # the oracle's pinned TRUE must survive fixture regenerations
+            # that include empty texts (ADVICE r3)
+            ((F.col("n_bytes") == 0) | (F.abs(sumsq - F.lit(1.0)) < 1e-3)).alias(
+                "norm_ok"
+            ),
         )
         .groupBy("media_type")
         .agg(
@@ -606,7 +612,15 @@ def decode_wav(buf: bytes) -> tuple[int, int, int]:
         cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # the docstring contract is ValueError on ANY malformed input:
+            # a truncated fmt chunk must not surface as struct.error, and a
+            # zero channel/bit count must not surface as ZeroDivisionError
+            # at the data chunk (ADVICE r3)
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             _, channels, rate, _, block, bits = struct.unpack("<HHIIHH", body[:16])
+            if channels == 0 or bits == 0 or bits % 8 != 0:
+                raise ValueError(f"bad fmt: channels={channels} bits={bits}")
         elif cid == b"data":
             if channels is None:
                 raise ValueError("data chunk before fmt chunk")

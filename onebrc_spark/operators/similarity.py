@@ -676,11 +676,11 @@ def kmeans_fit(
 
 @query(
     "sim_ann_ivf_trained",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS ivf_complete,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
     """,
     survey_ref="X3 (IVF with k-means-trained coarse quantizer, probe-2)",
 )
@@ -695,24 +695,39 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted centroids are data-dependent, so no literal SQL twin of the
     retrieval exists; instead the query AUDITS ITSELF against exact
     brute-force kNN computed in the same plan and emits
-    (n_queries, ivf_complete, recall_ok) — complete = every query returned
-    exactly k rows, recall_ok = overall recall@5 vs exact ≥ 0.30 (measured
-    0.42-0.58 across sf0.001-0.1; random retrieval would score ~0.1%). The
-    DuckDB oracle pins n_queries exactly and the booleans TRUE — the same
-    tolerance-band pattern as the HLL sketch rows. Determinism and inertia
-    descent of the fit are pinned in tests/test_properties.py."""
+    (n_queries, ivf_complete, recall_ok). Both booleans are defined so a
+    benign testdata regeneration cannot flip them (ADVICE r3):
+    ivf_complete checks the OPERATOR CONTRACT — every query returns
+    exactly min(k, candidates available in its probed cells) rows — not
+    the data property "probed cells hold ≥ k candidates"; recall_ok is an
+    anti-degenerate band (recall@5 vs exact ≥ 0.05, ~50× random's ~0.001)
+    rather than a corpus-tuned quality gate — the measured 0.42-0.58
+    probe-2 recall on the current fixtures is asserted where data is
+    pinned, in tests. The DuckDB oracle pins n_queries exactly and the
+    booleans TRUE — the same tolerance-band pattern as the HLL sketch
+    rows. Determinism and inertia descent of the fit are pinned in
+    tests/test_properties.py."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     cents = kmeans_fit(e)
     cs = F.array(
         *[cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in cents]
     )
-    best = F.array_max(cs)
-    second = F.array_max(F.array_remove(cs, best))
+    # Probe cells chosen POSITIONALLY: array_remove(cs, max) drops ALL
+    # values equal to the max, so an exact cosine tie between the two
+    # nearest centroids skipped the true second cell (ADVICE r3). Masking
+    # the argmax INDEX (cosine ≥ -1 > the -2 sentinel) makes ties resolve
+    # deterministically to the first maximal cell, then the first of the
+    # remaining maxima.
+    best_idx = F.array_position(cs, F.array_max(cs))
+    masked = F.transform(
+        cs,
+        lambda x, i: F.when(i + 1 == best_idx, F.lit(-2.0)).otherwise(x),
+    )
     celled = e.select(
         "vec_id",
         "embedding",
-        F.array_position(cs, best).alias("cell"),
-        F.array_position(cs, second).alias("cell2"),
+        best_idx.alias("cell"),
+        F.array_position(masked, F.array_max(masked)).alias("cell2"),
     )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -763,16 +778,32 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
         )
     )
-    return audit.agg(
+    # Contract check: every query returns exactly min(k, candidates in its
+    # probed cells) rows. A query whose two cells are near-empty (possible
+    # on any regenerated fixture) lowers its EXPECTATION rather than
+    # failing the audit; queries with zero probed candidates are vacuously
+    # fine (absent from both sides).
+    contract = (
+        scored.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+        .join(ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ret")), "qid", "left")
+        .select(
+            (
+                F.coalesce("n_ret", F.lit(0))
+                == F.least(F.lit(_KNN_K), F.col("n_cand"))
+            ).alias("ok")
+        )
+        .agg(F.coalesce(F.every("ok"), F.lit(True)).alias("ivf_complete"))
+    )
+    summary = audit.agg(
         F.countDistinct("qid").alias("n_queries"),
         (
-            F.sum(F.when(F.col("in_ivf"), 1).otherwise(0))
-            == F.countDistinct("qid") * _KNN_K
-        ).alias("ivf_complete"),
-        (
             F.sum(F.when(F.col("in_ivf") & F.col("in_exact"), 1).otherwise(0))
-            >= F.countDistinct("qid") * _KNN_K * 0.30
+            >= F.sum(F.when(F.col("in_exact"), 1).otherwise(0)) * 0.05
         ).alias("recall_ok"),
+    )
+    return summary.crossJoin(contract).select(
+        "n_queries", "ivf_complete", "recall_ok"
     )
 
 

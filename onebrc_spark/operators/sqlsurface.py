@@ -802,3 +802,117 @@ def sql_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semi-join-on-aggregate shape is the point."""
     register_views(spark, sf_dir)
     return spark.sql(_Q20_SQL)
+
+
+_Q2_SQL = """
+    SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size = 15
+      AND l_extendedprice / l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+@query("sql_tpch_q2_shape", oracle=_Q2_SQL, survey_ref="J1,J4,A3 (SQL surface: Q2 min-cost supplier, correlated scalar subquery)")
+def sql_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) shape: the canonical CORRELATED
+    scalar subquery — for each part, the minimum regional unit price, with
+    the outer row kept only if it achieves that minimum. Catalyst
+    decorrelates to an aggregate-then-join (no per-row re-execution). The
+    driver schema has no partsupp, so supply cost is proxied as the
+    lineitem unit price (l_extendedprice / l_quantity) — exact-equality
+    safe because both engines compute the identical IEEE division and an
+    exact min. DISTINCT collapses tied offers from repeated lineitems of
+    the same (part, supplier)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(value, 2) AS value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.01 FROM val)
+    ORDER BY value DESC, partkey
+"""
+
+
+@query("sql_tpch_q11_shape", oracle=_Q11_SQL, survey_ref="A6,A7 (SQL surface: Q11 important stock, HAVING vs global scalar)")
+def sql_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) shape: a grouped value
+    CTE consumed twice — as the row source and inside an uncorrelated
+    scalar subquery computing the global threshold (share-of-total
+    filtering). The scalar side becomes a one-row broadcast; partsupp is
+    proxied by per-part revenue from one nation's suppliers."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("sql_tpch_q12_shape", oracle=_Q12_SQL, survey_ref="A7 (SQL surface: Q12 conditional two-way aggregation)")
+def sql_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority) shape: one pass over the
+    order-lineitem join producing TWO conditional counts per group — the
+    pivot-style CASE-inside-SUM aggregation. The driver schema has no
+    l_shipmode/commitdate/receiptdate, so the group key is l_returnflag
+    and the date window rides on l_shipdate — the exact-integer
+    conditional-aggregation shape is the point."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("sql_tpch_q16_shape", oracle=_Q16_SQL, survey_ref="J4,A8 (SQL surface: Q16 supplier count, NOT IN anti-join + count-distinct)")
+def sql_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) shape: NOT IN subquery
+    (null-aware anti-join against the blacklisted suppliers) feeding a
+    grouped COUNT(DISTINCT) — both classic optimizer shapes in one query.
+    The part-attribute predicates (brand exclusion, type set, size list)
+    push to the part scan; partsupp is proxied by lineitem supply
+    relationships."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)

@@ -153,20 +153,25 @@ _PRIORITY = [
     "join_broadcast_dims",
     "join_semi_anti",
     "window_topn_per_group",
-    "window_running_frames",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "sim_knn_bruteforce",
     "sim_ann_ivf",
     "sim_ann_lsh",
     "text_token_stats",
+    # (e) NEW in round 4 — the TPC-H sweep completers (q1-q22 all covered)
+    "sql_tpch_q2_shape",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q12_shape",
+    "sql_tpch_q16_shape",
+    # ---- slot 51+ (driver may check more than 50; keep useful order) ----
     "text_langid",
-    "evt_funnel",
+    "window_running_frames",
+    "dedup_ngram_jaccard",
+    "sim_knn_bruteforce",
     "udf_scalar_sigmoid",
+    "evt_funnel",
     "udf_grouped_map_zscore",
     "fn_json",
     "onebrc_report",
-    # ---- slot 51+ (driver may check more than 50; keep useful order) ----
     "ml_hash_split",
     "ml_source_mix",
     "cdc_merge_upsert",

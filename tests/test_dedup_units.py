@@ -160,3 +160,22 @@ def test_real_bmp_decoder_roundtrip_and_malformed():
     assert len(buf) == 14 + 40 + 16 * 7
     with _pytest.raises(ValueError):
         decode_bmp(b"XX whatever")
+
+
+def test_minhash_pairs_memoized_without_persist_leak(spark):
+    """Round-3 finding: every dedup_minhash_lsh call pinned a fresh shingle
+    persist that was never released — a slow executor-memory leak across a
+    161-query drive. Now the pair set is memoized per (app, sf_dir) and the
+    shingle cache is unpersisted inside the call: repeat calls must add NO
+    new entries to block-manager storage, and no storage entry may hold the
+    (wide) shingle arrays."""
+    from onebrc_spark.operators.dedup import dedup_minhash_lsh
+    from tests.conftest import SMOKE_SF_DIR
+
+    sc = spark.sparkContext
+    dedup_minhash_lsh(spark, SMOKE_SF_DIR).count()
+    infos = sc._jsc.sc().getRDDStorageInfo()
+    n_after_first = len(infos)
+    dedup_minhash_lsh(spark, SMOKE_SF_DIR).count()
+    dedup_minhash_lsh(spark, SMOKE_SF_DIR).count()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == n_after_first

@@ -26,9 +26,8 @@ def test_query_matches_oracle(spark, duck, name):
     assert_match(sdf, rel, name=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    q = ALL[name]
-    sdf = q.fn(spark, SF_DIR)
-    assert len(sdf.columns) > 0
-    assert sdf.count() >= 0
+def test_every_registered_query_has_an_oracle():
+    """All 161 registered queries carry a DuckDB oracle since round 3; the
+    old rows-only parametrize collected zero tests and read as a permanent
+    skip. Pin the invariant directly instead."""
+    assert ROWS_ONLY == [], ROWS_ONLY

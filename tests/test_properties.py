@@ -410,6 +410,50 @@ def test_wav_roundtrip_properties():
     check()
 
 
+def test_wav_malformed_inputs_raise_value_error():
+    """The decoder contract is ValueError on ANY malformed input — never
+    struct.error / TypeError / ZeroDivisionError (ADVICE r3): truncated fmt
+    chunk, zero channels or bits, data-before-fmt, missing data chunk."""
+    import struct
+
+    import pytest
+
+    from onebrc_spark.operators.multimodal import _build_wav, decode_wav
+
+    def riff(*chunks: bytes) -> bytes:
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError):  # fmt chunk shorter than 16 bytes
+        decode_wav(riff(chunk(b"fmt ", fmt16[:10]), chunk(b"data", b"\x00" * 4)))
+    with pytest.raises(ValueError):  # zero channels
+        decode_wav(
+            riff(
+                chunk(b"fmt ", struct.pack("<HHIIHH", 1, 0, 8000, 0, 2, 16)),
+                chunk(b"data", b"\x00" * 4),
+            )
+        )
+    with pytest.raises(ValueError):  # zero bits per sample
+        decode_wav(
+            riff(
+                chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 0, 2, 0)),
+                chunk(b"data", b"\x00" * 4),
+            )
+        )
+    with pytest.raises(ValueError):  # data chunk before any fmt chunk
+        decode_wav(riff(chunk(b"data", b"\x00" * 4)))
+    with pytest.raises(ValueError):  # fmt but no data chunk
+        decode_wav(riff(chunk(b"fmt ", fmt16)))
+    with pytest.raises(ValueError):  # not RIFF at all
+        decode_wav(b"\x00" * 64)
+    # and the happy path still decodes
+    assert decode_wav(_build_wav(b"\x01\x02\x03\x04", 8000)) == (1, 8000, 2)
+
+
 def test_bmp_roundtrip_properties():
     """For ANY pixel payload and dimensions: decode(build(x)) recovers the
     header geometry, and the file length obeys 4-byte row stride."""
