@@ -21,6 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from onebrc_spark import registry
+from onebrc_spark.operators.dedup import clear_pair_cache
 from onebrc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,11 +164,24 @@ def main() -> None:
         # recompilation cost, not execution drift. A tiny re-warm restores
         # the steady-state the header promises to measure.
         q.fn(spark, WARMUP_SF_DIR).count()
-        t0 = time.time()
-        df = q.fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr, flush=True)
+        # Best of two timed runs: single-shot times on a shared box showed
+        # 2-3x run-to-run swings on sub-second queries (GC pauses, page
+        # cache, scheduler noise) that read as phantom regressions across
+        # rounds; the minimum is the steady-state cost of the PLAN, which
+        # is what this bench certifies.
+        runs = []
+        for _ in range(2):
+            # each timed run pays its own full cost: the minhash pair-set
+            # memo would otherwise make the second run (and every later
+            # pair-consuming query) a cache hit, under-reporting the plan
+            clear_pair_cache()
+            t0 = time.time()
+            df = q.fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
+        print(f"# {name}: {n} rows in {times[name]}s (runs: "
+              f"{', '.join(f'{r:.3f}' for r in runs)})", file=sys.stderr, flush=True)
 
     _print_deltas_vs_last_round(times)
 

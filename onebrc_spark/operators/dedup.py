@@ -431,6 +431,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
+def clear_pair_cache() -> None:
+    """Release every memoized pair set (bench hook: per-query standalone
+    cost accounting requires each timed run to rebuild from scratch)."""
+    for df in _MINHASH_PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _MINHASH_PAIRS_CACHE.clear()
+
+
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The memoized verified near-dup pair set, UNORDERED — for consumers
     (cluster resolution, survivors, leakage-safe split) that don't need the

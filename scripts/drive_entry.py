@@ -70,5 +70,12 @@ for name, fn in sorted(qs.items()):
             traceback.print_exc()
     print(f"  {name:32s} {status:20s} {time.time()-t0:5.1f}s", flush=True)
 
+# Storage hygiene report (round-3 finding: per-call persists leaking across
+# a full drive). Expected steady state: a handful of entries — the memoized
+# minhash pair set per sf_dir plus bounded iterative-op checkpoints —
+# NOT one shingle cache per dedup query executed.
+_storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+print(f"block-manager storage after drive: {len(_storage)} persisted RDDs")
+
 print(f"\n{checked - len(failed)}/{checked} OK; failed: {failed}")
 sys.exit(1 if failed else 0)

@@ -367,3 +367,26 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q2_correlated_subquery_decorrelates(spark):
+    """The Q2-shape correlated min subquery must decorrelate to an
+    aggregate-then-join (no per-outer-row subquery re-execution, no
+    cartesian): the physical plan contains only hash/sort-merge joins and
+    zero Subquery nodes."""
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q2_shape
+
+    txt = explain_str(sql_tpch_q2_shape(spark, SMOKE_SF_DIR))
+    assert "Subquery" not in txt, txt
+    assert "CartesianProduct" not in txt and "NestedLoop" not in txt, txt
+    assert "Join Inner" in txt or "Join" in txt
+
+
+def test_q16_not_in_becomes_anti_join(spark):
+    """Q16's NOT IN subquery must plan as a (null-aware) left anti join —
+    one pass over the fact, not a per-row probe."""
+    from onebrc_spark.operators.sqlsurface import sql_tpch_q16_shape
+
+    txt = explain_str(sql_tpch_q16_shape(spark, SMOKE_SF_DIR))
+    assert "LeftAnti" in txt, txt
+    assert "CartesianProduct" not in txt, txt
