@@ -195,13 +195,19 @@ def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     max_iters: int = _MAX_ITERS, algorithm: str = "auto",
 ) -> DataFrame:
-    """(id, cluster_id) for every node appearing in `edges`, where
+    f"""(id, cluster_id) for every node appearing in `edges`, where
     cluster_id = min node id of the node's connected component.
 
     algorithm: "label" = min-label propagation (rounds = diameter, raises
     past max_iters); "star" = large-star/small-star contraction (O(log n)
     rounds, any diameter); "auto" (default) = propagation first, escalating
-    to star if the graph turns out deeper than {_AUTO_ESCALATE_ROUNDS}."""
+    to star if the graph turns out deeper than {_AUTO_ESCALATE_ROUNDS}
+    rounds (capped at max_iters)."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'auto', 'label', or 'star')"
+        )
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     bidir = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -219,7 +225,9 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=False)
     )
-    budget = max_iters if algorithm == "label" else _AUTO_ESCALATE_ROUNDS
+    budget = (
+        max_iters if algorithm == "label" else min(_AUTO_ESCALATE_ROUNDS, max_iters)
+    )
     fixed = _propagate_labels(bidir, cur, budget)
     if fixed is not None:
         return _out(fixed)

@@ -416,11 +416,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached.orderBy("doc_a", "doc_b")
     ws = None
+    materialized = None
     try:
         pairs = _minhash_pairs_plan(spark, sf_dir)
         ws = pairs._onebrc_ws_handle  # set by the plan builder
         materialized = pairs.persist()
         materialized.count()  # materialize while ws is hot
+    except BaseException:
+        # a failed/cancelled materialization must not strand the fresh
+        # persist outside the cache where clear_pair_cache can't reach it
+        if materialized is not None:
+            materialized.unpersist()
+        raise
     finally:
         if ws is not None:
             ws.unpersist()

@@ -406,7 +406,7 @@ def _banded_pairs_sql() -> str:
     survey_ref="X3 (banded LSH ANN pairs: the 100 TB candidate path)",
 )
 def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN near-neighbor pairs via BANDED sign-LSH (4 bands × 12 planes),
+    f"""ANN near-neighbor pairs via BANDED sign-LSH (4 bands × 12 planes),
     exact cosine ≥ {_ANN_COS_MIN} on candidates only — the headline ANN
     pairs query.
 
@@ -781,12 +781,34 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contract check: every query returns exactly min(k, candidates in its
     # probed cells) rows. A query whose two cells are near-empty (possible
     # on any regenerated fixture) lowers its EXPECTATION rather than
-    # failing the audit; queries with zero probed candidates are vacuously
-    # fine (absent from both sides).
+    # failing the audit. Crucially, the expected candidate count is derived
+    # from an INDEPENDENT path — the per-cell occupancy census over
+    # `celled`, NOT the `scored` join that produced ivf — so a bug in the
+    # probe join (wrong cell column, broken condition) diverges from the
+    # census and flips the boolean; deriving both sides from `scored` would
+    # make the check true by construction.
+    cell_counts = celled.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+    c1 = cell_counts.select(
+        F.col("cell").alias("qcell"), F.col("n_in_cell").alias("n1")
+    )
+    c2 = cell_counts.select(
+        F.col("cell").alias("qcell2"), F.col("n_in_cell").alias("n2")
+    )
+    expected = (
+        q.join(F.broadcast(c1), "qcell", "left")
+        .join(F.broadcast(c2), "qcell2", "left")
+        .select(
+            "qid",
+            # the query itself sits in qcell and is excluded from retrieval
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0)) - 1).alias(
+                "n_cand"
+            ),
+        )
+    )
     contract = (
-        scored.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_cand"))
-        .join(ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ret")), "qid", "left")
+        expected.join(
+            ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ret")), "qid", "left"
+        )
         .select(
             (
                 F.coalesce("n_ret", F.lit(0))

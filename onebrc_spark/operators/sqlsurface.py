@@ -842,16 +842,19 @@ def sql_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_SQL = """
     WITH val AS (
-      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS value_units
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_7'
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(value, 2) AS value
+    SELECT l_partkey AS partkey, round(value_units / 10000.0, 2) AS value
     FROM val
-    WHERE value > (SELECT sum(value) * 0.01 FROM val)
+    WHERE value_units * 100 > (SELECT sum(value_units) FROM val)
     ORDER BY value DESC, partkey
 """
 
@@ -862,7 +865,14 @@ def sql_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE consumed twice — as the row source and inside an uncorrelated
     scalar subquery computing the global threshold (share-of-total
     filtering). The scalar side becomes a one-row broadcast; partsupp is
-    proxied by per-part revenue from one nation's suppliers."""
+    proxied by per-part revenue from one nation's suppliers.
+
+    The share-of-total comparison runs on EXACT integer units (price
+    cents × discount basis points, summed as BIGINT) — a float sum's
+    partition-order nondeterminism could flip a row sitting within ulps of
+    the 1% threshold between engines; integer arithmetic makes the filter
+    identical everywhere (`value_units * 100 > Σ value_units` is the
+    1%-share test with no division)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q11_SQL)
 

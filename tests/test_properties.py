@@ -148,8 +148,9 @@ def test_banded_pairs_bounded_by_census(spark):
         banded_lsh_pairs,
     )
     from onebrc_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
 
-    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    e = load_table(spark, SF_DIR, "embeddings")
     n = e.count()
     pairs = banded_lsh_pairs(e, _STATS_BANDS, _STATS_ROWS).count()
     occ = (
