@@ -854,7 +854,7 @@ _Q11_SQL = """
     )
     SELECT l_partkey AS partkey, round(value_units / 10000.0, 2) AS value
     FROM val
-    WHERE value_units * 100 > (SELECT sum(value_units) FROM val)
+    WHERE value_units * 1000 > (SELECT sum(value_units) FROM val)
     ORDER BY value DESC, partkey
 """
 
@@ -871,8 +871,10 @@ def sql_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents × discount basis points, summed as BIGINT) — a float sum's
     partition-order nondeterminism could flip a row sitting within ulps of
     the 1% threshold between engines; integer arithmetic makes the filter
-    identical everywhere (`value_units * 100 > Σ value_units` is the
-    1%-share test with no division)."""
+    identical everywhere (`value_units * 1000 > Σ value_units` is the
+    0.1%-share test with no division — spec Q11's fraction is scaled to
+    this corpus's flatter per-part distribution so the filter actually
+    bites; at 1% no part qualified and the row would be vacuous)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q11_SQL)
 
