@@ -79,6 +79,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.curation",
     "onebrc_spark.operators.cdc",
     "onebrc_spark.sources.pysource",
+    "onebrc_spark.sources.onebrc",
 ]
 
 
@@ -163,6 +164,7 @@ _PRIORITY = [
     "sql_tpch_q12_shape",
     "sql_tpch_q16_shape",
     # ---- slot 51+ (driver may check more than 50; keep useful order) ----
+    "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",
     "dedup_ngram_jaccard",

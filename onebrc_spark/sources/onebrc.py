@@ -97,3 +97,99 @@ def format_report(agg: DataFrame) -> DataFrame:
             F.lit("}"),
         ).alias("report")
     )
+
+
+# --- P5 production twin: PERMISSIVE ingest with malformed-row quarantine ----
+
+from onebrc_spark.registry import query  # noqa: E402 (scan-surface query)
+from onebrc_spark.sources.catalog import load_table  # noqa: E402
+
+
+@query(
+    "onebrc_permissive_quarantine",
+    oracle="""
+    WITH lines AS (
+      SELECT CASE s_suppkey % 7
+               WHEN 0 THEN s_name ||
+                    CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+               WHEN 1 THEN s_name || ';x' ||
+                    CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+               WHEN 2 THEN ';' ||
+                    CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+               ELSE s_name || ';' ||
+                    CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR)
+             END AS line
+      FROM supplier
+    ), parsed AS (
+      SELECT line, string_split(line, ';') AS parts FROM lines
+    ), classified AS (
+      SELECT CASE
+               WHEN len(parts) <> 2 THEN 'missing_separator'
+               WHEN parts[1] = '' THEN 'empty_station'
+               WHEN try_cast(parts[2] AS BIGINT) IS NULL THEN 'bad_number'
+               ELSE 'ok'
+             END AS status,
+             CASE WHEN len(parts) = 2 THEN try_cast(parts[2] AS BIGINT) END
+               AS cents
+      FROM parsed
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN status = 'ok' THEN cents END)
+                 / (100.0 * nullif(sum(CASE WHEN status = 'ok' THEN 1 END), 0)),
+                 2) AS avg_ok_value
+    FROM classified
+    GROUP BY status ORDER BY status
+    """,
+    survey_ref="P5 (PERMISSIVE twin: malformed-row quarantine, not job abort)",
+)
+def onebrc_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5's production counterpart: the reference (and our FAILFAST reader)
+    ABORTS on the first malformed line — correct for a benchmark, wrong for
+    a 100 TB ingest where one corrupt shard must not kill a 6-hour job.
+    This is the PERMISSIVE pattern: parse every line, route failures to a
+    quarantine with a reason (missing separator / empty key / unparseable
+    number), aggregate the good rows — the same classify-don't-throw shape
+    as spark.read.csv(mode='PERMISSIVE') + columnNameOfCorruptRecord, but
+    expressed with try_cast so the oracle replays it exactly.
+
+    The corrupt corpus is synthesized deterministically from `supplier`
+    (every 7th row loses its separator, the next gets a non-numeric value,
+    the next an empty key), and values ride as integer cents so no float
+    text formatting crosses the engine boundary. Narrow one-pass plan: a
+    projection + single aggregation, no shuffle beyond the 4-group merge."""
+    s = load_table(spark, sf_dir, "supplier")
+    cents_str = (
+        F.round(F.col("s_acctbal") * 100).cast("bigint").cast("string")
+    )
+    line = (
+        F.when(F.col("s_suppkey") % 7 == 0, F.concat(F.col("s_name"), cents_str))
+        .when(
+            F.col("s_suppkey") % 7 == 1,
+            F.concat(F.col("s_name"), F.lit(";x"), cents_str),
+        )
+        .when(F.col("s_suppkey") % 7 == 2, F.concat(F.lit(";"), cents_str))
+        .otherwise(F.concat(F.col("s_name"), F.lit(";"), cents_str))
+    )
+    parts = F.split(line, ";")
+    cents = F.element_at(parts, 2).try_cast("bigint")
+    classified = s.select(
+        F.when(F.size(parts) != 2, "missing_separator")
+        .when(F.element_at(parts, 1) == "", "empty_station")
+        .when(cents.isNull(), "bad_number")
+        .otherwise("ok")
+        .alias("status"),
+        F.when(F.size(parts) == 2, cents).alias("cents"),
+    )
+    ok = F.when(F.col("status") == "ok", F.col("cents"))
+    n_ok = F.sum(F.when(F.col("status") == "ok", 1))
+    return (
+        classified.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(ok) / (100.0 * F.nullif(n_ok, F.lit(0))), 2).alias(
+                "avg_ok_value"
+            ),
+        )
+        .orderBy("status")
+    )
