@@ -604,3 +604,80 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "rarity_sum", "rarity_density")
         .orderBy("doc_id")
     )
+
+
+# --- X16b: cross-source overlap matrix --------------------------------------
+
+
+@query(
+    "text_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS raw_ws FROM documents
+    ), grams AS (
+      SELECT DISTINCT source, g FROM toks,
+      unnest(list_transform(range(1, greatest(len(raw_ws) - 1, 1)),
+             i -> raw_ws[i] || ' ' || raw_ws[i+1] || ' ' || raw_ws[i+2])) AS t(g)
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM grams GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    survey_ref="X2,X4 (cross-source shingle-overlap matrix: duplication prior)",
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between every pair of SOURCES — the
+    corpus-level duplication prior that decides where document-level dedup
+    budget should go (two mirrors of the same crawl light up here before
+    any pairwise doc comparison runs). Distinct word-3-grams per source,
+    self-joined on the gram, Jaccard from the inclusion-exclusion sizes.
+
+    Scale (100 TB): the joined relation is the distinct (source, shingle)
+    VOCABULARY — orders of magnitude smaller than the corpus, and the text
+    itself never shuffles. A shingle shared by k sources contributes C(k,2)
+    pairs, bounded by C(n_sources, 2) — linear in vocabulary size for a
+    fixed source census. Hot-vocabulary skew is AQE's case; the gram join
+    key is high-cardinality so no salting is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    from onebrc_spark.operators.dedup import word_3grams
+
+    grams = (
+        docs.select("source", F.explode(word_3grams(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1,0 +1,243 @@
+"""Incremental corpus admission: dedup a NEW ingest batch against an
+EXISTING corpus (SURVEY §2.10 X1/X2 extension — the production ingest shape).
+
+Batch-vs-batch dedup (dedup.py) answers "is this corpus internally unique";
+a production training-data pipeline almost never re-runs that global job.
+Day to day it answers the *incremental* question: given ~100 TB of already-
+admitted documents and today's crawl, which new documents are duplicates of
+something we already have? The reference has no notion of incremental state
+at all (one batch query over one file, `python_1brc/main.py:15-22`); this is
+extension surface for the LLM curation path.
+
+Two admission gates, cheapest first:
+
+  1. **Exact**: md5(text) of each new doc semi-joined against the corpus
+     digest set — rejects byte-identical re-crawls for the cost of one
+     digest shuffle (no text moves, no shingling).
+  2. **Near-dup**: MinHash band signatures (identical construction to
+     dedup.dedup_minhash_lsh: 12 hashes, 4 bands × 3 rows) joined
+     batch-side × corpus-side only — the key asymmetry. Candidates are
+     verified with exact shingle-Jaccard ≥ 0.7, so LSH prunes and Jaccard
+     decides, same as the batch operator.
+
+Why this scales where re-running global dedup doesn't: the corpus×corpus
+quadrant — overwhelmingly the largest — is never joined. Band signatures
+for the corpus are computed once per ingest epoch (in production they live
+as a bucketed table keyed on (band, band_sig), paid at admission time, so
+each day's join touches only matching buckets); the batch side is small.
+Work per ingest ≈ O(|batch| + collisions), independent of corpus size.
+
+The "new batch" predicate here is a content-addressed ~19% sample
+(first md5 hex digit of doc_id < 3, same bucketing idiom as
+ml_cluster_safe_split) so the split is stable under testdata regeneration
+and uncorrelated with source — the oracle reproduces it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators.dedup import (
+    _LSH_BANDS,
+    _LSH_ROWS,
+    _MINHASH_N,
+    _MINHASH_THRESHOLD,
+    _affine_sql,
+    _base_digits_sql,
+    minhash_signature,
+    word_3grams,
+)
+from onebrc_spark.registry import query
+from onebrc_spark.sources.catalog import load_table, spread
+
+# New-batch bucket: first md5 hex digit of doc_id in [0, _NEW_BUCKET_MAX) →
+# ~3/16 ≈ 19% of the corpus plays "today's crawl".
+_NEW_BUCKET_MAX = 3
+
+
+def is_new_batch(doc_id: Column) -> Column:
+    """Content-addressed batch membership (deterministic, source-agnostic)."""
+    a = F.ascii(F.substring(F.md5(doc_id.cast("string")), 1, 1))
+    bucket = F.when(a <= 57, a - 48).otherwise(a - 87)
+    return bucket < _NEW_BUCKET_MAX
+
+
+def _is_new_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) <= 57"
+        f" THEN ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) - 48"
+        f" ELSE ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) - 87 END)"
+        f" < {_NEW_BUCKET_MAX}"
+    )
+
+
+def _band_table(docs_ws: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from (doc_id, ws) — the dedup.py banding,
+    shared verbatim so batch and corpus signatures are comparable."""
+    sigs = docs_ws.select(
+        "doc_id", minhash_signature(F.col("ws")).alias("sig")
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.slice(F.col("sig"), band * _LSH_ROWS + 1, _LSH_ROWS).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_sig")
+
+
+def incremental_rejections(
+    docs: DataFrame, new_col: Column, threshold: float = _MINHASH_THRESHOLD
+) -> DataFrame:
+    """doc_ids of NEW documents rejected against the existing corpus, with
+    the gate that caught them: (doc_id, reason ∈ {'exact', 'near'}).
+
+    `docs` needs (doc_id, text); `new_col` is the batch-membership boolean.
+    Exact rejections are decided first; the near gate only ever adds docs
+    the exact gate admitted (a doc is counted once, by its cheapest gate).
+    """
+    tagged = docs.select("doc_id", "text", new_col.alias("is_new"))
+    corpus = tagged.filter(~F.col("is_new"))
+    batch = tagged.filter(F.col("is_new"))
+
+    # Gate 1 — exact: digests only cross the wire, never text.
+    corpus_digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    exact_rej = (
+        batch.select("doc_id", F.md5("text").alias("digest"))
+        .join(corpus_digests, "digest", "left_semi")
+        .select("doc_id", F.lit("exact").alias("reason"))
+    )
+
+    # Gate 2 — near-dup: batch bands × corpus bands ONLY (the corpus never
+    # self-joins), then exact-Jaccard verification of the candidates.
+    ws_batch = batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    ws_corpus = corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    bb = _band_table(ws_batch).alias("bb")
+    cb = _band_table(ws_corpus).alias("cb")
+    candidates = (
+        bb.join(
+            cb,
+            (F.col("bb.band") == F.col("cb.band"))
+            & (F.col("bb.band_sig") == F.col("cb.band_sig")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("new_id"), F.col("cb.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    wa = ws_batch.select(F.col("doc_id").alias("new_id"), F.col("ws").alias("ws_a"))
+    wb = ws_corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.col("ws").alias("ws_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (
+        F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
+    )
+    near_rej = (
+        candidates.join(wa, "new_id")
+        .join(wb, "corpus_id")
+        .filter(inter / union >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .join(exact_rej.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("near").alias("reason"))
+    )
+    return exact_rej.unionByName(near_rej)
+
+
+@query(
+    "dedup_incremental_admission",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source, text, {_is_new_sql("doc_id")} AS is_new
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, is_new, string_split(text, ' ') AS raw_ws FROM tagged
+    ), words AS (
+      SELECT doc_id, is_new,
+             list_distinct(list_transform(
+               range(1, greatest(len(raw_ws) - 1, 1)),
+               i -> raw_ws[i] || ' ' || raw_ws[i+1] || ' ' || raw_ws[i+2])) AS ws
+      FROM toks
+    ), based AS (
+      SELECT doc_id, is_new,
+             list_transform(ws, w -> {_base_digits_sql("w")}) AS bases
+      FROM words
+    ), sigs AS (
+      SELECT doc_id, is_new,
+             [{", ".join("list_min(list_transform(bases, h -> " + _affine_sql("h", s) + "))" for s in range(_MINHASH_N))}]
+               AS sig
+      FROM based
+    ), bands AS (
+      SELECT doc_id, is_new, band,
+             sig[band*{_LSH_ROWS}+1:band*{_LSH_ROWS}+{_LSH_ROWS}] AS band_sig
+      FROM sigs, (SELECT unnest(range({_LSH_BANDS})) AS band)
+    ), exact_rej AS (
+      SELECT DISTINCT b.doc_id
+      FROM tagged b JOIN tagged c
+        ON b.is_new AND NOT c.is_new AND md5(b.text) = md5(c.text)
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands b JOIN bands c
+        ON b.is_new AND NOT c.is_new
+       AND b.band = c.band AND b.band_sig = c.band_sig
+    ), near_rej AS (
+      SELECT DISTINCT new_id AS doc_id
+      FROM cand
+      JOIN words wa ON wa.doc_id = cand.new_id
+      JOIN words wb ON wb.doc_id = cand.corpus_id
+      WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+            / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))
+            >= {_MINHASH_THRESHOLD}
+        AND new_id NOT IN (SELECT doc_id FROM exact_rej)
+    ), rejected AS (
+      SELECT doc_id FROM exact_rej UNION SELECT doc_id FROM near_rej
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected
+    FROM tagged t LEFT JOIN rejected r ON t.doc_id = r.doc_id
+    WHERE t.is_new
+    GROUP BY t.source ORDER BY t.source
+    """,
+    survey_ref="X1,X2 (incremental ingest: new batch deduped against corpus)",
+)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission manifest for an incremental ingest: a ~19%
+    content-addressed batch of `documents` plays today's crawl, the rest is
+    the standing corpus; each new doc passes an exact-digest gate then a
+    MinHash-LSH near-dup gate (both against the CORPUS side only — the
+    corpus never self-joins, which is what keeps the ingest cost independent
+    of corpus size at 100 TB). Oracle reproduces both gates, signatures and
+    all, in DuckDB; the per-source admitted/rejected counts hash-verify the
+    full pipeline."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    rejected = incremental_rejections(docs, is_new_batch(F.col("doc_id")))
+    batch = docs.filter(is_new_batch(F.col("doc_id"))).select("doc_id", "source")
+    return (
+        batch.join(rejected.select("doc_id", "reason"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum(F.when(F.col("reason").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rejected"),
+        )
+        .orderBy("source")
+    )

@@ -911,3 +911,133 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- X3c: semantic pruning (SemDeDup-style centroid dedup) ------------------
+
+# Quantization scale for the cross-engine integer-exact cosine: float32
+# embedding values promoted to double and scaled by 1e6 are EXACT in double
+# (24-bit mantissa + 20-bit scale < 53 bits), so round() sees the identical
+# value in both engines and every downstream sum is exact integer math.
+_SEMPRUNE_SCALE = 1_000_000
+_SEMPRUNE_KEEP = 0.8  # keep the 80% most central vectors per cluster
+
+
+@query(
+    "sim_semantic_prune",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_SEMPRUNE_SCALE}) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), exploded AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(q) + 1)) AS pos, unnest(q) AS v
+      FROM quant
+    ), centroid AS (
+      SELECT label, pos, CAST(sum(v) AS BIGINT) AS c
+      FROM exploded GROUP BY label, pos
+    ), cnorm AS (
+      SELECT label, CAST(sum(c * c) AS DOUBLE) AS nc FROM centroid GROUP BY label
+    ), pervec AS (
+      SELECT e.label, e.vec_id,
+             CAST(CAST(sum(e.v * c.c) AS BIGINT) AS DOUBLE) AS dot,
+             CAST(CAST(sum(e.v * e.v) AS BIGINT) AS DOUBLE) AS nv
+      FROM exploded e JOIN centroid c ON c.label = e.label AND c.pos = e.pos
+      GROUP BY e.label, e.vec_id
+    ), scored AS (
+      SELECT p.label, p.vec_id, p.dot / (sqrt(p.nv) * sqrt(n.nc)) AS cos_c,
+             row_number() OVER (
+               PARTITION BY p.label
+               ORDER BY p.dot / (sqrt(p.nv) * sqrt(n.nc)) DESC, p.vec_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY p.label) AS n_vecs
+      FROM pervec p JOIN cnorm n ON n.label = p.label
+    )
+    SELECT label,
+           CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN rn <= ceil({_SEMPRUNE_KEEP} * n_vecs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > ceil({_SEMPRUNE_KEEP} * n_vecs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           round(min(CASE WHEN rn <= ceil({_SEMPRUNE_KEEP} * n_vecs)
+                          THEN cos_c END), 6) AS min_kept_cos
+    FROM scored GROUP BY label ORDER BY label
+    """,
+    survey_ref="X3c (semantic pruning: per-cluster centroid-distance dedup)",
+)
+def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each embedding cluster
+    (`label` plays the k-means cluster id), rank vectors by cosine to the
+    cluster centroid and keep the most central 80% (_SEMPRUNE_KEEP) — the
+    standard recipe for shrinking a training corpus with minimal semantic
+    loss (Abbas et al., SemDeDup). Returns the per-cluster manifest.
+
+    Cross-engine exactness: centroids are aggregated over QUANTIZED integer
+    embeddings (×1e6, exact in double — see _SEMPRUNE_SCALE), so the
+    centroid sums, dots, and norms are exact integers regardless of Spark
+    partition order, and the cosine is the same double in both engines;
+    (cos, vec_id) ranking is a total order, so kept/pruned counts are
+    deterministic — no float-summation-order hazard.
+
+    Scale (100 TB): posexplode ships (label, pos, v) longs — 64 rows per
+    vector, no text; the centroid table is (n_clusters × dim), broadcast
+    back for scoring; ranking windows partition by cluster. Integer
+    headroom: |v| ≤ 5.3e5, so nv ≤ 64·(5.3e5)² ≈ 1.8e13 and dot stays
+    < 2^62 up to ~2e8 vectors per cluster; the nc sum is decimal(38,0)
+    (HUGEINT in DuckDB) so centroid self-products can't overflow first."""
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _SEMPRUNE_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    exploded = quant.select(
+        "vec_id", "label", F.posexplode("q").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    centroid = exploded.groupBy("label", "pos").agg(
+        F.sum("v").cast("long").alias("c")
+    )
+    cnorm = centroid.groupBy("label").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("nc")
+    )
+    pervec = (
+        exploded.join(F.broadcast(centroid), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).cast("long").cast("double").alias("dot"),
+            F.sum(F.col("v") * F.col("v")).cast("long").cast("double").alias("nv"),
+        )
+    )
+    cos_c = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    scored = (
+        pervec.join(F.broadcast(cnorm), "label")
+        .withColumn("cos_c", cos_c)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("cos_c").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .withColumn("n_vecs", F.count(F.lit(1)).over(Window.partitionBy("label")))
+    )
+    kept = F.col("rn") <= F.ceil(F.lit(_SEMPRUNE_KEEP) * F.col("n_vecs"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("long").alias("n_vecs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_pruned"),
+            F.round(F.min(F.when(kept, F.col("cos_c"))), 6).alias("min_kept_cos"),
+        )
+        .orderBy("label")
+    )

@@ -77,6 +77,7 @@ _QUERY_MODULES = [
     "onebrc_spark.operators.skew",
     "onebrc_spark.operators.mlprep",
     "onebrc_spark.operators.curation",
+    "onebrc_spark.operators.incremental",
     "onebrc_spark.operators.cdc",
     "onebrc_spark.sources.pysource",
     "onebrc_spark.sources.onebrc",
@@ -164,6 +165,11 @@ _PRIORITY = [
     "sql_tpch_q12_shape",
     "sql_tpch_q16_shape",
     # ---- slot 51+ (driver may check more than 50; keep useful order) ----
+    # NEW in round 4 (post-window additions; front of the overflow so they
+    # get rows if the driver checks past 50, else they lead round 5's window)
+    "dedup_incremental_admission",
+    "text_source_overlap",
+    "sim_semantic_prune",
     "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",

@@ -179,3 +179,32 @@ def test_minhash_pairs_memoized_without_persist_leak(spark):
     dedup_minhash_lsh(spark, SMOKE_SF_DIR).count()
     dedup_minhash_lsh(spark, SMOKE_SF_DIR).count()
     assert len(sc._jsc.sc().getRDDStorageInfo()) == n_after_first
+
+
+def test_incremental_rejections_gates_and_asymmetry(spark):
+    """Incremental admission: a byte-identical new doc is caught by the
+    EXACT gate, a shingled near-dup by the NEAR gate, a novel doc passes,
+    and duplicates *within the corpus side* are never reported (the
+    corpus×corpus quadrant must not be joined)."""
+    from onebrc_spark.operators.incremental import incremental_rejections
+
+    base = " ".join(f"tok{i % 7} word{i % 11}" for i in range(40))
+    near = base.replace("tok1", "tokX", 2)  # high-Jaccard variant
+    novel = " ".join(f"zz{i} qq{i}" for i in range(40))
+    rows = [
+        # corpus (is_new = False): includes an internal exact-dup pair that
+        # must NOT appear in the output.
+        (0, base, False),
+        (1, base, False),
+        (2, novel, False),
+        # batch (is_new = True)
+        (10, base, True),   # exact dup of corpus doc 0/1
+        (11, near, True),   # near dup of corpus doc 0
+        (12, "totally fresh content unlike anything else here", True),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    out = {
+        r["doc_id"]: r["reason"]
+        for r in incremental_rejections(docs, F.col("is_new")).collect()
+    }
+    assert out == {10: "exact", 11: "near"}

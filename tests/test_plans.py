@@ -390,3 +390,44 @@ def test_q16_not_in_becomes_anti_join(spark):
     txt = explain_str(sql_tpch_q16_shape(spark, SMOKE_SF_DIR))
     assert "LeftAnti" in txt, txt
     assert "CartesianProduct" not in txt, txt
+
+
+def test_incremental_admission_never_joins_corpus_with_itself(spark):
+    """The incremental gate's scale contract: band joins are batch×corpus
+    only. Pin it structurally — the near-dup candidate join's two sides
+    must carry opposite is_new filters, so the corpus side never self-joins
+    (that quadrant is what makes re-running global dedup unaffordable)."""
+    from onebrc_spark.operators.incremental import (
+        dedup_incremental_admission,
+        is_new_batch,
+    )
+
+    df = dedup_incremental_admission(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    # Both polarity filters appear: Catalyst compiles the batch side's
+    # `bucket < 3` and the corpus side's negation as `bucket >= 3`.
+    assert "< 3" in txt, "batch-side membership filter missing"
+    assert ">= 3" in txt, "corpus-side (negated) membership filter missing"
+    # and the plan has no cartesian product anywhere
+    assert "CartesianProduct" not in txt
+
+
+def test_semantic_prune_centroid_is_broadcast(spark):
+    """sim_semantic_prune's scale contract: the centroid table (clusters ×
+    dim) is the broadcast side; the exploded vector table is never built
+    twice into a shuffle join."""
+    from onebrc_spark.operators.similarity import sim_semantic_prune
+
+    df = sim_semantic_prune(spark, SMOKE_SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_source_overlap_joins_vocabulary_not_corpus(spark):
+    """text_source_overlap shuffles the distinct (source, shingle)
+    vocabulary; the size join sides are broadcast (dim-sized census)."""
+    from onebrc_spark.operators.curation import text_source_overlap
+
+    df = text_source_overlap(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in txt
