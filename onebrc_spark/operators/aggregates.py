@@ -855,3 +855,127 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users_exact")
     )
     return bitmap.join(exact, "event_type").orderBy("event_type")
+
+
+# --- X15b: count-min sketch heavy hitters -----------------------------------
+
+_CMS_D = 4  # depth: independent hash rows
+_CMS_W = 512  # width: buckets per row
+_CMS_TOPK = 15
+
+
+def _cms_bucket(token):
+    """Row-d bucket of a token: affine-permuted portable hash mod width
+    (same (a,b,p) family as the MinHash signatures — see dedup.py:38-40)."""
+    from onebrc_spark.operators.dedup import _affine, _base_digits
+
+    base = _base_digits(token)
+    return [(_affine(base, d) % F.lit(_CMS_W)).alias(f"b{d}") for d in range(_CMS_D)]
+
+
+def _cms_bucket_sql(expr: str, d: str) -> str:
+    from onebrc_spark.operators.dedup import _affine_sql
+
+    cases = " ".join(
+        f"WHEN {s} THEN ({_affine_sql(expr, s)}) % {_CMS_W}"
+        for s in range(_CMS_D)
+    )
+    return f"(CASE {d} {cases} END)"
+
+
+def _cms_oracle() -> str:
+    from onebrc_spark.operators.dedup import _base_digits_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE token <> '' GROUP BY token
+    ), based AS (
+      SELECT token, cnt, {_base_digits_sql("token")} AS b FROM counts
+    ), proj AS (
+      SELECT token, cnt, d, {_cms_bucket_sql("b", "d")} AS bucket
+      FROM based, (SELECT unnest(range({_CMS_D})) AS d)
+    ), cells AS (
+      SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM proj GROUP BY d, bucket
+    ), topk AS (
+      SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {_CMS_TOPK}
+    ), est AS (
+      SELECT p.token, p.cnt AS exact_cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
+      FROM proj p
+      JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+      JOIN topk t ON t.token = p.token
+      GROUP BY p.token, p.cnt
+    )
+    SELECT token, exact_cnt, cms_est, cms_est - exact_cnt AS overest
+    FROM est ORDER BY exact_cnt DESC, token
+    """
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    survey_ref="X15 (count-min sketch: mergeable heavy-hitter counts)",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream, audited in-plan:
+    build the D×W integer sketch (depth 4 × width 512 — a few KB,
+    mergeable by cell-wise sum across any partitioning of the corpus),
+    then read back the top-K exact heavy hitters through it. Emits per
+    token the exact count, the CMS estimate (min over depth rows), and
+    the overestimate — which the CMS guarantee says is always ≥ 0 and the
+    oracle pins exactly (every quantity is integer arithmetic over
+    deterministic hashes, so the sketch is bit-identical cross-engine).
+
+    Scale (100 TB): the token stream never shuffles raw — tokens combine
+    map-side into (token, cnt) [the same wordcount shuffle text_tfidf
+    pays], then project onto D×W = 2048 cells; the sketch and the top-K
+    list are broadcast-sized, so the estimate join is exchange-free on the
+    big side. In production the sketch is the *persisted* artifact: daily
+    corpus deltas each ship a 2 KB sketch and cell-wise sum folds them —
+    the same partial-reaggregation property as agg_partial_reaggregation,
+    at constant (not cardinality-proportional) state."""
+    from onebrc_spark.operators.dedup import _affine, _base_digits
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = _base_digits(F.col("token"))
+    proj = counts.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_affine(base, d) % F.lit(_CMS_W)).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "cnt", "p.d", "p.bucket")
+    cells = proj.groupBy("d", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
+    topk = counts.orderBy(F.col("cnt").desc(), "token").limit(_CMS_TOPK)
+    est = (
+        proj.join(F.broadcast(topk.select("token")), "token")
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "token",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overest"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

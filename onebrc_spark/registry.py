@@ -170,6 +170,7 @@ _PRIORITY = [
     "dedup_incremental_admission",
     "text_source_overlap",
     "sim_semantic_prune",
+    "agg_cms_heavy_hitters",
     "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",

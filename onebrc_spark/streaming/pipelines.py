@@ -205,6 +205,45 @@ def stream_enrich_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents parquet (the 'crawl batch lands
+    as files' production shape; maxFilesPerTrigger makes each file one
+    micro-batch)."""
+    from onebrc_spark.sources.catalog import _read_schema
+
+    return (
+        spark.readStream.schema(_read_schema(sf_dir, "documents"))
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_incremental_admission(
+    new_docs: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Streaming twin of operators/incremental.py's EXACT admission gate:
+    each micro-batch of crawled documents is anti-joined on content digest
+    against the STANDING corpus (static side), emitting only admitted docs.
+
+    This is the production deployment shape of incremental dedup: the batch
+    operator (dedup_incremental_admission) is the oracle-checked semantics;
+    this proves the same gate runs continuously under the streaming engine.
+    The static side is a digest-only projection — text never crosses the
+    stream-static join, and the join is stateless (no watermark needed:
+    stream-static joins keep no stream-side state), so state size is zero
+    regardless of how long the ingest runs. The near-dup LSH gate composes
+    the same way (static band table keyed on (band, band_sig)); in
+    production both static sides are bucketed tables refreshed per epoch.
+    """
+    corpus_digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    return (
+        new_docs.withColumn("digest", F.md5("text"))
+        .join(corpus_digests, "digest", "left_anti")
+        .select("doc_id", "source", F.length("text").alias("n_chars"))
+    )
+
+
 def stream_stream_interval_join(
     views: DataFrame, clicks: DataFrame
 ) -> DataFrame:

@@ -431,3 +431,15 @@ def test_source_overlap_joins_vocabulary_not_corpus(spark):
     txt = explain_str(df)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in txt
+
+
+def test_cms_sketch_and_topk_are_broadcast(spark):
+    """agg_cms_heavy_hitters' scale contract: the only big-side shuffle is
+    the map-side-combined (token, cnt) wordcount; the 2048-cell sketch and
+    the top-K list join back as broadcasts, and nothing is cartesian."""
+    from onebrc_spark.operators.aggregates import agg_cms_heavy_hitters
+
+    df = agg_cms_heavy_hitters(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in txt

@@ -499,3 +499,55 @@ def test_y4m_roundtrip_properties():
         assert got == (width, height, n_frames, 25, 1)
 
     check()
+
+
+@_SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=5,
+        max_size=60,
+    ),
+    split_at=st.integers(1, 59),
+)
+def test_cms_overestimates_and_merges(spark, words, split_at):
+    """CMS invariants for ANY token multiset: (a) every estimate ≥ its
+    exact count (the one-sided count-min guarantee); (b) the sketch is
+    mergeable — cell-wise sum of two halves' sketches equals the sketch of
+    the whole (the property that lets daily corpus deltas fold at constant
+    state)."""
+    from collections import Counter
+
+    from onebrc_spark.operators.aggregates import _CMS_D, _CMS_W
+    from onebrc_spark.operators.dedup import _HASH_AB, _HASH_P
+
+    def base(tok: str) -> int:
+        import hashlib
+
+        digits = "".join(c for c in hashlib.md5(tok.encode()).hexdigest() if c.isdigit())
+        return int((digits + "0" * 9)[:9])
+
+    def bucket(tok: str, d: int) -> int:
+        a, b = _HASH_AB[d]
+        return (base(tok) * a + b) % _HASH_P % _CMS_W
+
+    def sketch(counter: Counter) -> dict:
+        cells: dict = {}
+        for tok, c in counter.items():
+            for d in range(_CMS_D):
+                k = (d, bucket(tok, d))
+                cells[k] = cells.get(k, 0) + c
+        return cells
+
+    whole = Counter(words)
+    s = sketch(whole)
+    # (a) one-sided error: estimate = min over rows ≥ exact, for every token
+    for tok, exact in whole.items():
+        est = min(s[(d, bucket(tok, d))] for d in range(_CMS_D))
+        assert est >= exact
+    # (b) mergeability: sketch(left) + sketch(right) == sketch(whole)
+    left, right = sketch(Counter(words[:split_at])), sketch(Counter(words[split_at:]))
+    merged: dict = dict(left)
+    for k, v in right.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == s

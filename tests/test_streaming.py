@@ -138,6 +138,44 @@ def test_stream_stream_interval_join_attributes_clicks(spark):
     assert n_stream == n_batch
 
 
+def test_stream_incremental_admission_matches_batch_gate(spark):
+    """Stream-static anti-join admission gate: streaming the 'new batch'
+    documents against the static corpus digest set must admit exactly the
+    docs the batch exact-gate admits (incremental.py's gate 1), and the
+    plan must keep the digest-only projection on the static side."""
+    from onebrc_spark.operators.incremental import is_new_batch
+    from onebrc_spark.streaming.pipelines import (
+        read_documents_stream,
+        run_to_completion,
+        stream_incremental_admission,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    corpus = docs.filter(~is_new_batch(F.col("doc_id")))
+    new_stream = read_documents_stream(spark, SMOKE_SF_DIR).filter(
+        is_new_batch(F.col("doc_id"))
+    )
+    out = run_to_completion(
+        stream_incremental_admission(new_stream, corpus),
+        "adm_smoke",
+        spark,
+        mode="append",
+    )
+    got = {r["doc_id"] for r in out.collect()}
+
+    batch_new = docs.filter(is_new_batch(F.col("doc_id")))
+    corpus_digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    want = {
+        r["doc_id"]
+        for r in batch_new.withColumn("digest", F.md5("text"))
+        .join(corpus_digests, "digest", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_stream_foreach_batch_upsert_matches_batch(spark, tmp_path):
     from onebrc_spark.streaming.pipelines import stream_foreach_batch_upsert
 
