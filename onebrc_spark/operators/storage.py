@@ -298,3 +298,55 @@ def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@query(
+    "storage_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+                ELSE o_orderpriority END AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    survey_ref="S6,S8 (schema evolution: mergeSchema over mixed-epoch parquet)",
+)
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across write epochs: batch 1 lands with the v1
+    schema (key, price), batch 2 with v2 (adds o_orderpriority); a
+    mergeSchema read unifies them, back-filling NULL for pre-evolution
+    rows, which the query surfaces as the 'LEGACY' bucket. This is the
+    standing reality of any year-old 100 TB estate — columns appear
+    mid-corpus and old files are never rewritten.
+
+    Scale: schema merging is footer-only work (one footer per file at
+    planning time — at scale, set spark.sql.parquet.mergeSchema off
+    globally and declare the evolved schema explicitly, which this read
+    path also exercises via the unified projection); the data pages of
+    epoch-1 files are never touched to add the column. The sum is exact
+    integer cents (registry ratio rule) so the round-trip hash-verifies.
+    """
+    dest = f"{_ROOT}/{_tag(sf_dir)}/orders_evolving"
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{dest}/epoch=1")
+    v2.write.mode("overwrite").parquet(f"{dest}/epoch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{dest}/epoch=1", f"{dest}/epoch=2"
+    )
+    return (
+        back.groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

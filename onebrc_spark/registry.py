@@ -171,6 +171,7 @@ _PRIORITY = [
     "text_source_overlap",
     "sim_semantic_prune",
     "agg_cms_heavy_hitters",
+    "storage_schema_evolution",
     "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",
