@@ -54,6 +54,10 @@ HEADLINE = [
     # and the Arrow-native byte-scan path.
     "sql_tpch_q21_shape",
     "mm_byte_stats_arrow",
+    # round-4 surface: the incremental-ingest gate (batch×corpus-only LSH,
+    # the production dedup shape) and the mergeable count-min sketch.
+    "dedup_incremental_admission",
+    "agg_cms_heavy_hitters",
 ]
 
 

@@ -241,3 +241,55 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Production shape: the corpus band table as a bucketed asset ------------
+
+_BAND_BUCKETS = 8
+
+
+def corpus_band_table(
+    spark: SparkSession, corpus: DataFrame, table_name: str, path: str
+) -> DataFrame:
+    """Materialize the standing corpus's LSH band table as a BUCKETED table
+    on (band, band_sig) — the asset the docstring above says production
+    pays for once per admission epoch. Each ingest's candidate join then
+    reads it with NO corpus-side exchange (pinned in tests/test_plans.py):
+    the shuffle that positions corpus signatures by band collision
+    happened at write time, amortized over every subsequent ingest.
+    Spark's bucket hash supports the array-typed band_sig directly, so
+    the bucket keys ARE the join keys — no surrogate key needed."""
+    ws = corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    bands = _band_table(ws)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        bands.write.bucketBy(_BAND_BUCKETS, "band", "band_sig")
+        .sortBy("band")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
+def bucketed_candidates(batch: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """(new_id, corpus_id) LSH candidates of a new batch against a
+    pre-bucketed corpus band table (see corpus_band_table). The batch side
+    is banded in-flight and shuffled to the bucket layout (or broadcast
+    when small); the corpus side is read in place."""
+    ws_batch = batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    bb = _band_table(ws_batch)
+    cb = corpus_bands
+    return (
+        bb.alias("bb")
+        .hint("shuffle_merge")
+        .join(
+            cb.alias("cb"),
+            (F.col("bb.band") == F.col("cb.band"))
+            & (F.col("bb.band_sig") == F.col("cb.band_sig")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("new_id"), F.col("cb.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
