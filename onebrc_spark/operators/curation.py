@@ -707,3 +707,114 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- X4d: head-vocabulary co-occurrence lift --------------------------------
+
+_LIFT_TOPV = 40  # head vocabulary size (by document frequency)
+_LIFT_TOPK = 30  # reported pairs
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle=f"""
+    WITH doc_tokens AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM doc_tokens WHERE token <> '' GROUP BY token
+    ), topv AS (
+      SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {_LIFT_TOPV}
+    ), head AS (
+      SELECT t.doc_id, t.token FROM doc_tokens t JOIN topv v ON v.token = t.token
+    ), pairs AS (
+      SELECT a.doc_id, a.token AS tok_a, b.token AS tok_b
+      FROM head a JOIN head b ON a.doc_id = b.doc_id AND a.token < b.token
+    ), pc AS (
+      SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM pairs GROUP BY tok_a, tok_b
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, c_ab, va.df AS c_a, vb.df AS c_b,
+           CAST((c_ab * n_docs * 1000000) // (va.df * vb.df) AS BIGINT)
+             AS lift_ppm
+    FROM pc JOIN topv va ON va.token = tok_a JOIN topv vb ON vb.token = tok_b, n
+    ORDER BY c_ab DESC, tok_a, tok_b
+    LIMIT {_LIFT_TOPK}
+    """,
+    survey_ref="X4d (collocation: head-vocabulary co-occurrence lift)",
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between head-vocabulary token pairs: restrict each
+    document's distinct tokens to the corpus' top-V vocabulary by document
+    frequency, count pair co-occurrence, and report lift =
+    P(a,b)/(P(a)·P(b)) for the most frequent pairs — the collocation
+    profile that separates topical phrases from independent filler.
+    Emitted as exact-integer ppm (c_ab·N·1e6 // (c_a·c_b), registry
+    round-half rule) so the hash is engine-stable.
+
+    Scale (100 TB): the vocabulary census is a wordcount shuffle; the
+    top-V list is broadcast, so per-document work is an array
+    intersection; pairs are emitted per-document from the sorted head-token
+    array — C(V,2)-bounded, NO doc-level self-join (the oracle's self-join
+    is the semantic spec; the plan ships ≤V tokens per doc once). The pair
+    census aggregates at most C(V,2) = {_LIFT_TOPV * (_LIFT_TOPV - 1) // 2}
+    distinct keys regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dfreq = doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    topv = dfreq.orderBy(F.col("df").desc(), "token").limit(_LIFT_TOPV)
+    head = doc_tokens.join(F.broadcast(topv.select("token")), "token")
+    doc_heads = head.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("ts")
+    )
+    k = F.size("ts")
+    pairs = doc_heads.filter(k >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), k - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, k - 1),
+                        lambda j: F.struct(
+                            F.col("ts")[i].alias("tok_a"),
+                            F.col("ts")[j].alias("tok_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    pc = (
+        pairs.groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    va = topv.select(F.col("token").alias("tok_a"), F.col("df").alias("c_a"))
+    vb = topv.select(F.col("token").alias("tok_b"), F.col("df").alias("c_b"))
+    return (
+        pc.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.floor(
+                (F.col("c_ab") * F.col("n_docs") * F.lit(1_000_000))
+                / (F.col("c_a") * F.col("c_b"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(_LIFT_TOPK)
+    )

@@ -172,6 +172,7 @@ _PRIORITY = [
     "sim_semantic_prune",
     "agg_cms_heavy_hitters",
     "storage_schema_evolution",
+    "text_cooccurrence_lift",
     "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",
