@@ -914,6 +914,51 @@ def _cms_oracle() -> str:
     """
 
 
+def _cms_token_counts(docs: DataFrame) -> DataFrame:
+    """(token, cnt) of the document token stream (map-side-combined)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_projection(counts: DataFrame) -> DataFrame:
+    """(token, cnt, d, bucket): each token projected onto its D sketch
+    rows via the portable md5-affine bucket hash."""
+    from onebrc_spark.operators.dedup import _affine, _base_digits
+
+    base = _base_digits(F.col("token"))
+    return counts.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (_affine(base, d) % F.lit(_CMS_W)).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "cnt", "p.d", "p.bucket")
+
+
+def cms_cells(docs: DataFrame) -> DataFrame:
+    """The D×W count-min sketch of a document set as (d, bucket, cell)
+    rows — the mergeable artifact: sketches of disjoint corpus deltas fold
+    by cell-wise sum (property-tested in tests/test_properties.py; folded
+    incrementally by streaming/pipelines.stream_cms_fold)."""
+    return (
+        _cms_projection(_cms_token_counts(docs))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+
+
 @query(
     "agg_cms_heavy_hitters",
     oracle=_cms_oracle(),
@@ -937,31 +982,9 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus deltas each ship a 2 KB sketch and cell-wise sum folds them —
     the same partial-reaggregation property as agg_partial_reaggregation,
     at constant (not cardinality-proportional) state."""
-    from onebrc_spark.operators.dedup import _affine, _base_digits
-
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    base = _base_digits(F.col("token"))
-    proj = counts.select(
-        "token",
-        "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (_affine(base, d) % F.lit(_CMS_W)).alias("bucket"),
-                    )
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("token", "cnt", "p.d", "p.bucket")
+    counts = _cms_token_counts(docs)
+    proj = _cms_projection(counts)
     cells = proj.groupBy("d", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
     topk = counts.orderBy(F.col("cnt").desc(), "token").limit(_CMS_TOPK)
     est = (

@@ -244,6 +244,43 @@ def stream_incremental_admission(
     )
 
 
+def stream_cms_fold(docs: DataFrame, target_dir: str) -> None:
+    """foreachBatch count-min fold: each micro-batch of documents is
+    sketched (aggregates.cms_cells) and cell-wise summed into a running
+    2048-cell parquet state — the streaming deployment of the sketch's
+    mergeability (agg_cms_heavy_hitters' production claim: daily deltas
+    ship ~2 KB each and fold at constant state). At-least-once replay of a
+    batch would double its counts, so production dedups by epoch_id before
+    folding; availableNow + checkpoint gives effectively-once here."""
+    from onebrc_spark.operators.aggregates import cms_cells
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        delta = cms_cells(batch_df)
+        try:
+            current = s.read.parquet(target_dir)
+            merged = (
+                current.unionByName(delta)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cell").cast("long").alias("cell"))
+            )
+        except AnalysisException:  # first batch: no state yet
+            merged = delta
+        # Materialize BEFORE overwriting the path we just read from.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", target_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_interval_join(
     views: DataFrame, clicks: DataFrame
 ) -> DataFrame:

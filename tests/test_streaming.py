@@ -176,6 +176,33 @@ def test_stream_incremental_admission_matches_batch_gate(spark):
     assert len(want) > 0
 
 
+def test_stream_cms_fold_converges_to_batch_sketch(spark, tmp_path):
+    """Folding per-micro-batch count-min sketches (cell-wise sum) over a
+    3-file stream must converge to the whole-corpus batch sketch — the
+    mergeability claim executed under the streaming engine."""
+    from onebrc_spark.operators.aggregates import cms_cells
+    from onebrc_spark.streaming.pipelines import stream_cms_fold
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+
+    target = str(tmp_path / "cms_state")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_cms_fold(stream, target)
+
+    got = {
+        (r["d"], r["bucket"]): r["cell"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {(r["d"], r["bucket"]): r["cell"] for r in cms_cells(docs).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_stream_foreach_batch_upsert_matches_batch(spark, tmp_path):
     from onebrc_spark.streaming.pipelines import stream_foreach_batch_upsert
 
