@@ -208,3 +208,50 @@ def test_incremental_rejections_gates_and_asymmetry(spark):
         for r in incremental_rejections(docs, F.col("is_new")).collect()
     }
     assert out == {10: "exact", 11: "near"}
+
+
+def test_incremental_candidate_load_grows_slower_than_global_dedup(spark):
+    """The incremental gate's amortization law: with a FIXED ingest batch,
+    LSH candidate load against a growing corpus excludes the corpus×corpus
+    quadrant, so it grows like the corpus (×k here) while the global-dedup
+    candidate load (all band collisions among corpus ∪ batch) grows
+    strictly faster — the quadrant difference that makes per-ingest dedup
+    affordable at 100 TB where global re-dedup is not."""
+    from onebrc_spark.operators.incremental import _band_table
+    from onebrc_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 50 == 0)  # fixed ~2% ingest
+
+    def band_occupancy(df):
+        return _band_table(
+            df.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+        ).groupBy("band", "band_sig")
+
+    loads = {}
+    for n in (1250, 5000):
+        corpus = docs.filter((F.col("doc_id") % 50 != 0) & (F.col("doc_id") < n))
+        cb = band_occupancy(corpus).count().withColumnRenamed("count", "nc")
+        bb = band_occupancy(batch).count().withColumnRenamed("count", "nb")
+        # incremental: batch×corpus collisions only
+        inc = (
+            bb.join(cb, ["band", "band_sig"])
+            .agg(F.sum(F.col("nb") * F.col("nc")))
+            .first()[0]
+            or 0
+        )
+        # global: all pairs among (corpus ∪ batch) band collisions
+        allb = band_occupancy(corpus.unionByName(batch)).count()
+        c = F.col("count")
+        full = allb.agg(F.sum(c * (c - 1) / 2)).first()[0] or 0
+        loads[n] = (inc, full)
+
+    (inc_s, full_s), (inc_b, full_b) = loads[1250], loads[5000]
+    assert 0 < inc_s < full_s and 0 < inc_b < full_b
+    inc_growth = inc_b / inc_s
+    full_growth = full_b / full_s
+    # corpus grew 4x: incremental load tracks it; global load outpaces it.
+    assert inc_growth < full_growth
+    assert inc_growth < 8  # ~linear in corpus for the fixed batch
