@@ -864,16 +864,10 @@ _CMS_W = 512  # width: buckets per row
 _CMS_TOPK = 15
 
 
-def _cms_bucket(token):
-    """Row-d bucket of a token: affine-permuted portable hash mod width
-    (same (a,b,p) family as the MinHash signatures — see dedup.py:38-40)."""
-    from onebrc_spark.operators.dedup import _affine, _base_digits
-
-    base = _base_digits(token)
-    return [(_affine(base, d) % F.lit(_CMS_W)).alias(f"b{d}") for d in range(_CMS_D)]
-
-
 def _cms_bucket_sql(expr: str, d: str) -> str:
+    """Row-d bucket of a token, DuckDB side: affine-permuted portable hash
+    mod width (same (a,b,p) family as the MinHash signatures, dedup.py:38-40;
+    the Spark twin is inlined in _cms_projection)."""
     from onebrc_spark.operators.dedup import _affine_sql
 
     cases = " ".join(

@@ -195,13 +195,13 @@ def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
     max_iters: int = _MAX_ITERS, algorithm: str = "auto",
 ) -> DataFrame:
-    f"""(id, cluster_id) for every node appearing in `edges`, where
+    """(id, cluster_id) for every node appearing in `edges`, where
     cluster_id = min node id of the node's connected component.
 
     algorithm: "label" = min-label propagation (rounds = diameter, raises
     past max_iters); "star" = large-star/small-star contraction (O(log n)
     rounds, any diameter); "auto" (default) = propagation first, escalating
-    to star if the graph turns out deeper than {_AUTO_ESCALATE_ROUNDS}
+    to star if the graph turns out deeper than _AUTO_ESCALATE_ROUNDS (6)
     rounds (capped at max_iters)."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(

@@ -808,12 +808,12 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
-            F.floor(
-                (F.col("c_ab") * F.col("n_docs") * F.lit(1_000_000))
-                / (F.col("c_a") * F.col("c_b"))
-            )
-            .cast("long")
-            .alias("lift_ppm"),
+            # `div`, not `/` + floor: long `/` is IEEE double division,
+            # which loses exactness past 2^53 where BIGINT // does not —
+            # the oracle-parity contract needs true integer division.
+            F.expr("(c_ab * n_docs * 1000000L) div (c_a * c_b)").alias(
+                "lift_ppm"
+            ),
         )
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(_LIFT_TOPK)

@@ -96,6 +96,32 @@ def _band_table(docs_ws: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.band_sig")
 
 
+def lsh_candidates(docs: DataFrame, new_col: Column) -> DataFrame:
+    """(new_id, corpus_id) LSH band-collision candidates of the new batch
+    against the corpus — batch×corpus ONLY; the corpus never self-joins
+    (pinned structurally in tests/test_plans.py)."""
+    tagged = docs.select("doc_id", "text", new_col.alias("is_new"))
+    ws_batch = tagged.filter(F.col("is_new")).select(
+        "doc_id", word_3grams(F.col("text")).alias("ws")
+    )
+    ws_corpus = tagged.filter(~F.col("is_new")).select(
+        "doc_id", word_3grams(F.col("text")).alias("ws")
+    )
+    bb = _band_table(ws_batch).alias("bb")
+    cb = _band_table(ws_corpus).alias("cb")
+    return (
+        bb.join(
+            cb,
+            (F.col("bb.band") == F.col("cb.band"))
+            & (F.col("bb.band_sig") == F.col("cb.band_sig")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("new_id"), F.col("cb.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
 def incremental_rejections(
     docs: DataFrame, new_col: Column, threshold: float = _MINHASH_THRESHOLD
 ) -> DataFrame:
@@ -119,33 +145,32 @@ def incremental_rejections(
     )
 
     # Gate 2 — near-dup: batch bands × corpus bands ONLY (the corpus never
-    # self-joins), then exact-Jaccard verification of the candidates.
-    ws_batch = batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
-    ws_corpus = corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
-    bb = _band_table(ws_batch).alias("bb")
-    cb = _band_table(ws_corpus).alias("cb")
-    candidates = (
-        bb.join(
-            cb,
-            (F.col("bb.band") == F.col("cb.band"))
-            & (F.col("bb.band_sig") == F.col("cb.band_sig")),
-        )
-        .select(
-            F.col("bb.doc_id").alias("new_id"), F.col("cb.doc_id").alias("corpus_id")
-        )
-        .distinct()
-    )
-    wa = ws_batch.select(F.col("doc_id").alias("new_id"), F.col("ws").alias("ws_a"))
-    wb = ws_corpus.select(
-        F.col("doc_id").alias("corpus_id"), F.col("ws").alias("ws_b")
-    )
+    # self-joins), then exact-Jaccard verification of the candidates. The
+    # candidate set (not the corpus) drives the verify joins: texts are
+    # attached per candidate pair and shingled THERE, so the full corpus
+    # is shingled exactly once (for banding) — verification work is
+    # O(candidates), and the small candidate side broadcasts, leaving the
+    # corpus text scan exchange-free.
+    candidates = lsh_candidates(docs, new_col)
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = (
         F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
     )
     near_rej = (
-        candidates.join(wa, "new_id")
-        .join(wb, "corpus_id")
+        candidates.join(
+            batch.select(
+                F.col("doc_id").alias("new_id"), F.col("text").alias("text_a")
+            ),
+            "new_id",
+        )
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("corpus_id"), F.col("text").alias("text_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn("ws_a", word_3grams(F.col("text_a")))
+        .withColumn("ws_b", word_3grams(F.col("text_b")))
         .filter(inter / union >= threshold)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()

@@ -406,9 +406,9 @@ def _banded_pairs_sql() -> str:
     survey_ref="X3 (banded LSH ANN pairs: the 100 TB candidate path)",
 )
 def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""ANN near-neighbor pairs via BANDED sign-LSH (4 bands × 12 planes),
-    exact cosine ≥ {_ANN_COS_MIN} on candidates only — the headline ANN
-    pairs query.
+    """ANN near-neighbor pairs via BANDED sign-LSH (4 bands × 12 planes),
+    exact cosine ≥ _ANN_COS_MIN (0.30) on candidates only — the headline
+    ANN pairs query.
 
     Why this replaces the single-table sim_ann_lsh as the headline: one
     8-plane table is 256 buckets forever, so candidate pairs grow as

@@ -145,6 +145,25 @@ def run_to_completion(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True only for 'target does not exist yet' analysis errors — the one
+    condition a foreachBatch merge may treat as empty state. Any OTHER read
+    failure (schema corruption, a half-deleted target from a crashed
+    overwrite) must fail the batch instead of silently resetting state."""
+    err_class = None
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if get is not None:
+            try:
+                err_class = get()
+                break
+            except Exception:
+                pass
+    return (err_class == "PATH_NOT_FOUND") or (
+        err_class is None and "Path does not exist" in str(exc)
+    )
+
+
 def stream_foreach_batch_upsert(events: DataFrame, target_dir: str) -> None:
     """foreachBatch keyed upsert: streaming aggregation merged into a parquet
     target per micro-batch — the pattern for sinks without native streaming
@@ -176,7 +195,9 @@ def stream_foreach_batch_upsert(events: DataFrame, target_dir: str) -> None:
             merged = current.join(
                 batch_df.select("event_type"), "event_type", "left_anti"
             ).unionByName(batch_df)
-        except AnalysisException:  # first batch: target doesn't exist yet
+        except AnalysisException as e:  # first batch: target doesn't exist yet
+            if not _is_missing_path(e):
+                raise
             merged = batch_df
         # Materialize BEFORE overwriting the path we just read from —
         # otherwise the lazy plan would scan a target it is deleting.
@@ -266,7 +287,9 @@ def stream_cms_fold(docs: DataFrame, target_dir: str) -> None:
                 .groupBy("d", "bucket")
                 .agg(F.sum("cell").cast("long").alias("cell"))
             )
-        except AnalysisException:  # first batch: no state yet
+        except AnalysisException as e:  # first batch: no state yet
+            if not _is_missing_path(e):
+                raise
             merged = delta
         # Materialize BEFORE overwriting the path we just read from.
         merged = merged.localCheckpoint(eager=True)

@@ -411,6 +411,17 @@ def test_incremental_admission_never_joins_corpus_with_itself(spark):
     # and the plan has no cartesian product anywhere
     assert "CartesianProduct" not in txt
 
+    # Structural pin on the candidate join itself: its plan carries the
+    # batch polarity EXACTLY once and the corpus polarity EXACTLY once —
+    # a corpus×corpus (or batch×batch) band join would double one of them.
+    from onebrc_spark.operators.incremental import lsh_candidates
+    from onebrc_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    ctxt = explain_str(lsh_candidates(docs, is_new_batch(F.col("doc_id"))))
+    assert ctxt.count("< 3") == 1, ctxt
+    assert ctxt.count(">= 3") == 1, ctxt
+
 
 def test_semantic_prune_centroid_is_broadcast(spark):
     """sim_semantic_prune's scale contract: the centroid table (clusters ×
