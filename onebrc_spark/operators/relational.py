@@ -275,3 +275,88 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_value long, n_negative long, "
         "min_value double, max_value double",
     )
+
+
+# --- DQ: per-column profiling ------------------------------------------------
+
+# (column, null-safe min/max renderers). Doubles render through
+# DECIMAL(14,2) (both engines round the same double to the same decimal and
+# print it identically); timestamps through DATE (registry rule: no raw
+# timestamp columns cross the driver boundary).
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({c} AS STRING)", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}", "{c}"),
+    (
+        "o_totalprice",
+        "CAST(CAST({c} AS DECIMAL(14,2)) AS STRING)",
+        "CAST(CAST({c} AS DECIMAL(14,2)) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "CAST(CAST({c} AS DATE) AS STRING)",
+        "CAST(CAST({c} AS DATE) AS VARCHAR)",
+    ),
+    ("o_orderpriority", "{c}", "{c}"),
+]
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for col, _, duck in _PROFILE_COLS:
+        mn = duck.format(c=f"min({col})")
+        mx = duck.format(c=f"max({col})")
+        selects.append(
+            f"SELECT '{col}' AS column_name,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM orders"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY column_name"
+
+
+@query(
+    "dq_column_profile",
+    oracle=_profile_oracle(),
+    survey_ref="dq (per-column profiling: rows/nulls/distinct/min/max)",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of a table — row count, null count, exact
+    distinct count, min and max rendered type-appropriately — the first
+    query every pipeline runs against an unfamiliar 100 TB estate, and
+    the input to partition-layout and encoding decisions.
+
+    Scale: ONE pass over the table computes every column's stats in a
+    single aggregation (count/min/max are algebraic; the distinct counts
+    are the only state-heavy part — swap count_distinct for
+    approx_count_distinct at estate scale, same plan shape); the wide
+    single-row result is then unpivoted driver-free with stack(). No
+    per-column rescans — profiling N columns costs one scan, not N."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, spark_fmt, _ in _PROFILE_COLS:
+        aggs.append(F.count(col).alias(f"cnt_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"nd_{col}"))
+        aggs.append(F.expr(spark_fmt.format(c=f"min({col})")).alias(f"mn_{col}"))
+        aggs.append(F.expr(spark_fmt.format(c=f"max({col})")).alias(f"mx_{col}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', n_rows - cnt_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _, _ in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long"),
+            F.col("n_nulls").cast("long"),
+            F.col("n_distinct").cast("long"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )

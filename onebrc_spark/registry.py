@@ -173,6 +173,7 @@ _PRIORITY = [
     "agg_cms_heavy_hitters",
     "storage_schema_evolution",
     "text_cooccurrence_lift",
+    "dq_column_profile",
     "onebrc_permissive_quarantine",
     "text_langid",
     "window_running_frames",
