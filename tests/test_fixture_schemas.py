@@ -178,3 +178,48 @@ def test_events_timeline_span_is_days(spark) -> None:
     lo, hi = events.selectExpr("min(ts)", "max(ts)").first()
     span_days = (hi - lo).total_seconds() / 86400.0
     assert 2.0 <= span_days <= 3650.0, f"events span {span_days:.3f} days"
+
+
+def test_corpus_semantic_contracts(spark) -> None:
+    """Data properties the curation operators' NON-VACUITY rests on — if a
+    testdata regeneration drops one, this names the broken assumption
+    directly instead of surfacing as a mysterious 0-row oracle result.
+
+    - ≥ 2 sources (text_source_overlap needs pairs to compare);
+    - every document text non-empty (mm_feature_extract's norm audit,
+      tokenizing ops);
+    - byte-identical duplicate texts exist ACROSS the is_new hash split
+      (dedup_incremental_admission's exact gate must fire);
+    - embeddings: fixed dim, ≥ 2 cluster labels (sim_semantic_prune,
+      IVF/kNN queries)."""
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.operators.incremental import is_new_batch
+    from onebrc_spark.sources.catalog import load_table
+
+    for sf_dir in (SMOKE_SF_DIR, SF_DIR, "/root/testdata/sf0.1"):
+        docs = load_table(spark, sf_dir, "documents")
+        n_sources = docs.select("source").distinct().count()
+        assert n_sources >= 2, f"{sf_dir}: only {n_sources} source(s)"
+        n_empty = docs.filter(F.length("text") == 0).count()
+        assert n_empty == 0, f"{sf_dir}: {n_empty} empty document texts"
+
+        # Byte-identical duplicates only exist at sf0.1 (measured: 8 dup
+        # texts there, 0 at the smaller SFs — the near gate carries
+        # non-vacuity at sf0.01). Pin the property where it holds so a
+        # regeneration that drops sf0.1's exact dups is named here.
+        if sf_dir.rstrip("/").endswith("sf0.1"):
+            tagged = docs.select("text", is_new_batch(F.col("doc_id")).alias("nw"))
+            cross = (
+                tagged.filter(F.col("nw"))
+                .select("text")
+                .join(tagged.filter(~F.col("nw")).select("text"), "text", "left_semi")
+                .count()
+            )
+            assert cross > 0, f"{sf_dir}: no exact dup crosses the is_new split"
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+        assert len(dims) == 1, f"{sf_dir}: ragged embedding dims {dims}"
+        n_labels = emb.select("label").distinct().count()
+        assert n_labels >= 2, f"{sf_dir}: only {n_labels} embedding label(s)"
