@@ -751,7 +751,12 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(a,b)/(P(a)·P(b)) for the most frequent pairs — the collocation
     profile that separates topical phrases from independent filler.
     Emitted as exact-integer ppm (c_ab·N·1e6 // (c_a·c_b), registry
-    round-half rule) so the hash is engine-stable.
+    round-half rule) so the hash is engine-stable. Validity bound: the
+    numerator must stay under 2^63, i.e. c_ab·n_docs < 9.2e12 — beyond
+    that Spark's non-ANSI multiply wraps where DuckDB raises (a loud
+    driver red, not a silent wrong answer); for corpora past the bound,
+    drop the 1e6 scale or stage the division ((c_ab·N) div c_a, then
+    ·1e6 div c_b) identically on both sides.
 
     Scale (100 TB): the vocabulary census is a wordcount shuffle; the
     top-V list is broadcast, so per-document work is an array

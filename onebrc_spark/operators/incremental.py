@@ -96,19 +96,22 @@ def _band_table(docs_ws: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.band_sig")
 
 
-def lsh_candidates(docs: DataFrame, new_col: Column) -> DataFrame:
-    """(new_id, corpus_id) LSH band-collision candidates of the new batch
-    against the corpus — batch×corpus ONLY; the corpus never self-joins
-    (pinned structurally in tests/test_plans.py)."""
+def _split_batch_corpus(
+    docs: DataFrame, new_col: Column
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE derivation of the is_new split — both gates must see the
+    identical membership, so batch/corpus frames come from here only."""
     tagged = docs.select("doc_id", "text", new_col.alias("is_new"))
-    ws_batch = tagged.filter(F.col("is_new")).select(
-        "doc_id", word_3grams(F.col("text")).alias("ws")
-    )
-    ws_corpus = tagged.filter(~F.col("is_new")).select(
-        "doc_id", word_3grams(F.col("text")).alias("ws")
-    )
-    bb = _band_table(ws_batch).alias("bb")
-    cb = _band_table(ws_corpus).alias("cb")
+    return tagged.filter(F.col("is_new")), tagged.filter(~F.col("is_new"))
+
+
+def _candidates_from_split(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    bb = _band_table(
+        batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    ).alias("bb")
+    cb = _band_table(
+        corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    ).alias("cb")
     return (
         bb.join(
             cb,
@@ -122,6 +125,13 @@ def lsh_candidates(docs: DataFrame, new_col: Column) -> DataFrame:
     )
 
 
+def lsh_candidates(docs: DataFrame, new_col: Column) -> DataFrame:
+    """(new_id, corpus_id) LSH band-collision candidates of the new batch
+    against the corpus — batch×corpus ONLY; the corpus never self-joins
+    (pinned structurally in tests/test_plans.py)."""
+    return _candidates_from_split(*_split_batch_corpus(docs, new_col))
+
+
 def incremental_rejections(
     docs: DataFrame, new_col: Column, threshold: float = _MINHASH_THRESHOLD
 ) -> DataFrame:
@@ -132,9 +142,7 @@ def incremental_rejections(
     Exact rejections are decided first; the near gate only ever adds docs
     the exact gate admitted (a doc is counted once, by its cheapest gate).
     """
-    tagged = docs.select("doc_id", "text", new_col.alias("is_new"))
-    corpus = tagged.filter(~F.col("is_new"))
-    batch = tagged.filter(F.col("is_new"))
+    batch, corpus = _split_batch_corpus(docs, new_col)
 
     # Gate 1 — exact: digests only cross the wire, never text.
     corpus_digests = corpus.select(F.md5("text").alias("digest")).distinct()
@@ -151,7 +159,7 @@ def incremental_rejections(
     # is shingled exactly once (for banding) — verification work is
     # O(candidates), and the small candidate side broadcasts, leaving the
     # corpus text scan exchange-free.
-    candidates = lsh_candidates(docs, new_col)
+    candidates = _candidates_from_split(batch, corpus)
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = (
         F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
