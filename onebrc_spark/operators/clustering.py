@@ -438,3 +438,83 @@ def ml_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gk").alias("n_groups"),
     )
     return manifest.crossJoin(leaked)
+
+
+# --- X8b: quality-aware cluster survivor selection ---------------------------
+
+
+@query(
+    "dedup_cluster_best_survivor",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({minhash_pairs_sql()}),
+    nodes AS (
+      SELECT doc_a AS id FROM edges UNION SELECT doc_b FROM edges
+    ), bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT b.dst AS id, r.root
+      FROM reach r JOIN bidir b ON b.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id
+    ), m AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ), r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members
+      FROM m
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           n_chars AS survivor_n_chars, n_members
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+    """,
+    survey_ref="X1,X2,X8 (quality-aware survivor: keep best doc per near-dup cluster)",
+)
+def dedup_cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical-member selection: within each near-dup
+    cluster keep the HIGHEST-QUALITY document (here: max n_chars, ties to
+    min doc_id), not the arbitrary min-id member that
+    dedup_cluster_survivors keeps. This is how production corpus dedup
+    actually chooses survivors — near-dup web pages differ in boilerplate
+    and truncation, and keeping the longest/cleanest variant measurably
+    improves downstream training data (the quality key is pluggable: any
+    deterministic per-doc score column slots into the same rank window).
+
+    Scale: cluster membership (pairs-derived) is dim-sized relative to the
+    corpus, so the quality lookup is a BROADCAST join against the documents
+    scan — the corpus never shuffles; the rank window partitions by
+    cluster_id over (id, n_chars) longs only, and near-dup clusters are
+    tiny (no skewed mega-partition; a pathological giant cluster would
+    already have been flagged by the components step). Total order inside
+    the window: (n_chars DESC, doc_id) — doc_id is unique, so survivor
+    choice is deterministic under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = docs.join(F.broadcast(comp), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )

@@ -226,7 +226,13 @@ def ml_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MIX_ALPHA_SQL = "sqrt(CAST(n_total AS DOUBLE))"  # alpha = 0.5 via sqrt (portable libm)
+# alpha = 0.5 via sqrt (IEEE-correctly-rounded, so bit-portable across
+# engines), then quantized to an exact integer milli-weight PER SOURCE before
+# any summation: sum(sqrt(..)) as DOUBLE is partition-order-dependent in its
+# low bits, and floor(100*x) amplifies that into a ±1 keep_pct flip (observed
+# once at sf0.1 under concurrent load). Integer weights make the whole rate
+# computation order-independent on both engines.
+_MIX_WEIGHT_SQL = "CAST(round(sqrt(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT)"
 
 
 @query(
@@ -235,12 +241,12 @@ _MIX_ALPHA_SQL = "sqrt(CAST(n_total AS DOUBLE))"  # alpha = 0.5 via sqrt (portab
     WITH counts AS (
       SELECT source, count(*) AS n_total FROM documents GROUP BY source
     ), z AS (
-      SELECT sum({_MIX_ALPHA_SQL}) AS denom,
-             CAST(sum(n_total) AS DOUBLE) / 2 AS target FROM counts
+      SELECT CAST(sum({_MIX_WEIGHT_SQL}) AS BIGINT) AS denom_i,
+             CAST(sum(n_total) AS BIGINT) AS total FROM counts
     ), rates AS (
       SELECT source, n_total,
-             CAST(floor(100 * least(1.0,
-               (target * {_MIX_ALPHA_SQL} / denom) / n_total)) AS INT)
+             CAST(least(100,
+               (50 * total * {_MIX_WEIGHT_SQL}) // (denom_i * n_total)) AS INT)
                AS keep_pct
       FROM counts, z
     ), tagged AS (
@@ -268,27 +274,37 @@ def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-addressed (md5 percentile), so the mix is identical across
     runs, engines, and task retries.
 
+    Determinism: each source's sqrt-weight is quantized to an integer
+    milli-weight BEFORE the normalizer sum — a DOUBLE sum's low bits
+    depend on partition merge order, and floor(100*x) amplifies that into
+    a ±1 keep_pct flip; with integer weights keep_pct is the floor of an
+    exact rational (50·total·w / (denom·n_s)), identical under any
+    partitioning and any engine. (Headroom: the 50·total·w numerator holds
+    to ~2^63, i.e. corpora to ~1e14 docs at milli-weight scale; past that,
+    stage the division or widen to DECIMAL(38,0).)
+
     Scale: the source census is dim-sized and broadcast; the corpus-sized
     side is a narrow projection + filter — the text never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    weight = F.sqrt(F.col("n_total").cast("double"))
+    weight = F.round(F.sqrt(F.col("n_total").cast("double")) * 1000).cast("long")
     z = counts.agg(
-        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("denom"),
-        (F.sum("n_total").cast("double") / 2).alias("target"),
+        F.sum(weight).alias("denom_i"),
+        F.sum("n_total").cast("long").alias("total"),
     )
-    rates = counts.crossJoin(F.broadcast(z)).select(
-        "source",
-        "n_total",
-        F.floor(
-            100
-            * F.least(
-                F.lit(1.0),
-                (F.col("target") * weight / F.col("denom")) / F.col("n_total"),
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn("wt", weight)
+        .select(
+            "source",
+            "n_total",
+            F.least(
+                F.lit(100).cast("long"),
+                F.expr("(50 * total * wt) div (denom_i * n_total)"),
             )
+            .cast("int")
+            .alias("keep_pct"),
         )
-        .cast("int")
-        .alias("keep_pct"),
     )
     pct = _pct_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
     return (

@@ -360,3 +360,120 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --- DQ: distribution drift between ingest snapshots -------------------------
+
+_DRIFT_BUCKETS = 16
+
+
+@query(
+    "dq_snapshot_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(month(o_orderdate) % 2 AS BIGINT) AS snap
+      FROM orders
+    ), bounds AS (
+      SELECT min(cents) AS mn, max(cents) AS mx FROM base
+    ), bucketed AS (
+      SELECT ((cents - mn) * {_DRIFT_BUCKETS}) // (mx - mn + 1) AS bucket, snap
+      FROM base, bounds
+    ), per AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM bucketed GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS na, CAST(sum(cnt_b) AS BIGINT) AS nb
+      FROM per
+    ), rated AS (
+      SELECT p.bucket, p.cnt_a, p.cnt_b,
+             p.cnt_a * 1000000 // greatest(t.na, 1) AS rate_a_ppm,
+             p.cnt_b * 1000000 // greatest(t.nb, 1) AS rate_b_ppm
+      FROM per p, tot t
+    )
+    SELECT bucket, cnt_a, cnt_b, rate_a_ppm, rate_b_ppm,
+           abs(rate_a_ppm - rate_b_ppm) AS bucket_drift_ppm,
+           CAST((SELECT sum(abs(rate_a_ppm - rate_b_ppm)) FROM rated) // 2
+                AS BIGINT) AS tvd_ppm_floor
+    FROM rated ORDER BY bucket
+    """,
+    survey_ref="dq (snapshot drift: equi-width histogram TVD between ingests)",
+)
+def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two ingest snapshots — the monitoring
+    query a 100 TB pipeline runs on every delivery to catch upstream
+    schema-preserving value drift (price re-scaling, silent unit changes,
+    a source going stale) before it poisons training mixes. Snapshots here
+    are the month-parity halves of `orders` (any ≥2-month corpus populates
+    both; a degenerate single-month delivery yields one empty side and the
+    GREATEST(total,1) guard keeps the arithmetic defined rather than
+    failing the whole audit).
+
+    Mechanism: o_totalprice → exact integer cents → {_DRIFT_BUCKETS}
+    equi-width buckets over the global [min, max] (integer arithmetic:
+    ((cents-mn)*B) div (mx-mn+1) lands in [0, B) with no boundary or
+    float-rounding ambiguity), then per-bucket per-snapshot counts and
+    per-million rates. The headline stat is the total-variation distance
+    floor in ppm: Σ|rate_a − rate_b| div 2. All integer ops — both engines
+    compute bit-identical results at any scale (rates ≤ 1e6 so the ×1e6
+    products hold to ~9e12 rows/snapshot; past that, stage the division
+    per the text_cooccurrence_lift docstring).
+
+    Scale: ONE scan computes both snapshots' histograms (the snapshot tag
+    is a per-row expression, not two reads); the only shuffle is the
+    {_DRIFT_BUCKETS}-key bucket aggregation with map-side partials, and the
+    global min/max pre-pass is an algebraic aggregate that parquet footer
+    stats can serve scan-free on a sorted estate. The rate/TVD windows run
+    over {_DRIFT_BUCKETS} rows — driver-free and constant-size regardless
+    of corpus scale.
+
+    Reference parity: the reference has no multi-snapshot or DQ surface at
+    all (its one query is per-key min/mean/max, rust_1brc/src/main.rs:237);
+    extension surface for the curation pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.month("o_orderdate") % 2).cast("long").alias("snap"),
+    )
+    bounds = base.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    per = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"(cents - mn) * {_DRIFT_BUCKETS} div (mx - mn + 1)"
+            ).alias("bucket"),
+            "snap",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    rated = per.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.expr("cnt_a * 1000000 div greatest(sum(cnt_a) over (), 1)").alias(
+            "rate_a_ppm"
+        ),
+        F.expr("cnt_b * 1000000 div greatest(sum(cnt_b) over (), 1)").alias(
+            "rate_b_ppm"
+        ),
+    )
+    return (
+        rated.withColumn(
+            "bucket_drift_ppm", F.abs(F.col("rate_a_ppm") - F.col("rate_b_ppm"))
+        )
+        .withColumn(
+            "tvd_ppm_floor",
+            F.expr("sum(bucket_drift_ppm) over () div 2"),
+        )
+        .orderBy("bucket")
+    )

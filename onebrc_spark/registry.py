@@ -168,6 +168,8 @@ _PRIORITY = [
     # NEW in round 4 (post-window additions; front of the overflow so they
     # get rows if the driver checks past 50, else they lead round 5's window)
     "dedup_incremental_admission",
+    "dq_snapshot_drift",
+    "dedup_cluster_best_survivor",
     "text_source_overlap",
     "sim_semantic_prune",
     "agg_cms_heavy_hitters",

@@ -228,3 +228,24 @@ def test_corpus_semantic_contracts(spark) -> None:
         assert len(dims) == 1, f"{sf_dir}: ragged embedding dims {dims}"
         n_labels = emb.select("label").distinct().count()
         assert n_labels >= 2, f"{sf_dir}: only {n_labels} embedding label(s)"
+
+
+def test_orders_span_both_month_parities(spark) -> None:
+    """dq_snapshot_drift splits orders into month-parity snapshots; its
+    drift stats are only meaningful when BOTH sides are populated (the
+    GREATEST(total,1) guard keeps a one-sided corpus defined, but then the
+    audit is vacuous). Pin the property so a testdata regeneration to a
+    single-month date range is named here, not as a mysterious all-zero
+    rate column."""
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.sources.catalog import load_table
+
+    for sf_dir in {SMOKE_SF_DIR, SF_DIR, _SF01_DIR}:
+        if not os.path.isdir(sf_dir):
+            continue
+        o = load_table(spark, sf_dir, "orders")
+        parities = (
+            o.select((F.month("o_orderdate") % 2).alias("p")).distinct().count()
+        )
+        assert parities == 2, f"{sf_dir}: orders cover {parities} month parity(ies)"

@@ -508,3 +508,35 @@ def test_bucketed_corpus_band_join_has_no_corpus_side_exchange(spark, tmp_path):
     want = {(r["new_id"], r["corpus_id"]) for r in inflight.collect()}
     got = {(r["new_id"], r["corpus_id"]) for r in cand.collect()}
     assert got == want and len(got) > 0
+
+
+def test_snapshot_drift_one_scan_two_histograms(spark):
+    """dq_snapshot_drift's scale claim: ONE conditional-aggregation pass
+    builds both snapshots' histograms (no per-snapshot rescan), the bounds
+    pre-pass joins in as a BROADCAST (never a shuffle of the fact side),
+    and the bucket aggregation carries a map-side partial."""
+    from onebrc_spark.operators.relational import dq_snapshot_drift
+
+    df = dq_snapshot_drift(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    # one scan of orders only (bounds pre-pass is its own scan of the same
+    # file — 2 total; a per-snapshot split would make it 3+). Formatted
+    # explain renders every scan twice (tree line + detail header), so the
+    # string count is 2× the physical scan count.
+    assert txt.count("Scan parquet") <= 4, txt.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+    assert txt.count("HashAggregate") >= 2  # partial+final on bucket
+    assert "SortMergeJoin" not in txt
+
+
+def test_cluster_best_survivor_broadcasts_membership_onto_corpus(spark):
+    """dedup_cluster_best_survivor's scale claim: the dim-sized cluster
+    membership broadcasts onto the documents scan — the corpus side never
+    shuffles for the quality lookup; the rank window partitions by
+    cluster_id over label-sized rows."""
+    from onebrc_spark.operators.clustering import dedup_cluster_best_survivor
+
+    df = dedup_cluster_best_survivor(spark, SMOKE_SF_DIR)
+    txt = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "RunningWindowFunction" in txt or "Window" in txt
