@@ -199,7 +199,7 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-           round(sum(value), 4) AS sum_v
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_v
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     survey_ref="F9 (map type: map_from_entries -> map_filter/transform_values -> explode)",
@@ -230,8 +230,16 @@ def fn_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("mk") == "k", F.col("mv") / 2.0).otherwise(0.0))
             .cast("long")
             .alias("sum_k"),
-            F.round(
-                F.sum(F.when(F.col("mk") == "v", F.col("mv") / 2.0).otherwise(0.0)), 4
+            # mv/2 recovers the original 2-dp grid value exactly (×2 and /2
+            # are exact double ops), so the cents sum is order-independent
+            (
+                F.sum(
+                    F.when(
+                        F.col("mk") == "v",
+                        F.round(F.col("mv") / 2.0 * 100).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+                / F.lit(100.0)
             ).alias("sum_v"),
         )
         .orderBy("event_type")

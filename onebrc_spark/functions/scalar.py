@@ -234,8 +234,10 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            CAST(sum(CASE WHEN value / NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 0)
                          IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
-           round(sum(coalesce(value / NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 0), 0)), 2)
-             AS sum_safe_div,
+           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 7 <> 0
+                         THEN CAST(round(value * 100) AS BIGINT)
+                              * CAST(60 / (CAST(json_extract(props, '$.k') AS INT) % 7) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 6000.0 AS sum_safe_div,
            CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
     FROM events GROUP BY event_type ORDER BY event_type
@@ -254,10 +256,19 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     safe_div = F.try_divide("value", k % 7)
+    # exact units: value is a 2-dp grid and every non-null divisor
+    # d = k%7 in [-6,6]\{0} divides 60, so cents*(60/d) is an exact
+    # BIGINT and the SUM is order-independent (registry rule)
+    sd_units = F.when(
+        (k % 7) != 0,
+        F.round(F.col("value") * 100).cast("long")
+        * (F.lit(60) / (k % 7)).cast("long"),
+    ).otherwise(F.lit(0))
     return (
         ev.select(
             "event_type",
             safe_div.alias("sd"),
+            sd_units.alias("sd_units"),
             F.col("event_type").try_cast("double").alias("tc"),
         )
         .groupBy("event_type")
@@ -266,7 +277,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sd").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_null_div"),
-            F.round(F.sum(F.coalesce("sd", F.lit(0.0))), 2).alias("sum_safe_div"),
+            (F.sum("sd_units") / F.lit(6000.0)).alias("sum_safe_div"),
             F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_uncastable"),

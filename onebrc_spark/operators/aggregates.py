@@ -161,7 +161,8 @@ def onebrc_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_price,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -171,13 +172,20 @@ def onebrc_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/COUNT as first-class aggregates (internal accumulator state in the
-    reference: main.py:71-72, main.rs:39-42, rangnar…rs:45-46)."""
+    reference: main.py:71-72, main.rs:39-42, rangnar…rs:45-46).
+
+    sum_qty stays a plain double SUM: l_quantity is integral, so every
+    partial sum is exact and order-independent. sum_price sums EXACT
+    INTEGER CENTS (2-dp grid) and divides once — a raw double sum's low
+    bits depend on partition merge order (registry rule; the
+    ml_temperature_mix ±1 flip was this class)."""
     li = load_table(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.sum(price_cents) / F.lit(100.0)).alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -187,17 +195,25 @@ def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_tpch_q1",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(pc) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(pc * (100 - dc)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) / 1000000.0
+             AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(pc) AS BIGINT) / count(*) / 100.0, 4) AS avg_price,
+           round(CAST(sum(dc) AS BIGINT) / count(*) / 100.0, 4) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -205,20 +221,40 @@ def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-aggregate single pass (SURVEY §2.4 A7) with a
-    pushed-down date filter."""
+    pushed-down date filter.
+
+    The money aggregates run on EXACT INTEGERS: price/discount/tax are
+    2-dp grids, so cents × discount-points × tax-points is an exact
+    BIGINT per row and its SUM is order-independent — a raw
+    sum(price*(1-disc)*(1+tax)) of doubles carries partition-merge-order
+    low bits that round(·, 2) can flip at a boundary (the
+    ml_temperature_mix class; the SQL-surface q1 at sqlsurface.py uses
+    the same integer form). sum_qty/avg_qty stay double SUMs because
+    l_quantity is integral — every partial sum is exact. Headroom: the
+    cents×points×points per-row term is ≤ ~1.3e11, so BIGINT holds to
+    ~7e7 rows per group at max values; past that widen the SUM to
+    DECIMAL(38,0) on both engines (same plan shape)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.sum(pc) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(pc * (100 - dc)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(pc * (100 - dc) * (100 + tc)) / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(pc) / F.count(F.lit(1)) / F.lit(100.0), 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(dc) / F.count(F.lit(1)) / F.lit(100.0), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -326,7 +362,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(l_linestatus, '<all>') AS linestatus,
-           round(avg(l_extendedprice), 4) AS avg_price
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / count(*) / 100.0, 4) AS avg_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -338,7 +375,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+        .agg(F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            4,
+        ).alias("avg_price"))
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
@@ -501,7 +543,8 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(value / 10.0) AS BIGINT) * 10 AS bin_lo,
            count(*) AS n,
-           round(avg(value), 4) AS bin_avg
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / count(*) / 100.0, 4) AS bin_avg
     FROM events
     GROUP BY bin_lo ORDER BY bin_lo
     """,
@@ -518,7 +561,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(bin_lo, "value")
         .groupBy("bin_lo")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("bin_avg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(100.0),
+                4,
+            ).alias("bin_avg"))
         .orderBy("bin_lo")
     )
 
@@ -528,14 +576,15 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             count(*) AS n, round(sum(value), 4) AS sum_v,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
              min(value) AS min_v, max(value) AS max_v
       FROM events GROUP BY 1, 2
     )
     SELECT event_type,
            CAST(date_trunc('week', day) AS DATE) AS week,
            CAST(sum(n) AS BIGINT) AS n,
-           round(sum(sum_v), 4) AS sum_v,
+           CAST(sum(sum_vc) AS BIGINT) / 100.0 AS sum_v,
            round(min(min_v), 4) AS min_v,
            round(max(max_v), 4) AS max_v
     FROM daily GROUP BY 1, 2 ORDER BY event_type, week
@@ -561,7 +610,7 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_vc"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
@@ -571,7 +620,7 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").cast("long").alias("n"),
-            F.round(F.sum("sum_v"), 4).alias("sum_v"),
+            (F.sum("sum_vc") / F.lit(100.0)).alias("sum_v"),
             F.round(F.min("min_v"), 4).alias("min_v"),
             F.round(F.max("max_v"), 4).alias("max_v"),
         )

@@ -73,7 +73,8 @@ _MERGE_ORACLE = """
     )
     SELECT action, o_orderstatus,
            count(*) AS n_rows,
-           round(sum(price), 2) AS sum_price
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_price
     FROM merged GROUP BY action, o_orderstatus ORDER BY action, o_orderstatus
 """
 
@@ -105,7 +106,10 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("action", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("price"), 2).alias("sum_price"),
+            (
+                F.sum(F.round(F.col("price") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("sum_price"),
         )
         .orderBy("action", "o_orderstatus")
     )
@@ -126,7 +130,8 @@ _DIFF_ORACLE = """
                 WHEN a.price <> b.price THEN 'changed'
                 ELSE 'unchanged' END AS verdict,
            count(*) AS n_keys,
-           round(sum(coalesce(b.price, a.price)), 2) AS sum_price
+           CAST(sum(CAST(round(coalesce(b.price, a.price) * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS sum_price
     FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
     GROUP BY verdict ORDER BY verdict
 """
@@ -165,7 +170,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff.groupBy("verdict")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
-            F.round(F.sum("price"), 2).alias("sum_price"),
+            (
+                F.sum(F.round(F.col("price") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("sum_price"),
         )
         .orderBy("verdict")
     )

@@ -78,7 +78,8 @@ _PACK_BUDGET = 2048  # chars as the token proxy (real pipelines: tokens)
     SELECT source,
            count(*) AS n_seqs,
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           round(avg(seq_chars / {_PACK_BUDGET}.0), 4) AS avg_fill
+           round(CAST(sum(seq_chars) AS BIGINT) / count(*)
+                 / {_PACK_BUDGET}.0, 4) AS avg_fill
     FROM seqs GROUP BY source ORDER BY source
     """,
     survey_ref="X6 (sequence packing for training shards)",
@@ -116,7 +117,10 @@ def ml_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_seqs"),
             F.sum("n_docs").alias("n_docs"),
-            F.round(F.avg(F.col("seq_chars") / _PACK_BUDGET), 4).alias("avg_fill"),
+            F.round(
+                F.sum("seq_chars") / F.count(F.lit(1)) / F.lit(float(_PACK_BUDGET)),
+                4,
+            ).alias("avg_fill"),
         )
         .orderBy("source")
     )
@@ -200,7 +204,8 @@ _REP_THRESHOLD = 0.08  # flag docs where >8% of 2-grams are repeats
            count(*) AS n_docs,
            CAST(sum(CASE WHEN rep > {_REP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_flagged,
-           round(avg(rep), 4) AS avg_rep,
+           round(CAST(sum(CAST(round(rep * 1000000000) AS BIGINT)) AS BIGINT)
+                 / count(*) / 1000000000.0, 4) AS avg_rep,
            round(max(rep), 4) AS max_rep
     FROM scored GROUP BY source ORDER BY source
     """,
@@ -228,7 +233,12 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rep") > _REP_THRESHOLD, 1).otherwise(0))
             .cast("long")
             .alias("n_flagged"),
-            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.round(
+                F.sum(F.round(F.col("rep") * 1000000000).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(1e9),
+                4,
+            ).alias("avg_rep"),
             F.round(F.max("rep"), 4).alias("max_rep"),
         )
         .orderBy("source")

@@ -22,6 +22,18 @@ from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import load_table
 
 
+def _sum_value_exact():
+    """SUM(value) as exact integer cents / 100 — events.value is a 2-dp
+    grid (pinned in tests/test_fixture_schemas.py's corpus contracts), so
+    the cents sum is order-independent where round(sum(double), 4) carries
+    partition-merge-order low bits (registry rule; shared with the
+    streaming twins so stream-vs-batch comparisons are bit-exact)."""
+    return (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+        "sum_value"
+    )
+
+
+
 @query(
     "evt_tumbling_window",
     oracle="""
@@ -29,7 +41,8 @@ from onebrc_spark.sources.catalog import load_table
              AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
@@ -41,7 +54,7 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_value_exact())
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -66,7 +79,8 @@ def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE last_slide - 900 * n + 3600 > CAST(floor(epoch(ts)) AS BIGINT)
         AND last_slide - 900 * n <= CAST(floor(epoch(ts)) AS BIGINT)
     )
-    SELECT window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+    SELECT window_start, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_value
     FROM expanded GROUP BY window_start ORDER BY window_start
     """,
     survey_ref="ST2",
@@ -78,7 +92,7 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_value_exact())
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "n",
@@ -108,7 +122,8 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -122,7 +137,7 @@ def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value_exact())
         .select(
             "user_id",
             F.unix_timestamp(F.col("w.start")).alias("session_start"),

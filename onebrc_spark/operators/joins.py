@@ -38,7 +38,7 @@ from onebrc_spark.sources.catalog import load_table
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -54,7 +54,7 @@ def join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -64,7 +64,7 @@ def join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     oracle="""
     SELECT r_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS sum_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -84,7 +84,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("sum_bal"),
         )
         .orderBy("r_name")
     )

@@ -37,7 +37,9 @@ _SALTS = 16
     oracle="""
     SELECT l_returnflag,
            sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -57,14 +59,17 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(_SALTS)))
     partial = salted.groupBy("l_returnflag", "salt").agg(
         F.sum("l_quantity").alias("p_qty"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("p_rev"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("p_rev"),
         F.count(F.lit(1)).alias("p_n"),
     )
     return (
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("p_qty").alias("sum_qty"),
-            F.round(F.sum("p_rev"), 2).alias("revenue"),
+            (F.sum("p_rev") / F.lit(10000.0)).alias("revenue"),
             F.sum("p_n").alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -76,7 +81,8 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -105,7 +111,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )

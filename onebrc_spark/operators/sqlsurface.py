@@ -21,7 +21,9 @@ from onebrc_spark.sources.catalog import register_views
     "sql_tpch_q3_shape",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -40,7 +42,9 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
                CAST(o_orderdate AS DATE) AS orderdate,
                o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -58,7 +62,9 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tpch_q5_shape",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -76,7 +82,9 @@ def sql_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql("""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -117,10 +125,12 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_matrix",
     oracle="""
     SELECT o_orderpriority,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS total_O,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS total_F,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS total_P
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN pc END), 0) AS BIGINT) / 100.0 AS total_O,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN pc END), 0) AS BIGINT) / 100.0 AS total_F,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN pc END), 0) AS BIGINT) / 100.0 AS total_P
+    FROM (SELECT o_orderpriority, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     survey_ref="pivot (guide: OLAP patterns)",
 )
@@ -132,10 +142,14 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onebrc_spark.sources.catalog import load_table
 
     o = load_table(spark, sf_dir, "orders")
+    pc = F.round(F.col("o_totalprice") * 100).cast("long")
     pv = (
-        o.groupBy("o_orderpriority")
+        o.withColumn("pc", pc)
+        .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+        # exact integer cents (2-dp grid) so the pivoted sums are
+        # order-independent (registry rule)
+        .agg((F.coalesce(F.sum("pc"), F.lit(0)) / F.lit(100.0)))
     )
     return pv.select(
         "o_orderpriority",
@@ -175,7 +189,9 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q6_SQL = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -214,7 +230,8 @@ _RECURSIVE_CTE_SQL = """
     )
     SELECT CAST(q.qstart AS DATE) AS quarter_start,
            count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) / 100.0 AS revenue
     FROM q LEFT JOIN orders o ON date_trunc('quarter', o.o_orderdate) = q.qstart
     GROUP BY q.qstart ORDER BY quarter_start
 """
@@ -273,7 +290,9 @@ _AGG_FILTER_SQL = """
     SELECT event_type,
            count(*) AS n_total,
            count(*) FILTER (WHERE value > 50) AS n_high,
-           round(avg(value) FILTER (WHERE value > 0), 4) AS avg_pos
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        FILTER (WHERE value > 0) AS BIGINT)
+                 / count(*) FILTER (WHERE value > 0) / 100.0, 4) AS avg_pos
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -328,7 +347,8 @@ def sql_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_SQL = """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) / 700.0, 2) AS avg_yearly
     FROM lineitem l1 JOIN part p ON l1.l_partkey = p.p_partkey
     WHERE p.p_size <= 5
       AND l1.l_quantity < (
@@ -428,11 +448,15 @@ def sql_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q14_SQL = """
-    SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rc ELSE 0 END)
+                AS BIGINT) / 10000.0 AS promo_revenue,
+           CAST(sum(rc) AS BIGINT) / 10000.0 AS total_revenue
+    FROM (
+      SELECT p_type, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rc
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    )
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
 """
@@ -458,7 +482,9 @@ def sql_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q19_SQL = """
     SELECT count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -579,10 +605,13 @@ def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q22_SQL = """
     SELECT c_mktsegment,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0)
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -598,7 +627,10 @@ _TPCH_Q22_SQL = """
 def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity) shape: wealthy-but-dormant
     customers — balance above the positive-balance average (uncorrelated
-    scalar subquery → broadcast one-row value) with no order in the final
+    scalar subquery → broadcast one-row value; spelled as the
+    cross-multiplied exact-integer form cents·count > Σcents, equivalent
+    for count>0, because a float avg threshold carries summation-order
+    noise that can flip borderline customers) with no order in the final
     two years (NOT EXISTS → left anti join on o_custkey with the date
     filter pushed below the join). Reduced schema groups by market segment
     instead of phone country code."""
@@ -612,8 +644,9 @@ def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            round(sum(1.0 / (1.0 + exp(-(value / 100.0)))), 4) AS sum_sig,
-           round(sum(CASE WHEN value >= 0 THEN value ELSE 0.0 END), 4)
-             AS sum_clamped
+           CAST(sum(CASE WHEN value >= 0
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS sum_clamped
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     survey_ref="F7,U1 (SQL UDF: CREATE FUNCTION ... RETURN, Spark 4)",
@@ -638,17 +671,20 @@ def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                round(sum(sigmoid_scaled(value)), 4) AS sum_sig,
-               round(sum(clamp_nonneg(value)), 4) AS sum_clamped
+               CAST(sum(CAST(round(clamp_nonneg(value) * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 AS sum_clamped
         FROM events GROUP BY event_type ORDER BY event_type
     """)
 
 
 _Q7_SQL = """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_units) AS BIGINT) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_units
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
            JOIN orders ON o_orderkey = l_orderkey
            JOIN customer ON c_custkey = o_custkey
@@ -673,12 +709,13 @@ def sql_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                          ELSE 0 END), 2) AS nation_volume,
-           round(sum(volume), 2) AS total_volume
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume_units
+                         ELSE 0 END) AS BIGINT) / 10000.0 AS nation_volume,
+           CAST(sum(volume_units) AS BIGINT) / 10000.0 AS total_volume
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_units,
              n2.n_name AS supp_nation
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
            JOIN customer ON c_custkey = o_custkey
@@ -702,12 +739,15 @@ def sql_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_SQL = """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(amount_units) AS BIGINT) / 10000.0 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - p_retailprice * l_quantity * 0.1 AS amount
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT) * 10 AS amount_units
       FROM part JOIN lineitem ON p_partkey = l_partkey
            JOIN supplier ON s_suppkey = l_suppkey
            JOIN orders ON o_orderkey = l_orderkey
@@ -731,7 +771,9 @@ def sql_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -756,15 +798,17 @@ def sql_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_units
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name, revenue_units / 10000.0 AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE revenue_units = (SELECT max(revenue_units) FROM revenue)
     ORDER BY s_suppkey
 """
 

@@ -40,7 +40,9 @@ def _tag(sf_dir: str) -> str:
     oracle="""
     SELECT l_linestatus,
            sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_returnflag = 'R'
@@ -67,9 +69,13 @@ def storage_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_linestatus")
@@ -81,7 +87,7 @@ def storage_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -116,7 +122,7 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -125,7 +131,7 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "storage_csv_roundtrip",
     oracle="""
-    SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_retail
+    SELECT p_brand, count(*) AS n_parts, CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_retail
     FROM part GROUP BY p_brand ORDER BY p_brand
     """,
     survey_ref="S1,S8 (CSV sink + schema-declared read-back)",
@@ -147,7 +153,7 @@ def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
+            (F.sum(F.round(F.col("p_retailprice") * 100).cast("long")) / F.lit(100.0)).alias("total_retail"),
         )
         .orderBy("p_brand")
     )
@@ -158,7 +164,7 @@ def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     survey_ref="S1,S8 (JSON-lines sink + schema-declared read-back)",
@@ -176,7 +182,7 @@ def storage_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -187,7 +193,7 @@ def storage_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     survey_ref="S6,S8 (columnar-format interchange: ORC sink + scan)",
@@ -209,7 +215,7 @@ def storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -256,7 +262,7 @@ def _zorder_key_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
            count(*) AS n_rows,
            min(pk) AS pk_lo, max(pk) AS pk_hi,
            min(sk) AS sk_lo, max(sk) AS sk_hi,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
     FROM keyed GROUP BY z_bucket ORDER BY z_bucket
     """,
     survey_ref="S6,O1 (Z-order multi-dim clustering: Morton-key layout audit)",
@@ -294,7 +300,7 @@ def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pk").alias("pk_hi"),
             F.min("sk").alias("sk_lo"),
             F.max("sk").alias("sk_hi"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)).alias("sum_price"),
         )
         .orderBy("z_bucket")
     )

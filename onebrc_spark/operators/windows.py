@@ -250,11 +250,11 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-           ), 2) AS spend_30d
+           ) AS BIGINT) / 100.0 AS spend_30d
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
@@ -279,7 +279,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+                / F.lit(100.0)
+            ).alias("spend_30d"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

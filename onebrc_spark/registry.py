@@ -27,6 +27,16 @@ Registration rules (SURVEY §7.4 definition-of-done):
     engines at any scale (this fixed three sf0.1 divergences that were
     invisible at sf0.01; the flagship mean uses the integer-arithmetic
     half-away-from-zero form for the same reason);
+  - more generally: NEVER let a DOUBLE SUM/AVG over many rows reach the
+    result or a comparison — a parallel float sum's low bits depend on
+    partition merge order (round-4 audit: a sqrt-weight normalizer flipped
+    floor(100·x) by ±1 under load). Quantize each row to an exact integer
+    (cents, 1e-4 units for grid products, 1e-9 for genuine per-row ratios)
+    BEFORE the sum, divide once after. Exceptions, each justified at the
+    site: integral-valued doubles (partial sums exact), transcendental
+    per-row values at ≥4-dp rounding with micro-magnitude noise
+    (sql_udf_declared sum_sig), off-grid float avgs with ~1e-14 noise vs
+    5e-5 boundaries (sim_label_centroid);
   - per-row derived scalars (lerp, parsed fields) stay UNROUNDED: every op
     is correctly rounded on deterministic inputs, so identical expression
     order means identical bits — rounding them is what INTRODUCES

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onebrc_spark.operators.eventtime import _sum_value_exact
 from onebrc_spark.sources import catalog
 
 
@@ -50,7 +51,7 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_value_exact())
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -182,7 +183,7 @@ def stream_foreach_batch_upsert(events: DataFrame, target_dir: str) -> None:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _sum_value_exact(),
         )
     )
 

@@ -9,6 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from onebrc_spark.operators.eventtime import _sum_value_exact
 from onebrc_spark.sources.catalog import load_table
 from onebrc_spark.streaming.pipelines import (
     read_events_stream,
@@ -32,7 +33,7 @@ def test_stream_tumbling_matches_batch(spark, events_stream):
     ev = load_table(spark, SMOKE_SF_DIR, "events")
     want = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_value_exact())
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -219,7 +220,7 @@ def test_stream_foreach_batch_upsert_matches_batch(spark, tmp_path):
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
+                _sum_value_exact(),
             )
             .collect()
         )
