@@ -119,7 +119,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(m.month_start AS DATE) AS month_start,
            count(o.o_orderkey) AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) / 1e2 AS revenue
     FROM months m
     LEFT JOIN orders o
       ON date_trunc('month', CAST(o.o_orderdate AS DATE)) = m.month_start
@@ -156,7 +157,14 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+            # exact integer cents before the sum (registry quantization rule)
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0),
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .orderBy("month_start")
     )

@@ -94,7 +94,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS sum_spend
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) / 1e2 AS sum_spend
     FROM customer LEFT JOIN (SELECT * FROM orders
                              WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') o
       ON o_custkey = c_custkey
@@ -116,7 +117,15 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("sum_spend"),
+            # exact integer cents before the sum (registry quantization rule):
+            # a raw double sum's low bits follow partition merge order
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0),
+                )
+                / F.lit(100.0)
+            ).alias("sum_spend"),
         )
         .orderBy("c_custkey")
     )

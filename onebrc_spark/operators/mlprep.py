@@ -246,7 +246,9 @@ _MIX_WEIGHT_SQL = "CAST(round(sqrt(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT)"
     ), rates AS (
       SELECT source, n_total,
              CAST(least(100,
-               (50 * total * {_MIX_WEIGHT_SQL}) // (denom_i * n_total)) AS INT)
+               ( ((50 * total) // denom_i) * {_MIX_WEIGHT_SQL}
+                 + (((50 * total) % denom_i) * {_MIX_WEIGHT_SQL}) // denom_i
+               ) // n_total) AS INT)
                AS keep_pct
       FROM counts, z
     ), tagged AS (
@@ -279,9 +281,17 @@ def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend on partition merge order, and floor(100*x) amplifies that into
     a ±1 keep_pct flip; with integer weights keep_pct is the floor of an
     exact rational (50·total·w / (denom·n_s)), identical under any
-    partitioning and any engine. (Headroom: the 50·total·w numerator holds
-    to ~2^63, i.e. corpora to ~1e14 docs at milli-weight scale; past that,
-    stage the division or widen to DECIMAL(38,0).)
+    partitioning and any engine.
+
+    Overflow headroom: the direct product 50·total·w grows as 5e4·N^1.5
+    for a dominant source (w = round(1000·√n_s)) and would wrap int64 at
+    ~3e9 docs — inside the 100 TB (~1e10-doc) design target. The division
+    is therefore STAGED with remainder carry, exactly:
+    floor(A·w/(denom·n)) = floor((q1·w + floor(r1·w/denom))/n) where
+    A = 50·total = q1·denom + r1. Every intermediate is bounded by
+    denom·w ≈ 1e6·√(S·N)·√n_max ≤ 1e6·N·√S, so int64 holds to N·√S <
+    9.2e12 — ~1e11 docs at 1e4 sources (skew-independent); past that,
+    widen the staged terms to DECIMAL(38,0).
 
     Scale: the source census is dim-sized and broadcast; the corpus-sized
     side is a narrow projection + filter — the text never shuffles."""
@@ -300,7 +310,11 @@ def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
             F.least(
                 F.lit(100).cast("long"),
-                F.expr("(50 * total * wt) div (denom_i * n_total)"),
+                F.expr(
+                    "( ((50 * total) div denom_i) * wt"
+                    "  + (((50 * total) % denom_i) * wt) div denom_i"
+                    ") div n_total"
+                ),
             )
             .cast("int")
             .alias("keep_pct"),

@@ -23,7 +23,7 @@ from onebrc_spark.sources.catalog import register_views
     SELECT l_orderkey,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue,
+             / 1e4 AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -44,7 +44,7 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue,
+             / 1e4 AS revenue,
                CAST(o_orderdate AS DATE) AS orderdate,
                o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -64,7 +64,7 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue
+             / 1e4 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -84,7 +84,7 @@ def sql_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue
+             / 1e4 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -125,9 +125,9 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_matrix",
     oracle="""
     SELECT o_orderpriority,
-           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN pc END), 0) AS BIGINT) / 100.0 AS total_O,
-           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN pc END), 0) AS BIGINT) / 100.0 AS total_F,
-           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN pc END), 0) AS BIGINT) / 100.0 AS total_P
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN pc END), 0) AS BIGINT) / 1e2 AS total_O,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN pc END), 0) AS BIGINT) / 1e2 AS total_F,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN pc END), 0) AS BIGINT) / 1e2 AS total_P
     FROM (SELECT o_orderpriority, o_orderstatus,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -191,7 +191,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q6_SQL = """
     SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-             / 10000.0 AS revenue,
+             / 1e4 AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -231,7 +231,7 @@ _RECURSIVE_CTE_SQL = """
     SELECT CAST(q.qstart AS DATE) AS quarter_start,
            count(o.o_orderkey) AS n_orders,
            CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
-                AS BIGINT) / 100.0 AS revenue
+                AS BIGINT) / 1e2 AS revenue
     FROM q LEFT JOIN orders o ON date_trunc('quarter', o.o_orderdate) = q.qstart
     GROUP BY q.qstart ORDER BY quarter_start
 """
@@ -292,7 +292,7 @@ _AGG_FILTER_SQL = """
            count(*) FILTER (WHERE value > 50) AS n_high,
            round(CAST(sum(CAST(round(value * 100) AS BIGINT))
                         FILTER (WHERE value > 0) AS BIGINT)
-                 / count(*) FILTER (WHERE value > 0) / 100.0, 4) AS avg_pos
+                 / count(*) FILTER (WHERE value > 0) / 1e2, 4) AS avg_pos
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -348,7 +348,7 @@ def sql_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q17_SQL = """
     SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                      AS BIGINT) / 700.0, 2) AS avg_yearly
+                      AS BIGINT) / 7e2, 2) AS avg_yearly
     FROM lineitem l1 JOIN part p ON l1.l_partkey = p.p_partkey
     WHERE p.p_size <= 5
       AND l1.l_quantity < (
@@ -449,8 +449,8 @@ def sql_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q14_SQL = """
     SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rc ELSE 0 END)
-                AS BIGINT) / 10000.0 AS promo_revenue,
-           CAST(sum(rc) AS BIGINT) / 10000.0 AS total_revenue
+                AS BIGINT) / 1e4 AS promo_revenue,
+           CAST(sum(rc) AS BIGINT) / 1e4 AS total_revenue
     FROM (
       SELECT p_type, l_shipdate,
              CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -484,7 +484,7 @@ _TPCH_Q19_SQL = """
     SELECT count(*) AS n_lines,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue
+             / 1e4 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -606,7 +606,7 @@ _TPCH_Q22_SQL = """
     SELECT c_mktsegment,
            count(*) AS numcust,
            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-             / 100.0 AS totacctbal
+             / 1e2 AS totacctbal
     FROM customer c
     WHERE CAST(round(c_acctbal * 100) AS BIGINT)
             * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
@@ -643,10 +643,10 @@ def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           round(sum(1.0 / (1.0 + exp(-(value / 100.0)))), 4) AS sum_sig,
+           round(sum(1.0 / (1.0 + exp(-(value / 1e2)))), 4) AS sum_sig,
            CAST(sum(CASE WHEN value >= 0
                          THEN CAST(round(value * 100) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) / 100.0 AS sum_clamped
+                         ELSE 0 END) AS BIGINT) / 1e2 AS sum_clamped
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     survey_ref="F7,U1 (SQL UDF: CREATE FUNCTION ... RETURN, Spark 4)",
@@ -661,7 +661,7 @@ def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION sigmoid_scaled(x DOUBLE)
-        RETURNS DOUBLE RETURN 1.0 / (1.0 + exp(-(x / 100.0)))
+        RETURNS DOUBLE RETURN 1.0 / (1.0 + exp(-(x / 1e2)))
     """)
     spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION clamp_nonneg(x DOUBLE)
@@ -672,14 +672,14 @@ def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                round(sum(sigmoid_scaled(value)), 4) AS sum_sig,
                CAST(sum(CAST(round(clamp_nonneg(value) * 100) AS BIGINT)) AS BIGINT)
-                 / 100.0 AS sum_clamped
+                 / 1e2 AS sum_clamped
         FROM events GROUP BY event_type ORDER BY event_type
     """)
 
 
 _Q7_SQL = """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume_units) AS BIGINT) / 10000.0 AS revenue
+           CAST(sum(volume_units) AS BIGINT) / 1e4 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -710,8 +710,8 @@ def sql_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_SQL = """
     SELECT o_year,
            CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume_units
-                         ELSE 0 END) AS BIGINT) / 10000.0 AS nation_volume,
-           CAST(sum(volume_units) AS BIGINT) / 10000.0 AS total_volume
+                         ELSE 0 END) AS BIGINT) / 1e4 AS nation_volume,
+           CAST(sum(volume_units) AS BIGINT) / 1e4 AS total_volume
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -740,7 +740,7 @@ def sql_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_SQL = """
     SELECT nation, o_year,
-           CAST(sum(amount_units) AS BIGINT) / 10000.0 AS sum_profit
+           CAST(sum(amount_units) AS BIGINT) / 1e4 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
@@ -773,7 +773,7 @@ _Q10_SQL = """
     SELECT c_custkey, c_name,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
-             / 10000.0 AS revenue,
+             / 1e4 AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -806,7 +806,7 @@ _Q15_SQL = """
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, revenue_units / 10000.0 AS total_revenue
+    SELECT s_suppkey, s_name, revenue_units / 1e4 AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE revenue_units = (SELECT max(revenue_units) FROM revenue)
     ORDER BY s_suppkey
@@ -896,7 +896,7 @@ _Q11_SQL = """
       WHERE n_name = 'NATION_7'
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(value_units / 10000.0, 2) AS value
+    SELECT l_partkey AS partkey, round(value_units / 1e4, 2) AS value
     FROM val
     WHERE value_units * 1000 > (SELECT sum(value_units) FROM val)
     ORDER BY value DESC, partkey

@@ -104,17 +104,20 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 4): the correctness driver verifies the
-# FIRST 50 registry entries per round. After r3's 50/50-green window, 24
-# registered queries remain that have never had a driver-green row on their
-# CURRENT oracle (19 never checked + 5 whose only row predates an oracle
-# upgrade) — VERDICT.md round-3 task 2 lists them; they are front-loaded
-# here so round 4 closes 161/161 cumulative driver coverage. Also in-window:
-# (a) the flagship + the four event-time rows, pinned every round, and
-# (b) every query whose IMPLEMENTATION changed this round (cluster
-# components/survivors, minhash memoization, the q21 single-pass rewrite,
-# the banded-LSH headline ANN) — changed code needs fresh driver proof, not
-# a stale green row. Every query not in the window stays pinned locally by
+# Driver-coverage rotation (round 5): the correctness driver verifies the
+# FIRST 50 registry entries per round. In-window this round:
+# (a) the flagship + the four event-time rows, pinned every round;
+# (b) the 10 round-4 queries that have never had ANY driver row
+#     (VERDICT r4 §4 — implemented + locally green, zero driver evidence);
+# (c) the 15 DECIMAL-rendering fixes (VERDICT r4 §1): the 7 hash-red rows
+#     from CORRECTNESS_r04 plus the 8 latent same-class queries, all now
+#     emitting DOUBLE (exponent-literal divisions; enforced by
+#     tests/test_schema_lint.py) — changed SQL needs fresh driver proof;
+# (d) every other query whose Spark code or oracle text changed in round 5
+#     (quantize-to-cents on join_left_outer / fn_date_scaffold, the staged
+#     overflow-safe division in ml_temperature_mix, /1e2 literal swaps);
+# (e) filler: green rows from the big operator families longest without a
+#     re-proof. Every query not in the window stays pinned locally by
 # tests/test_oracle_parity.py, which runs the same oracle comparison (plus
 # a driver-strict canonicalizer) over ALL queries.
 _PRIORITY = [
@@ -124,59 +127,7 @@ _PRIORITY = [
     "evt_sliding_window",
     "evt_session_window",
     "evt_watermark_late_drop",
-    # (b) the 24 never-driver-green-on-current-oracle rows (VERDICT r3 §2)
-    "dedup_simhash",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "agg_approx_count_distinct",
-    "onebrc_generated",
-    "sim_ann_ivf_trained",
-    "mm_decode_real",
-    "ml_cluster_safe_split",
-    "ml_deterministic_shard",
-    "sim_embedding_quantize",
-    "text_unigram_rarity",
-    "agg_table_fingerprint",
-    "sql_tpch_q7_shape",
-    "sql_tpch_q8_shape",
-    "sql_tpch_q9_shape",
-    "sql_tpch_q10_shape",
-    "sql_tpch_q15_shape",
-    "sql_tpch_q20_shape",
-    "sql_agg_filter_clause",
-    "sql_udf_declared",
-    "fn_map_roundtrip",
-    "fn_url_parse",
-    "fn_collation_ci",
-    "fn_try_arithmetic",
-    # (c) implementation changed in round 4 — fresh proof required
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    "sql_tpch_q21_shape",
-    "sim_ann_lsh_banded",
-    # (d) remaining window: r1-green rows never re-proven since the
-    # testdata regenerations — rotate through the big operator families
-    "join_asof",
-    "join_range_interval",
-    "window_lag_lead",
-    "agg_tpch_q1",
-    "join_inner_fact",
-    "join_broadcast_dims",
-    "join_semi_anti",
-    "window_topn_per_group",
-    "dedup_exact",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "text_token_stats",
-    # (e) NEW in round 4 — the TPC-H sweep completers (q1-q22 all covered)
-    "sql_tpch_q2_shape",
-    "sql_tpch_q11_shape",
-    "sql_tpch_q12_shape",
-    "sql_tpch_q16_shape",
-    # ---- slot 51+ (driver may check more than 50; keep useful order) ----
-    # NEW in round 4 (post-window additions; front of the overflow so they
-    # get rows if the driver checks past 50, else they lead round 5's window)
+    # (b) never-driver-sampled round-4 queries — close 176/176 coverage
     "dedup_incremental_admission",
     "dq_snapshot_drift",
     "dedup_cluster_best_survivor",
@@ -187,6 +138,31 @@ _PRIORITY = [
     "text_cooccurrence_lift",
     "dq_column_profile",
     "onebrc_permissive_quarantine",
+    # (c) DECIMAL-fix re-proofs: the 7 r4 hash-reds ...
+    "sql_tpch_q7_shape",
+    "sql_tpch_q8_shape",
+    "sql_tpch_q9_shape",
+    "sql_tpch_q10_shape",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q15_shape",
+    "sql_udf_declared",
+    # ... and the 8 latent same-class queries never sampled on DOUBLE output
+    "sql_tpch_q3_shape",
+    "sql_tpch_q5_shape",
+    "sql_tpch_q6_shape",
+    "sql_tpch_q14_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q22_shape",
+    "sql_recursive_cte",
+    # (d) round-5 code/oracle changes needing fresh proof
+    "join_left_outer",
+    "fn_date_scaffold",
+    "ml_temperature_mix",
+    "pivot_status_matrix",
+    "sql_agg_filter_clause",
+    "dedup_minhash_lsh",
+    # (e) filler: longest-unproven green rows across operator families
     "text_langid",
     "window_running_frames",
     "dedup_ngram_jaccard",
@@ -206,6 +182,36 @@ _PRIORITY = [
     "mm_byte_stats_arrow",
     "udtf_chunk_documents",
     "sim_lsh_candidate_stats",
+    # ---- slot 51+ (driver may check more than 50; keep useful order) ----
+    "window_first_last_nth",
+    "window_range_frame",
+    "window_distribution",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_corr_covar",
+    "join_full_outer",
+    "join_cross",
+    "join_theta_nonequi",
+    "join_asof_forward",
+    "setop_union_all",
+    "fn_strings",
+    "fn_regexp",
+    "fn_datetime",
+    "fn_math",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_array_basics",
+    "fn_array_higher_order",
+    "fn_variant_json",
+    "udf_grouped_agg_geomean",
+    "evt_dedup_by_id",
+    "filter_predicates",
+    "filter_null_semantics",
+    "sort_multi_key",
+    "topk_limit",
+    "project_prune",
 ]
 
 

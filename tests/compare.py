@@ -55,7 +55,7 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
-def _render_strict(v, name: str, col: str) -> str:
+def _render_strict(v, name: str, col: str, side: str = "duck") -> str:
     """Stringify a pandas cell the way the driver's hash sees it: int64 0 and
     float64 0.0 are DIFFERENT. Arrays/structs are a hard error."""
     if isinstance(v, (list, tuple, dict, np.ndarray)):
@@ -71,8 +71,20 @@ def _render_strict(v, name: str, col: str) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, Decimal):
+        if side == "spark":
+            # A Spark-side Decimal means the query's output schema carries
+            # DecimalType — the driver hashes its exact scale rendering
+            # ('1341148.6071000') against DuckDB's float64 ('1341148.6071')
+            # and goes red even when values match (CORRECTNESS_r04: 7
+            # queries). Hard error, like arrays: fix the query, never coerce.
+            raise AssertionError(
+                f"{name}: column {col!r} is DecimalType on the SPARK side — "
+                "the driver hash renders Decimal scale digits and mismatches "
+                "DuckDB's float64. Cast to DOUBLE in-query (divide by an "
+                "exponent literal like 1e4, or CAST(... AS DOUBLE))."
+            )
         # DuckDB DECIMAL reaches pandas as Decimal objects; the driver sees
-        # their float rendering. Flag: Spark rarely emits Decimal here.
+        # their float rendering.
         return repr(float(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
@@ -98,12 +110,14 @@ def _render_strict(v, name: str, col: str) -> str:
     return str(v)
 
 
-def _strict_table(pdf: pd.DataFrame, name: str) -> list[tuple[str, ...]]:
+def _strict_table(
+    pdf: pd.DataFrame, name: str, side: str = "duck"
+) -> list[tuple[str, ...]]:
     # Render column-by-column: iterrows() would upcast a mixed int/float row
     # to a single dtype and silently erase exactly the distinction we check.
     cols = sorted(pdf.columns)
     rendered_cols = [
-        [_render_strict(v, name, c) for v in pdf[c].tolist()] for c in cols
+        [_render_strict(v, name, c, side) for v in pdf[c].tolist()] for c in cols
     ]
     rendered = sorted(zip(*rendered_cols)) if rendered_cols else []
     return [tuple(r) for r in rendered]
@@ -137,8 +151,8 @@ def assert_match(spark_df, duck_rel, name: str = "?") -> None:
 
     # Layer 2: driver-strict rendering.
     s_pdf = pd.DataFrame(s_rows, columns=s_cols)
-    st = _strict_table(s_pdf, name)
-    dt = _strict_table(d_pdf, name)
+    st = _strict_table(s_pdf, name, side="spark")
+    dt = _strict_table(d_pdf, name, side="duck")
     for i, (a, b) in enumerate(zip(st, dt)):
         assert a == b, (
             f"{name}: DRIVER-STRICT mismatch at sorted-row {i} "

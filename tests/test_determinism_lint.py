@@ -8,35 +8,53 @@ quantize each row to an exact integer BEFORE the sum (cents, 1e-4 units
 for grid products, 1e-9 for per-row ratios), divide once after — see
 onebrc_spark/registry.py's registration rules.
 
-This test greps the source for the banned shapes and pins the surviving
+This test scans the source for the banned shapes and pins the surviving
 sites to an explicit allowlist of justified exceptions. Adding a new
 `round(sum(...))` over floats fails here with a pointer to the rule,
 instead of failing as a mysterious driver hash mismatch months later.
+
+Scanner notes (round-5 hardening, per the advisor's audit of the round-4
+version): the match is MULTILINE (an expression split across physical
+lines can't slip through), an optional `coalesce(` between round( and
+sum( is matched (the exact shape both round-4 escapees used), and the
+exemption for `count` applies only when count IS the summed operand —
+`round(sum(x)/count(*), d)` with a float x no longer sneaks past on the
+divisor's name.
 """
 
 from __future__ import annotations
 
+import ast
 import re
 from pathlib import Path
 
 SRC = Path(__file__).resolve().parent.parent / "onebrc_spark"
 
-# Lines carrying a float-sum-then-round shape. Lines that quantize to
-# BIGINT/long first, sum integral columns (l_quantity, n_chars, seq_chars,
-# counts), or are prose (comments/docstrings) are filtered below.
-_BANNED = re.compile(r"round\(\s*sum\(|round\(\s*avg\(|F\.round\(\s*F\.(sum|avg)\(")
-_EXEMPT_ON_LINE = re.compile(
-    r"AS BIGINT|cast\(\"long\"\)|l_quantity|n_chars|seq_chars|sum_vc|count\(|cents"
+# round( [coalesce(] sum|avg( — whitespace (incl. newlines) tolerated at
+# each seam, F.-prefixed or SQL-spelled. count() is exact and not banned.
+_BANNED = re.compile(
+    r"(?:F\.)?round\(\s*(?:(?:F\.)?coalesce\(\s*)?(?:F\.)?(sum|avg)\(",
+    re.IGNORECASE,
 )
 
-# (filename, substring) pairs for the justified exceptions. Each is argued
-# at its site:
+# Applied to the text immediately FOLLOWING the matched `sum(` / `avg(` —
+# i.e. to the aggregate's operand, not the whole statement. Exempt when the
+# operand is already exact: a quantize-to-cents cast, a count, an
+# explicitly integral column, or a BIGINT/long cast inside the operand.
+_EXEMPT_OPERAND = re.compile(
+    r"^\s*(?:CAST\s*\(\s*round\(|count\()"
+    r"|AS BIGINT|\.cast\([\"']long[\"']\)"
+    r"|l_quantity|n_chars|seq_chars|sum_vc|\bcents\b|\bpc\b|\bdc\b|\btc\b"
+)
+
+# (filename, substring-near-the-match) pairs for the justified exceptions.
+# Each is argued at its site:
 #  - sql_udf_declared sum_sig: transcendental per-row values (sigmoid) have
 #    no grid; magnitude ≤ 1 over ~1e3 rows puts summation-order noise
 #    ~1e-13 against 4-dp boundaries 5e-5 apart.
 #  - sim_label_centroid: off-grid float embedding components; noise ~1e-14.
 ALLOWLIST = {
-    ("sqlsurface.py", "1.0 / (1.0 + exp(-(value / 100.0))"),
+    ("sqlsurface.py", "1.0 / (1.0 + exp(-(value / 1e2))"),
     ("sqlsurface.py", "sigmoid_scaled(value)"),
     ("similarity.py", "embedding[1]"),
     ("similarity.py", "embedding[2]"),
@@ -52,9 +70,38 @@ ALLOWLIST = {
 _SKIP_FILES = {"registry.py"}
 
 
-def _is_prose(line: str) -> bool:
-    stripped = line.lstrip()
-    return stripped.startswith("#") or stripped.startswith("`")
+def _scan_text(path: Path) -> str:
+    """File text with comment lines and DOCSTRINGS blanked (line positions
+    kept so reported numbers stay true). Docstrings are located via ast —
+    oracle SQL lives in ordinary string literals and stays scanned; prose
+    quoting the banned shape ("round(sum(double)) ...") does not trip the
+    lint."""
+    raw = path.read_text()
+    lines = raw.splitlines()
+    doc_lines: set[int] = set()
+    tree = ast.parse(raw)
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                doc_lines.update(
+                    range(body[0].value.lineno, body[0].value.end_lineno + 1)
+                )
+    out = []
+    for i, line in enumerate(lines, 1):
+        stripped = line.lstrip()
+        if i in doc_lines or stripped.startswith("#") or stripped.startswith("`"):
+            out.append("")
+        else:
+            out.append(line)
+    return "\n".join(out)
 
 
 def test_no_unquantized_float_aggregate_roundings():
@@ -62,27 +109,38 @@ def test_no_unquantized_float_aggregate_roundings():
     for path in sorted(SRC.rglob("*.py")):
         if path.name in _SKIP_FILES:
             continue
-        in_doc = False
-        for lineno, line in enumerate(path.read_text().splitlines(), 1):
-            # crude docstring tracker: flip on lines with an odd number of
-            # triple quotes (oracle SQL lives in regular strings, which we
-            # DO want to scan, so only skip comments and doc prose)
-            if line.count('"""') % 2 == 1:
-                in_doc = not in_doc
+        text = _scan_text(path)
+        for m in _BANNED.finditer(text):
+            operand = text[m.end() : m.end() + 160].replace("\n", " ")
+            if _EXEMPT_OPERAND.search(operand):
                 continue
-            if in_doc and "sum(" not in line.lower():
-                continue
-            if not _BANNED.search(line):
-                continue
-            if _EXEMPT_ON_LINE.search(line) or _is_prose(line):
-                continue
+            window = text[m.start() : m.start() + 240].replace("\n", " ")
             if any(
-                path.name == fn and frag in line for fn, frag in ALLOWLIST
+                path.name == fn and frag in window for fn, frag in ALLOWLIST
             ):
                 continue
-            violations.append(f"{path.relative_to(SRC.parent)}:{lineno}: {line.strip()}")
+            lineno = text[: m.start()].count("\n") + 1
+            violations.append(
+                f"{path.relative_to(SRC.parent)}:{lineno}: {window[:110]}"
+            )
     assert not violations, (
         "float SUM/AVG rounded into a result — quantize per-row to exact "
         "integers before the sum (registry.py rules), or add a justified "
         "ALLOWLIST entry:\n" + "\n".join(violations)
     )
+
+
+def test_lint_catches_the_round4_escape_shapes():
+    """The two shapes that slipped past the round-4 scanner must match now:
+    coalesce-wrapped float sums and line-split expressions; and a float
+    ratio with a count(*) divisor must NOT be exempted by the divisor."""
+    assert _BANNED.search("round(coalesce(sum(o_totalprice), 0), 2)")
+    assert _BANNED.search("F.round(F.coalesce(F.sum('o_totalprice'), F.lit(0.0)), 2)")
+    assert _BANNED.search("round(\n    sum(x), 2)")
+    m = _BANNED.search("round(sum(value)/count(*), 4)")
+    assert m and not _EXEMPT_OPERAND.search("value)/count(*), 4)")
+    # count as the OPERAND stays exempt
+    m2 = _BANNED.search("round(sum(count_col), 2)") or _BANNED.search(
+        "round(avg(count(x)), 2)"
+    )
+    assert _EXEMPT_OPERAND.search("count(x)), 2)")
