@@ -540,3 +540,19 @@ def test_cluster_best_survivor_broadcasts_membership_onto_corpus(spark):
     txt = explain_str(df)
     assert has_broadcast_join(df)
     assert "RunningWindowFunction" in txt or "Window" in txt
+
+
+def test_cms_heavy_hitters_map_side_combine_and_broadcast_readback(spark):
+    """agg_cms_heavy_hitters' scale claims: the token stream combines
+    map-side (partial_count under the token shuffle — raw tokens never
+    shuffle), the top-K readback is a TakeOrdered (no global sort of the
+    vocabulary), and both readback joins (top-K tokens, D×W sketch cells)
+    are broadcasts — the vocabulary-sized side never SortMergeJoins."""
+    from onebrc_spark.operators.aggregates import agg_cms_heavy_hitters
+
+    df = agg_cms_heavy_hitters(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, mode="simple")
+    assert "partial_count" in txt, txt[:2000]
+    assert "TakeOrderedAndProject" in txt
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in txt
