@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import load_table
@@ -177,3 +178,74 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+_SCD2_ORACLE = """
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS ts, o_orderstatus AS status,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), changes AS (
+      SELECT * FROM ch WHERE prev IS NULL OR status <> prev
+    )
+    SELECT o_custkey AS custkey,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY ts, o_orderkey
+           ) AS BIGINT) AS version,
+           status,
+           CAST(ts AS DATE) AS valid_from,
+           CAST(lead(ts) OVER (
+             PARTITION BY o_custkey ORDER BY ts, o_orderkey
+           ) AS DATE) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (
+             PARTITION BY o_custkey ORDER BY ts, o_orderkey
+           ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    ORDER BY custkey, version
+"""
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=_SCD2_ORACLE,
+    survey_ref="W2,J3 (SCD type-2: change stream -> validity-interval history)",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history built from a change stream:
+    each customer's order-status changes (orders as the CDC feed, ordered
+    by (o_orderdate, o_orderkey) — a TOTAL order, per the registry's
+    window rule) collapse into versioned validity intervals
+    [valid_from, valid_to) with an is_current flag. Consecutive records
+    with an unchanged status are collapsed (the lag≠status filter) — the
+    defining SCD2 property; cdc_merge_upsert keeps only the latest state
+    (type-1), this keeps the full auditable timeline, which is what a
+    training-data lineage system records for every document's
+    license/quality re-evaluations.
+
+    Scale: one shuffle on the dimension key (custkey) feeds BOTH windows
+    — the change-collapse lag and the interval lead run over the same
+    partitioning, so Catalyst plans one Exchange + one sort (the second
+    window reuses the clustering). History size is change-cardinality,
+    not event-cardinality, after the in-window collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    ch = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    ).withColumn("prev", F.lag("status").over(w))
+    changes = ch.filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        "status",
+        F.col("ts").cast("date").alias("valid_from"),
+        F.lead("ts").over(w).cast("date").alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    ).orderBy("custkey", "version")

@@ -1041,3 +1041,142 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Recall-audit parameters: every vec_id ≡ 0 (mod _AUDIT_Q_MOD) is an audit
+# query (~3% of the corpus); ground truth is every neighbor at cosine ≥
+# _AUDIT_COS_MIN. The audited index is the SAME banded generator tuned to
+# the similarity regime being audited: (bands, rows) sets the LSH s-curve
+# midpoint at ~(1/bands)^(1/rows) in sign-agreement space — 4×3 puts it at
+# cos ≈ 0.40, inside this corpus's neighbor band [0.22, 0.6], so measured
+# recall is mid-range (real hits AND real misses; auditing the 4×12
+# near-dup config here would read 0: its midpoint sits at cos ≈ 0.9,
+# above any pair this synthetic corpus contains). That is exactly the
+# production tuning loop: pick (bands, rows) from the target τ, then run
+# this audit to confirm the curve before serving.
+_AUDIT_Q_MOD = 29
+_AUDIT_COS_MIN = 0.22
+_AUDIT_BANDS = 4
+_AUDIT_ROWS = 3
+
+
+def _recall_audit_sql() -> str:
+    planes = banded_hyperplanes(_AUDIT_BANDS, _AUDIT_ROWS)
+    corpus_bands = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"{_bucket_sql_for('embedding', planes[band])} AS bucket FROM embeddings"
+        for band in range(_AUDIT_BANDS)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {_AUDIT_Q_MOD} = 0
+    ), truth AS (
+      SELECT q.qid, e.vec_id
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      WHERE round({_cos_sql('q.qv', 'e.embedding')}, 6) >= {_AUDIT_COS_MIN}
+    ), cbands AS (
+      {corpus_bands}
+    ), qbands AS (
+      SELECT c.vec_id AS qid, c.band, c.bucket
+      FROM cbands c JOIN q ON c.vec_id = q.qid
+    ), cand AS (
+      SELECT DISTINCT qb.qid, cb.vec_id
+      FROM cbands cb JOIN qbands qb
+        ON cb.band = qb.band AND cb.bucket = qb.bucket
+      WHERE cb.vec_id <> qb.qid
+    ), per AS (
+      SELECT t.qid,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM truth t LEFT JOIN cand c ON c.qid = t.qid AND c.vec_id = t.vec_id
+      GROUP BY t.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(p.n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(p.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(p.n_found, 0) * 1000000
+                // greatest(coalesce(p.n_true, 0), 1) AS BIGINT) AS recall_ppm
+    FROM q LEFT JOIN per p ON p.qid = q.qid
+    ORDER BY q.qid
+    """
+
+
+@query(
+    "sim_ann_recall_audit",
+    oracle=_recall_audit_sql(),
+    survey_ref="X3 (ANN quality audit: measured banded-LSH recall vs exact truth)",
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-LSH candidate generator against exact
+    brute-force ground truth, per audit query — the quality gate a 100 TB
+    ANN deployment runs on every index build. sim_lsh_candidate_stats
+    prices the candidate JOIN; this query prices the candidate QUALITY:
+    for each sampled query vector, how many of its true cosine-≥τ
+    neighbors appear in its banded candidate set (recall as exact-integer
+    ppm, the same order-independent idiom as dq_snapshot_drift).
+
+    Scale: the corpus side never shuffles. The audit sample (~N/29
+    vectors) broadcasts twice — once as raw vectors against the corpus
+    scan for exact ground truth (BroadcastNestedLoopJoin strip: |Q|·N
+    cosine folds, all map-side), once as banded buckets against the
+    corpus band table for the candidate sets. The only shuffles touch
+    query-keyed pairs (candidate dedup, per-query counts) — O(|Q|·k)
+    rows. At production scale you bound |Q| (fixed audit budget) and the
+    whole audit stays one corpus scan per side regardless of N.
+
+    Recall here is genuinely mid-range by design (the 4×3 s-curve midpoint
+    sits inside the audited truth band — see the parameter comment above),
+    so the oracle check is non-vacuous: hits and misses both exist and the
+    engines must agree on exactly which neighbors the bands lose."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    q = e.filter(F.col("vec_id") % _AUDIT_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("embedding")), 6))
+        .filter(F.col("cos_sim") >= _AUDIT_COS_MIN)
+        .select("qid", "vec_id")
+    )
+    cb = banded_lsh_buckets(e, _AUDIT_BANDS, _AUDIT_ROWS).select(
+        "vec_id", "band", "bucket"
+    )
+    qb = banded_lsh_buckets(
+        q.select(F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")),
+        _AUDIT_BANDS,
+        _AUDIT_ROWS,
+    ).select(F.col("vec_id").alias("qid"), "band", "bucket")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+        .withColumn("found", F.lit(1))
+    )
+    # cand and per are query-keyed and bounded by the audit budget
+    # (|Q|·occupancy and |Q| rows) — broadcast them so the scorecard
+    # assembly adds no shuffle at any corpus size.
+    per = (
+        truth.join(F.broadcast(cand), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("long").alias("n_found"),
+        )
+    )
+    return (
+        q.select("qid")
+        .join(F.broadcast(per), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.expr(
+                "CAST(coalesce(n_found, 0) * 1000000"
+                " div greatest(coalesce(n_true, 0), 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

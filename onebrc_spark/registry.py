@@ -162,6 +162,9 @@ _PRIORITY = [
     "pivot_status_matrix",
     "sql_agg_filter_clause",
     "dedup_minhash_lsh",
+    # (d2) NEW in round 5 — need their first driver rows
+    "sim_ann_recall_audit",
+    "cdc_scd2_history",
     # (e) filler: longest-unproven green rows across operator families
     "text_langid",
     "window_running_frames",

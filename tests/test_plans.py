@@ -556,3 +556,32 @@ def test_cms_heavy_hitters_map_side_combine_and_broadcast_readback(spark):
     assert "TakeOrderedAndProject" in txt
     assert txt.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in txt
+
+
+def test_recall_audit_corpus_never_shuffles(spark):
+    """sim_ann_recall_audit's scale claim: both corpus-sized joins (exact
+    truth strip, candidate generation) build on the broadcast query side —
+    no corpus-side SortMergeJoin; the only exchanges touch query-keyed
+    pair/count rows."""
+    from onebrc_spark.operators.similarity import sim_ann_recall_audit
+
+    df = sim_ann_recall_audit(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, mode="simple")
+    assert "SortMergeJoin" not in txt, txt[:3000]
+    assert "BroadcastNestedLoopJoin" in txt  # the exact-cosine truth strip
+    assert "BroadcastHashJoin" in txt  # the band-bucket candidate join
+
+
+def test_scd2_one_exchange_feeds_both_windows(spark):
+    """cdc_scd2_history's scale claim: the lag-collapse window and the
+    lead-interval window share the custkey clustering — ONE hash exchange,
+    not one per window."""
+    from onebrc_spark.operators.cdc import cdc_scd2_history
+
+    df = cdc_scd2_history(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    # exactly one hash exchange (both windows share the custkey clustering);
+    # the only other exchange is the presentation sort's rangepartitioning.
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, txt[:2000]
