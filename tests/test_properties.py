@@ -551,3 +551,49 @@ def test_cms_overestimates_and_merges(spark, words, split_at):
     for k, v in right.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == s
+
+
+def test_scd2_intervals_partition_each_timeline(spark):
+    """SCD2 invariants, per key: versions are 1..n dense; exactly ONE
+    current row (null valid_to); intervals chain (each valid_to equals the
+    next version's valid_from); consecutive versions never repeat a status
+    (the collapse property that makes history change-cardinality)."""
+    from onebrc_spark.operators.cdc import cdc_scd2_history
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = cdc_scd2_history(spark, SMOKE_SF_DIR).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    assert by_key, "no history rows at smoke SF"
+    for key, hist in by_key.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1)), key
+        currents = [r for r in hist if r.valid_to is None]
+        assert len(currents) == 1 and currents[0] is hist[-1], key
+        assert currents[0].is_current == 1
+        for prev, nxt in zip(hist, hist[1:]):
+            assert prev.is_current == 0
+            assert prev.valid_to == nxt.valid_from, key
+            assert prev.status != nxt.status, key
+            assert prev.valid_from <= prev.valid_to, key
+
+
+def test_recall_audit_found_bounded_by_truth_and_by_candidates(spark):
+    """Audit invariants: n_found ≤ n_true per query (found is a subset of
+    truth); recall_ppm is the exact integer floor of n_found/n_true; and
+    the measured overall recall is strictly between 0 and 1 — the audit is
+    only meaningful when the s-curve actually loses (and keeps) neighbors."""
+    from onebrc_spark.operators.similarity import sim_ann_recall_audit
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = sim_ann_recall_audit(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_found <= r.n_true, r
+        denom = max(r.n_true, 1)
+        assert r.recall_ppm == (r.n_found * 1_000_000) // denom, r
+    total_true = sum(r.n_true for r in rows)
+    total_found = sum(r.n_found for r in rows)
+    assert total_true > 0
+    assert 0 < total_found < total_true
