@@ -32,7 +32,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from onebrc_spark.registry import query
@@ -236,3 +238,111 @@ def read_synth_stream(
         .option("rows_per_batch", rows_per_batch)
         .load()
     )
+
+
+# --- Python Data Source WRITER: the report sink (SURVEY §2.1 S8 twin) ------
+
+
+class _ReportCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task wrote + its row
+    count. Collected on the driver; only commit() makes files visible."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class OnebrcReportSink(DataSource):
+    """Formatted 1BRC report as a custom Python Data Source WRITER — the
+    sink-side twin of OnebrcSynthDataSource's reader, completing the Python
+    DataSource API surface (reader / stream reader / writer). Input rows
+    are the flagship aggregate (station, min, mean, max); each task
+    formats its partition as `station=min/mean/max` lines (the reference's
+    report layout, thebracket.rs:169-187) and the job commits atomically:
+
+      write()  — one call per task: writes lines to
+                 <path>/_temporary/<uuid>.txt, returns (name, n_rows).
+      commit() — driver-only, after ALL tasks succeed: renames every temp
+                 file to part-<i>.txt and writes _SUCCESS with the total
+                 row count. Readers never observe a half-written job.
+      abort()  — deletes the orphaned temp files.
+
+    This is the same task-attempt / job-commit contract every production
+    Spark file sink implements (speculative or retried tasks each write
+    their own temp file; only the committed attempt becomes visible).
+    Scale note: the API demo targets a filesystem all tasks can reach
+    (local mode here; NFS/object store on a cluster) — at 100 TB you'd
+    keep the JVM parquet sink for data and use this protocol shape for
+    custom last-mile exports (reports, manifests, feeds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "onebrc_report_sink"
+
+    def writer(self, schema, overwrite: bool) -> "OnebrcReportWriter":
+        return OnebrcReportWriter(self.options, overwrite)
+
+
+class OnebrcReportWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("onebrc_report_sink requires .option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ReportCommit:
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp_name = f"{uuid.uuid4().hex}.txt"
+        n = 0
+        with open(os.path.join(tmp_dir, tmp_name), "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    f"{row.station}={row.min:.1f}/{row.mean:.1f}/{row.max:.1f}\n"
+                )
+                n += 1
+        return _ReportCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        if self.overwrite:
+            for entry in os.listdir(self.path):
+                if entry != "_temporary":
+                    full = os.path.join(self.path, entry)
+                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, f"part-{i:05d}.txt"),
+            )
+            total += m.n_rows
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+            json.dump({"rows": total, "parts": len(messages)}, f)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+
+def write_report(df: DataFrame, path: str) -> None:
+    """Write a (station, min, mean, max) aggregate as a committed report
+    directory via the Python DataSource writer."""
+    spark = df.sparkSession
+    spark.dataSource.register(OnebrcReportSink)
+    df.write.format("onebrc_report_sink").mode("overwrite").option(
+        "path", path
+    ).save()

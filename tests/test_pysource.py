@@ -34,3 +34,42 @@ def test_python_stream_source_matches_batch(spark):
     )
     want = read_synth(spark, 3000)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_python_sink_commits_report_atomically(spark, tmp_path):
+    """The DataSource WRITER: the committed report directory contains
+    exactly the flagship lines (one per station, reference layout), a
+    _SUCCESS manifest with the right row count, and no _temporary residue
+    — the task-attempt/job-commit contract."""
+    import json
+    import pathlib
+
+    from onebrc_spark.operators.aggregates import onebrc_flagship
+    from onebrc_spark.sources.pysource import write_report
+    from tests.conftest import SMOKE_SF_DIR
+
+    agg = onebrc_flagship(spark, SMOKE_SF_DIR)
+    want = sorted(
+        f"{r.station}={r.min:.1f}/{r.mean:.1f}/{r.max:.1f}"
+        for r in agg.collect()
+    )
+    out = tmp_path / "report"
+    write_report(agg, str(out))
+    got = sorted(
+        line
+        for part in pathlib.Path(out).glob("part-*.txt")
+        for line in part.read_text().splitlines()
+    )
+    assert got == want
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    assert manifest["rows"] == len(want)
+    assert not (out / "_temporary").exists()
+
+    # overwrite mode replaces prior parts (no stale files accumulate)
+    write_report(agg, str(out))
+    got2 = sorted(
+        line
+        for part in pathlib.Path(out).glob("part-*.txt")
+        for line in part.read_text().splitlines()
+    )
+    assert got2 == want
