@@ -118,3 +118,96 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_SKEW_TOPK = 10
+
+
+def _skew_family_sql(family: str, table: str, key: str) -> str:
+    return f"""
+    SELECT '{family}' AS key_family,
+           CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+           key, cnt,
+           s.n_keys, s.n_rows,
+           CAST(cnt * s.n_keys * 1000000 // s.n_rows AS BIGINT) AS load_ppm
+    FROM (
+      SELECT {key} AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY {key}
+    ) c, (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM (SELECT count(*) AS cnt FROM {table} GROUP BY {key})
+    ) s
+    ORDER BY cnt DESC, key LIMIT {_SKEW_TOPK}
+    """
+
+
+@query(
+    "dq_key_skew_profile",
+    oracle=(
+        "SELECT * FROM ("
+        + _skew_family_sql("lineitem.l_orderkey", "lineitem", "l_orderkey")
+        + ") UNION ALL SELECT * FROM ("
+        + _skew_family_sql("orders.o_custkey", "orders", "o_custkey")
+        + ") ORDER BY key_family, rank"
+    ),
+    survey_ref="dq,J1 (join-key skew census: the pre-join salting/AQE decision input)",
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census — the diagnostic a 100 TB pipeline runs BEFORE
+    a big shuffle join to decide between a plain hash join, AQE skew
+    splitting, and explicit salting (join_salted_skew): for each key
+    family, the top-K heaviest keys with their exact load factor in ppm
+    (cnt · n_keys · 1e6 div n_rows — 1,000,000 = a perfectly uniform key;
+    integer arithmetic, engine-stable). A load_ppm in the tens of millions
+    on a fact-fact join key is the signature of a task that will straggle
+    or spill; this query prices that risk for one aggregation per family.
+
+    Scale: per family, one map-side-combined groupBy on the join key (the
+    same shuffle the real join would pay, but carrying only (key, count)
+    longs), a TakeOrdered top-K (no global sort), and a one-row census
+    broadcast onto the K rows. Numerator headroom: cnt·n_keys ≤ n_rows·
+    n_keys — stage the division (ml_temperature_mix's remainder-carry
+    idiom) past ~3e9 rows·keys; at this corpus's scale the direct product
+    is exact."""
+    frames = []
+    for family, table, key in (
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ):
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        summary = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+        top = (
+            counts.orderBy(F.desc("cnt"), "key")
+            .limit(_SKEW_TOPK)
+            .crossJoin(F.broadcast(summary))
+        )
+        from pyspark.sql.window import Window
+
+        frames.append(
+            top.select(
+                F.lit(family).alias("key_family"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("cnt"), "key"))
+                .cast("long")
+                .alias("rank"),
+                "key",
+                "cnt",
+                "n_keys",
+                "n_rows",
+                F.expr("CAST(cnt * n_keys * 1000000 div n_rows AS BIGINT)").alias(
+                    "load_ppm"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("key_family", "rank")

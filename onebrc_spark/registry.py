@@ -165,6 +165,7 @@ _PRIORITY = [
     # (d2) NEW in round 5 — need their first driver rows
     "sim_ann_recall_audit",
     "cdc_scd2_history",
+    "dq_key_skew_profile",
     # (e) filler: longest-unproven green rows across operator families
     "text_langid",
     "window_running_frames",
