@@ -597,3 +597,40 @@ def test_recall_audit_found_bounded_by_truth_and_by_candidates(spark):
     total_found = sum(r.n_found for r in rows)
     assert total_true > 0
     assert 0 < total_found < total_true
+
+
+def test_staged_division_is_exact_and_int64_safe():
+    """ml_temperature_mix's remainder-carry staging must equal the exact
+    rational floor at any magnitude, and every intermediate must fit int64
+    inside the documented envelope (N·√S < 9.2e12). Hypothesis drives the
+    corpus shape; the reference is Python big-int arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=10_000_000_000),
+            min_size=1,
+            max_size=12,
+        ),
+        pick=st.integers(min_value=0, max_value=11),
+    )
+    def run(sizes, pick):
+        import math
+
+        total = sum(sizes)
+        weights = [round(1000 * math.sqrt(n)) for n in sizes]
+        denom = sum(weights)
+        n_s = sizes[pick % len(sizes)]
+        w = weights[pick % len(sizes)]
+        q1, r1 = divmod(50 * total, denom)
+        staged = (q1 * w + (r1 * w) // denom) // n_s
+        exact = (50 * total * w) // (denom * n_s)
+        assert staged == exact
+        # int64 safety of every staged intermediate inside the envelope
+        if total * math.isqrt(len(sizes)) < 9_200_000_000_000:
+            for term in (50 * total, q1 * w, r1 * w, q1 * w + (r1 * w) // denom):
+                assert abs(term) < 2**63, (term, sizes)
+
+    run()
