@@ -18,6 +18,13 @@ Registration rules (SURVEY §7.4 definition-of-done):
     sum(int) yields HUGEINT, which pandas renders float64 and the driver's
     value hash then diverges from Spark's bigint (tests/compare.py layer 2
     reproduces this class locally);
+  - never let a DecimalType reach a Spark-side OUTPUT column: Spark types
+    decimal literals (10000.0) as DECIMAL, so BIGINT / 10000.0 is
+    decimal(28,7) and renders trailing scale digits ('…6071000') that
+    hash-mismatch DuckDB's float64 ('…6071') even when values are equal
+    (7 driver reds in round 4). Divide by EXPONENT literals (1e4, 1e2 —
+    DOUBLE in both engines) or CAST(... AS DOUBLE) first; enforced by
+    tests/test_schema_lint.py (plan sweep) and compare.py (hard error);
   - never emit round(sum(x)/count, d)-style RATIO columns over grid-rounded
     inputs — exact rationals land on round-half boundaries (2409.18/48 =
     50.19125) and parallel summation order then tie-breaks differently per
