@@ -207,6 +207,35 @@ _SCD2_ORACLE = """
 """
 
 
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str = "custkey",
+    ts: str = "ts",
+    seq: str = "seq",
+    status: str = "status",
+) -> DataFrame:
+    """SCD2 core shared by the batch query and the streaming maintainer:
+    (key, ts, seq, status) change records → (key, version, status,
+    valid_from, valid_to, is_current) with consecutive same-status records
+    collapsed. (ts, seq) must be a TOTAL order per key (registry window
+    rule); valid_from/valid_to keep the change timestamp type — callers
+    cast for presentation."""
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    ch = changes.withColumn("_prev", F.lag(status).over(w))
+    collapsed = ch.filter(F.col("_prev").isNull() | (F.col(status) != F.col("_prev")))
+    return collapsed.select(
+        F.col(key).alias("key"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col(status).alias("status"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.when(F.lead(ts).over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
 @query(
     "cdc_scd2_history",
     oracle=_SCD2_ORACLE,
@@ -230,22 +259,18 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     window reuses the clustering). History size is change-cardinality,
     not event-cardinality, after the in-window collapse."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
-    ch = o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.col("o_orderdate").alias("ts"),
-        F.col("o_orderstatus").alias("status"),
-    ).withColumn("prev", F.lag("status").over(w))
-    changes = ch.filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
-    return changes.select(
+    changes = o.select(
         F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    hist = scd2_from_changes(changes)
+    return hist.select(
+        F.col("key").alias("custkey"),
+        "version",
         "status",
-        F.col("ts").cast("date").alias("valid_from"),
-        F.lead("ts").over(w).cast("date").alias("valid_to"),
-        F.when(F.lead("ts").over(w).isNull(), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("is_current"),
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
     ).orderBy("custkey", "version")

@@ -389,3 +389,130 @@ def stream_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def read_orders_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change feed for the SCD2 maintainer: orders as CDC records
+    (key=custkey, ts=o_orderdate, seq=o_orderkey, status) — the same
+    derivation the batch cdc_scd2_history query uses."""
+    from onebrc_spark.sources.catalog import _read_schema
+
+    raw = (
+        spark.readStream.schema(_read_schema(sf_dir, "orders"))
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def scd2_merge_batch(batch_df: DataFrame, target_dir: str) -> None:
+    """One SCD2 maintenance merge: fold a batch of change records
+    (key, ts, seq, status) into the versioned-history parquet at
+    `target_dir`. The foreachBatch body of stream_scd2_maintain, exposed as
+    a plain function so tests (and backfills) can drive batches directly.
+
+    Merge contract (in-order CDC: per key, batches arrive in ts order —
+    the upstream log's guarantee; equal-ts records must share a batch):
+
+      - closed versions are immutable — never rescanned per-row, only
+        unioned through;
+      - only keys TOUCHED by the batch are recomputed: their open row
+        re-enters the SCD2 core as a pseudo-change (seq = -1, sorting
+        before any real record at the same ts) together with the batch's
+        fresh records; untouched keys' open rows pass through unchanged —
+        the merge is O(changed keys), not O(history);
+      - records older than a key's open valid_from are STALE and dropped
+        (a replayed or duplicate delivery), which together with the
+        no-change collapse makes the merge idempotent: at-least-once
+        foreachBatch delivery upgrades to effectively-once, same as
+        stream_foreach_batch_upsert;
+      - version numbers continue per key (open version - 1 carries over as
+        the offset), so the maintained history is exactly what the batch
+        operator would compute over the full concatenated change log —
+        asserted by tests/test_streaming.py against cdc_scd2_history.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from onebrc_spark.operators.cdc import scd2_from_changes
+
+    s = batch_df.sparkSession
+    batch = batch_df.select("key", "ts", "seq", "status")
+    closed = open_rows = None
+    try:
+        current = s.read.parquet(target_dir)
+        closed = current.filter(F.col("valid_to").isNotNull())
+        open_rows = current.filter(F.col("valid_to").isNull())
+    except AnalysisException as e:  # first batch: no history yet
+        if not _is_missing_path(e):
+            raise
+
+    if open_rows is None:
+        candidates = batch
+        hist = scd2_from_changes(candidates, key="key", ts="ts", seq="seq",
+                                 status="status")
+        result = hist
+    else:
+        touched = batch.select("key").distinct()
+        open_touched = open_rows.join(touched, "key", "semi")
+        open_rest = open_rows.join(touched, "key", "left_anti")
+        fresh = (
+            batch.join(
+                open_touched.select("key", F.col("valid_from").alias("_open_from")),
+                "key",
+                "left",
+            )
+            .filter(F.col("_open_from").isNull() | (F.col("ts") >= F.col("_open_from")))
+            .drop("_open_from")
+        )
+        pseudo = open_touched.select(
+            "key",
+            F.col("valid_from").alias("ts"),
+            F.lit(-1).cast("long").alias("seq"),
+            "status",
+        )
+        offsets = open_touched.select("key", (F.col("version") - 1).alias("_voff"))
+        hist = scd2_from_changes(
+            pseudo.unionByName(fresh), key="key", ts="ts", seq="seq", status="status"
+        )
+        renumbered = (
+            hist.join(offsets, "key", "left")
+            .select(
+                "key",
+                (F.col("version") + F.coalesce("_voff", F.lit(0)))
+                .cast("long")
+                .alias("version"),
+                "status",
+                "valid_from",
+                "valid_to",
+                "is_current",
+            )
+        )
+        result = closed.unionByName(renumbered).unionByName(open_rest)
+
+    # Materialize BEFORE overwriting the path we just read from.
+    result = result.localCheckpoint(eager=True)
+    result.write.mode("overwrite").parquet(target_dir)
+
+
+def stream_scd2_maintain(changes: DataFrame, target_dir: str) -> None:
+    """Streaming SCD type-2 maintenance: each micro-batch of CDC records
+    folds into the versioned validity-interval history via
+    scd2_merge_batch — the continuous deployment shape of the batch
+    cdc_scd2_history operator, completing the CDC quadrant (batch/stream ×
+    SCD1/SCD2). In production the merge body is a MERGE INTO on
+    Delta/Iceberg keyed on (key, version); parquet-overwrite expresses the
+    same semantics here."""
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _epoch: scd2_merge_batch(df, target_dir))
+        .option("checkpointLocation", target_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -238,3 +238,92 @@ def test_stream_foreach_batch_upsert_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == want
+
+
+def _scd2_rows(df):
+    return sorted(
+        (
+            r.key,
+            r.version,
+            r.status,
+            r.valid_from.isoformat() if r.valid_from else None,
+            r.valid_to.isoformat() if r.valid_to else None,
+            r.is_current,
+        )
+        for r in df.collect()
+    )
+
+
+def test_scd2_merge_batches_match_batch_operator(spark, tmp_path):
+    """Folding time-sliced CDC batches through scd2_merge_batch must yield
+    exactly the history the batch operator computes over the whole change
+    log — and replaying the final batch must change nothing (idempotent
+    at-least-once delivery)."""
+    from onebrc_spark.operators.cdc import cdc_scd2_history
+    from onebrc_spark.streaming.pipelines import scd2_merge_batch
+
+    target = str(tmp_path / "scd2")
+    o = load_table(spark, SMOKE_SF_DIR, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # ts-range slices: per key, batches arrive in ts order and equal-ts
+    # records share a batch — the CDC log's delivery contract.
+    slices = [
+        changes.filter(F.year("ts") <= 1996),
+        changes.filter((F.year("ts") >= 1997) & (F.year("ts") <= 1999)),
+        changes.filter(F.year("ts") >= 2000),
+    ]
+    assert all(s.count() > 0 for s in slices)
+    for b in slices:
+        scd2_merge_batch(b, target)
+
+    def read_target(path):
+        return spark.read.parquet(path).select(
+            "key",
+            "version",
+            "status",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+            "is_current",
+        )
+
+    want = _scd2_rows(
+        cdc_scd2_history(spark, SMOKE_SF_DIR).withColumnRenamed("custkey", "key")
+    )
+    got = _scd2_rows(read_target(target))
+    assert got == want
+
+    # idempotence: replay the last slice
+    scd2_merge_batch(slices[-1], target)
+    assert _scd2_rows(read_target(target)) == want
+
+
+def test_stream_scd2_maintain_wiring(spark, tmp_path):
+    """The availableNow streaming run over the orders change feed lands the
+    same history as the batch operator (single-file source → one batch)."""
+    from onebrc_spark.operators.cdc import cdc_scd2_history
+    from onebrc_spark.streaming.pipelines import (
+        read_orders_changes_stream,
+        stream_scd2_maintain,
+    )
+
+    target = str(tmp_path / "scd2_stream")
+    stream_scd2_maintain(read_orders_changes_stream(spark, SMOKE_SF_DIR), target)
+    got = _scd2_rows(
+        spark.read.parquet(target).select(
+            "key",
+            "version",
+            "status",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+            "is_current",
+        )
+    )
+    want = _scd2_rows(
+        cdc_scd2_history(spark, SMOKE_SF_DIR).withColumnRenamed("custkey", "key")
+    )
+    assert got == want
