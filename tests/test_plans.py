@@ -585,3 +585,18 @@ def test_scd2_one_exchange_feeds_both_windows(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, txt[:2000]
+
+
+def test_key_skew_profile_map_side_combine_topk_broadcast(spark):
+    """dq_key_skew_profile's scale claims: the per-family key count
+    combines map-side (partial_count under the key shuffle), the top-K is
+    a TakeOrdered (no global sort of the key census), and the one-row
+    family summary joins by broadcast."""
+    from onebrc_spark.operators.skew import dq_key_skew_profile
+
+    df = dq_key_skew_profile(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, mode="simple")
+    assert "partial_count" in txt, txt[:2000]
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+    assert "SortMergeJoin" not in txt
