@@ -220,9 +220,13 @@ def text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side partial aggregation collapses the shuffle to |vocab|² keys."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     ws = _WORDS(F.col("text"))
-    grams = F.transform(
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    # zip_with over shifted slices (not element_at indexing) — see
+    # curation.word_ngrams for the codegen-size rationale.
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
     return (
         d.select(F.explode(grams).alias("gram"))
