@@ -170,6 +170,15 @@ _KEEP_PAIR_CACHE = {"dedup_minhash_lsh", "dedup_cluster_components"}
 
 
 def main() -> None:
+    # The warm-asset contract is positional: every pair-set consumer must
+    # run AFTER the build entry, or its timed runs silently pay the cold
+    # build while the narrative reports marginal cost.
+    build_at = HEADLINE.index("dedup_minhash_pairs_build")
+    for consumer in _KEEP_PAIR_CACHE:
+        assert HEADLINE.index(consumer) > build_at, (
+            f"{consumer} must follow dedup_minhash_pairs_build in HEADLINE"
+        )
+
     spark = get_spark("onebrc_bench")
     all_q = registry.load_all()
     # Warm the session (JVM/codegen) with one tiny action so per-query times

@@ -319,6 +319,7 @@ class OnebrcReportWriter(DataSourceWriter):
                     full = os.path.join(self.path, entry)
                     (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
         total = 0
+        parts = 0
         for i, m in enumerate(messages):
             if m is None:
                 continue
@@ -327,9 +328,11 @@ class OnebrcReportWriter(DataSourceWriter):
                 os.path.join(self.path, f"part-{i:05d}.txt"),
             )
             total += m.n_rows
+            parts += 1
         shutil.rmtree(tmp_dir, ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
-            json.dump({"rows": total, "parts": len(messages)}, f)
+            # parts = files actually renamed (None messages carry no file)
+            json.dump({"rows": total, "parts": parts}, f)
 
     def abort(self, messages) -> None:
         import os

@@ -427,11 +427,14 @@ def scd2_merge_batch(batch_df: DataFrame, target_dir: str) -> None:
         before any real record at the same ts) together with the batch's
         fresh records; untouched keys' open rows pass through unchanged —
         the merge is O(changed keys), not O(history);
-      - records older than a key's open valid_from are STALE and dropped
-        (a replayed or duplicate delivery), which together with the
-        no-change collapse makes the merge idempotent: at-least-once
-        foreachBatch delivery upgrades to effectively-once, same as
-        stream_foreach_batch_upsert;
+      - records at or before a key's open valid_from are STALE and
+        dropped (a replayed or duplicate delivery — STRICTLY newer is
+        required because the delivery contract puts equal-ts records in
+        ONE batch, so anything ≤ the open timestamp was already
+        incorporated; a ≥ filter would re-admit the open-boundary records
+        of a replayed batch and mint spurious versions). Stale-drop makes
+        the merge idempotent: at-least-once foreachBatch delivery
+        upgrades to effectively-once, same as stream_foreach_batch_upsert;
       - version numbers continue per key (open version - 1 carries over as
         the offset), so the maintained history is exactly what the batch
         operator would compute over the full concatenated change log —
@@ -467,7 +470,7 @@ def scd2_merge_batch(batch_df: DataFrame, target_dir: str) -> None:
                 "key",
                 "left",
             )
-            .filter(F.col("_open_from").isNull() | (F.col("ts") >= F.col("_open_from")))
+            .filter(F.col("_open_from").isNull() | (F.col("ts") > F.col("_open_from")))
             .drop("_open_from")
         )
         pseudo = open_touched.select(

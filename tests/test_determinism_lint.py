@@ -139,8 +139,8 @@ def test_lint_catches_the_round4_escape_shapes():
     assert _BANNED.search("round(\n    sum(x), 2)")
     m = _BANNED.search("round(sum(value)/count(*), 4)")
     assert m and not _EXEMPT_OPERAND.search("value)/count(*), 4)")
-    # count as the OPERAND stays exempt
-    m2 = _BANNED.search("round(sum(count_col), 2)") or _BANNED.search(
-        "round(avg(count(x)), 2)"
-    )
+    # count as the OPERAND stays exempt — and the banned pattern must still
+    # MATCH the shape (the exemption test would be vacuous otherwise)
+    m2 = _BANNED.search("round(avg(count(x)), 2)")
+    assert m2
     assert _EXEMPT_OPERAND.search("count(x)), 2)")

@@ -327,3 +327,30 @@ def test_stream_scd2_maintain_wiring(spark, tmp_path):
         cdc_scd2_history(spark, SMOKE_SF_DIR).withColumnRenamed("custkey", "key")
     )
     assert got == want
+
+
+def test_scd2_replay_of_equal_ts_boundary_batch_is_idempotent(spark, tmp_path):
+    """Regression (round-5 review): a batch whose newest records share one
+    timestamp with DIFFERENT statuses, replayed under at-least-once
+    delivery, must not mint spurious versions. The stale-drop is strict
+    (ts > open valid_from): equal-ts records live in one batch by the
+    delivery contract, so anything at the open boundary was already
+    incorporated."""
+    import datetime
+
+    from onebrc_spark.streaming.pipelines import scd2_merge_batch
+
+    target = str(tmp_path / "scd2_replay")
+    batch = spark.createDataFrame(
+        [
+            (1, datetime.datetime(1995, 1, 1), 5, "O"),
+            (1, datetime.datetime(1995, 1, 1), 9, "F"),
+        ],
+        "key LONG, ts TIMESTAMP, seq LONG, status STRING",
+    )
+    scd2_merge_batch(batch, target)
+    first = _scd2_rows(spark.read.parquet(target))
+    assert len(first) == 2  # O then F, F current
+    assert sum(r[5] for r in first) == 1
+    scd2_merge_batch(batch, target)  # at-least-once replay
+    assert _scd2_rows(spark.read.parquet(target)) == first
