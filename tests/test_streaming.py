@@ -354,3 +354,60 @@ def test_scd2_replay_of_equal_ts_boundary_batch_is_idempotent(spark, tmp_path):
     assert sum(r[5] for r in first) == 1
     scd2_merge_batch(batch, target)  # at-least-once replay
     assert _scd2_rows(spark.read.parquet(target)) == first
+
+
+def test_scd2_merge_random_streams_match_batch(spark, tmp_path):
+    """Property check: for random change streams sliced into batches at
+    random ts boundaries (the delivery contract: per key, batches arrive
+    in ts order; equal-ts records share a batch), the maintained history
+    equals the batch core over the whole log, and replaying every batch
+    leaves it unchanged."""
+    import datetime
+    import random
+
+    from onebrc_spark.operators.cdc import scd2_from_changes
+    from onebrc_spark.streaming.pipelines import scd2_merge_batch
+
+    rng = random.Random(20260814)
+    statuses = ["O", "F", "P"]
+    for trial in range(3):
+        rows = []
+        for key in range(1, 7):
+            n = rng.randint(1, 12)
+            for seq in range(n):
+                rows.append(
+                    (
+                        key,
+                        datetime.datetime(1995, 1, 1)
+                        + datetime.timedelta(days=rng.randint(0, 30)),
+                        seq,
+                        rng.choice(statuses),
+                    )
+                )
+        schema = "key LONG, ts TIMESTAMP, seq LONG, status STRING"
+        full = spark.createDataFrame(rows, schema)
+        # random ts cut points; equal-ts rows always land in one slice
+        cuts = sorted(
+            rng.sample(range(1, 30), rng.randint(1, 3))
+        )
+        bounds = (
+            [datetime.datetime(1994, 1, 1)]
+            + [datetime.datetime(1995, 1, 1) + datetime.timedelta(days=c) for c in cuts]
+            + [datetime.datetime(1996, 12, 31)]
+        )
+        target = str(tmp_path / f"scd2_rand_{trial}")
+        batches = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            b = [r for r in rows if lo <= r[1] < hi]
+            if b:
+                batches.append(spark.createDataFrame(b, schema))
+        for b in batches:
+            scd2_merge_batch(b, target)
+        want = _scd2_rows(scd2_from_changes(full, key="key"))
+        got = _scd2_rows(spark.read.parquet(target))
+        assert got == want, f"trial {trial}: merge diverged from batch core"
+        for b in batches:  # replay every batch, any order of replays
+            scd2_merge_batch(b, target)
+        assert _scd2_rows(spark.read.parquet(target)) == want, (
+            f"trial {trial}: replay changed history"
+        )
