@@ -52,8 +52,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from onebrc_spark.operators.dedup import minhash_pairs, minhash_pairs_sql
+from onebrc_spark.operators.mlprep import _hash_bucket, hash_bucket_sql
 from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import load_table
+
+# the ONE md5-bucket idiom (mlprep) applied to the cluster group key —
+# oracle and Spark plan can no longer drift apart
+_BUCKET_GK_SQL = hash_bucket_sql("gk")
 
 _MAX_ITERS = 25
 # auto mode: propagation rounds to try before concluding the graph is deep
@@ -239,6 +244,47 @@ def connected_components(
     return _out(_star_fixpoint_labels(bidir, bidir, max_iters))
 
 
+# Memoized (id, cluster_id) labels per (application, sf_dir): FOUR
+# registered queries consume the resolved components of the SAME memoized
+# pair set (components, survivors, cluster-safe split, best-survivor), and
+# the resolution is the expensive part — an iterative multi-job loop with
+# one driver sync per round. Without this memo a full drive pays it 4×.
+# Same lifecycle discipline as dedup._MINHASH_PAIRS_CACHE; bench.py clears
+# this cache before timing dedup_cluster_components so the resolution cost
+# stays honestly measured.
+_COMPONENTS_CACHE: dict = {}
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized resolved component labels (id, cluster_id) over the
+    MinHash near-dup pair set."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COMPONENTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = None
+    try:
+        labels = connected_components(pairs).persist()
+        labels.count()
+    except BaseException:
+        if labels is not None:
+            labels.unpersist()
+        raise
+    _COMPONENTS_CACHE[key] = labels
+    return labels
+
+
+def clear_components_cache() -> None:
+    """Release every memoized label set (bench hook — see cache note)."""
+    for df in _COMPONENTS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _COMPONENTS_CACHE.clear()
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""
@@ -266,9 +312,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected component. Catches transitive duplicates (a~b, b~c ⇒ one
     3-doc cluster) that pairwise dedup misses. Oracle = exact transitive
     closure via DuckDB recursive CTE over the identical edge set."""
-    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return (
-        connected_components(pairs)
+        cluster_labels(spark, sf_dir)
         .select(F.col("id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
@@ -312,8 +357,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join against the removed set (cluster members are a tiny
     fraction of the corpus), so at 100 TB the text still never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    comp = cluster_labels(spark, sf_dir)
     removed = (
         comp.filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"), F.lit(1).alias("is_removed"))
@@ -360,11 +404,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN b < 12 THEN 'train'
                   WHEN b < 14 THEN 'val' ELSE 'test' END AS split
       FROM (
-        SELECT doc_id, gk,
-               CASE WHEN ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) <= 57
-                    THEN ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) - 48
-                    ELSE ascii(substr(md5(CAST(gk AS VARCHAR)), 1, 1)) - 87
-               END AS b
+        SELECT doc_id, gk, {_BUCKET_GK_SQL} AS b
         FROM grouped
       )
     )
@@ -397,15 +437,14 @@ def ml_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id) and the audit joins the dim-sized assignment back
     to the edge set — the corpus text never shuffles."""
     pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
+    comp = cluster_labels(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     grouped = d.join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("gk")
     )
-    a = F.ascii(F.substring(F.md5(F.col("gk").cast("string")), 1, 1))
-    bucket = F.when(a <= 57, a - 48).otherwise(a - 87)
+    bucket = _hash_bucket(F.col("gk"))
     assigned = grouped.select(
         "doc_id",
         "gk",
@@ -497,8 +536,7 @@ def dedup_cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window: (n_chars DESC, doc_id) — doc_id is unique, so survivor
     choice is deterministic under any partitioning."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs).select(
+    comp = cluster_labels(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     labeled = docs.join(F.broadcast(comp), "doc_id")

@@ -57,24 +57,25 @@ _NEW_BUCKET_MAX = 3
 
 
 def is_new_batch(doc_id: Column) -> Column:
-    """Content-addressed batch membership (deterministic, source-agnostic)."""
-    a = F.ascii(F.substring(F.md5(doc_id.cast("string")), 1, 1))
-    bucket = F.when(a <= 57, a - 48).otherwise(a - 87)
-    return bucket < _NEW_BUCKET_MAX
+    """Content-addressed batch membership (deterministic, source-agnostic) —
+    built on mlprep's ONE md5-bucket idiom (round-5 dedup of 4 copies)."""
+    from onebrc_spark.operators.mlprep import _hash_bucket
+
+    return _hash_bucket(doc_id) < _NEW_BUCKET_MAX
 
 
 def _is_new_sql(expr: str) -> str:
-    return (
-        f"(CASE WHEN ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) <= 57"
-        f" THEN ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) - 48"
-        f" ELSE ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1)) - 87 END)"
-        f" < {_NEW_BUCKET_MAX}"
-    )
+    from onebrc_spark.operators.mlprep import hash_bucket_sql
+
+    return f"({hash_bucket_sql(expr)}) < {_NEW_BUCKET_MAX}"
 
 
 def _band_table(docs_ws: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig) from (doc_id, ws) — the dedup.py banding,
-    shared verbatim so batch and corpus signatures are comparable."""
+    """(doc_id, band, band_sig) from (doc_id, ws) — the ARRAY-keyed band
+    form, kept for the BUCKETED corpus asset (corpus_band_table), where
+    the (band, band_sig) columns are the bucket keys themselves. The
+    in-flight batch×corpus join uses _band_key_table's hashed 64-bit keys
+    instead (see there for why)."""
     sigs = docs_ws.select(
         "doc_id", minhash_signature(F.col("ws")).alias("sig")
     )
@@ -99,25 +100,54 @@ def _band_table(docs_ws: DataFrame) -> DataFrame:
 def _split_batch_corpus(
     docs: DataFrame, new_col: Column
 ) -> tuple[DataFrame, DataFrame]:
-    """The ONE derivation of the is_new split — both gates must see the
-    identical membership, so batch/corpus frames come from here only."""
-    tagged = docs.select("doc_id", "text", new_col.alias("is_new"))
-    return tagged.filter(F.col("is_new")), tagged.filter(~F.col("is_new"))
+    """The ONE derivation of the is_new split — every consumer (both
+    rejection gates AND the admission manifest) must see the identical
+    membership, so batch/corpus frames come from here only. All input
+    columns are carried (Catalyst prunes the unused ones), so manifest
+    consumers can keep e.g. `source` without a second derivation."""
+    tagged = docs.withColumn("is_new", new_col)
+    return (
+        tagged.filter(F.col("is_new")).drop("is_new"),
+        tagged.filter(~F.col("is_new")).drop("is_new"),
+    )
+
+
+def _band_key_table(docs_ws: DataFrame) -> DataFrame:
+    """(doc_id, band_key): one xxhash64 long per band over the signature
+    slice — the in-flight join form, mirroring dedup.py's round-5 band-key
+    change (8-byte shuffle keys + primitive codegen compares, measured
+    ~25% off the array-keyed join there). Equal slices always hash equal,
+    so no true candidate is lost; a collision only ADDS a candidate, which
+    the exact-Jaccard verification downstream rejects."""
+    sigs = docs_ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(band),
+                        *[
+                            F.element_at(F.col("sig"), band * _LSH_ROWS + j + 1)
+                            for j in range(_LSH_ROWS)
+                        ],
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
 
 
 def _candidates_from_split(batch: DataFrame, corpus: DataFrame) -> DataFrame:
-    bb = _band_table(
+    bb = _band_key_table(
         batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
     ).alias("bb")
-    cb = _band_table(
+    cb = _band_key_table(
         corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
     ).alias("cb")
     return (
-        bb.join(
-            cb,
-            (F.col("bb.band") == F.col("cb.band"))
-            & (F.col("bb.band_sig") == F.col("cb.band_sig")),
-        )
+        bb.join(cb, F.col("bb.band_key") == F.col("cb.band_key"))
         .select(
             F.col("bb.doc_id").alias("new_id"), F.col("cb.doc_id").alias("corpus_id")
         )
@@ -259,7 +289,11 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     rejected = incremental_rejections(docs, is_new_batch(F.col("doc_id")))
-    batch = docs.filter(is_new_batch(F.col("doc_id"))).select("doc_id", "source")
+    # batch membership comes from the ONE split derivation (the helper's
+    # invariant) — never a second filter that could desynchronize the
+    # manifest's denominator from the rejection set
+    batch, _ = _split_batch_corpus(docs, is_new_batch(F.col("doc_id")))
+    batch = batch.select("doc_id", "source")
     return (
         batch.join(rejected.select("doc_id", "reason"), "doc_id", "left")
         .groupBy("source")

@@ -35,16 +35,26 @@ def _hash_bucket(key: Column) -> Column:
 
     '0'-'9' → 0-9 (ascii 48-57), 'a'-'f' → 10-15 (ascii 97-102); expressed
     with ascii() arithmetic so the identical expression runs in DuckDB.
+    THE one definition of the idiom — incremental batch membership and the
+    cluster-safe split build on this pair, so a change to the bucketing
+    applies everywhere at once instead of silently desynchronizing an
+    oracle from its Spark plan.
     """
     a = F.ascii(F.substring(F.md5(key.cast("string")), 1, 1))
     return F.when(a <= 57, a - 48).otherwise(a - 87)
 
 
-_HASH_BUCKET_SQL = """
-    CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
-         THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
-         ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+def hash_bucket_sql(expr: str) -> str:
+    """DuckDB twin of _hash_bucket over an arbitrary SQL expression."""
+    h = f"ascii(substr(md5(CAST({expr} AS VARCHAR)), 1, 1))"
+    return f"""
+    CASE WHEN {h} <= 57
+         THEN {h} - 48
+         ELSE {h} - 87
     END"""
+
+
+_HASH_BUCKET_SQL = hash_bucket_sql("doc_id")
 
 
 @query(

@@ -638,8 +638,13 @@ def kmeans_fit(
 
     Deterministic: init = the md5-derived constants, assignment = argmax
     cosine with a fixed tie-break (first maximal cell), update = per-cell
-    coordinate means — a pure function of the data, so repeated fits agree
-    bit-for-bit (pinned in tests).
+    coordinate means computed on QUANTIZED integers (×1e9 per coordinate,
+    summed as exact longs, divided once on the driver) — a raw F.avg over
+    doubles would carry partition-merge-order low bits (the repo's lint
+    class), making "repeated fits agree bit-for-bit" hold only within one
+    session's partitioning. With integer sums the fit is a pure function
+    of the data under ANY parallelism (pinned in tests). Quantization
+    error 5e-10 per coordinate is noise against the corpus scale.
 
     Scale design: each iteration is ONE distributed pass — assign cells
     row-locally against broadcast centroid literals, then posexplode the
@@ -664,10 +669,13 @@ def kmeans_fit(
                 "cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
             )
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("x") * 1e9).cast("long")).alias("s"),
+                F.count("x").alias("n"),
+            )
             .collect()
         )
-        new = {(r["cell"], r["pos"]): r["m"] for r in rows}
+        new = {(r["cell"], r["pos"]): r["s"] / r["n"] / 1e9 for r in rows}
         cents = [
             [new.get((c + 1, d), cents[c][d]) for d in range(dim)] for c in range(k)
         ]
@@ -940,10 +948,11 @@ _SEMPRUNE_KEEP = 0.8  # keep the 80% most central vectors per cluster
       SELECT label, pos, CAST(sum(v) AS BIGINT) AS c
       FROM exploded GROUP BY label, pos
     ), cnorm AS (
-      SELECT label, CAST(sum(c * c) AS DOUBLE) AS nc FROM centroid GROUP BY label
+      SELECT label, CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS nc
+      FROM centroid GROUP BY label
     ), pervec AS (
       SELECT e.label, e.vec_id,
-             CAST(CAST(sum(e.v * c.c) AS BIGINT) AS DOUBLE) AS dot,
+             CAST(sum(CAST(e.v AS HUGEINT) * c.c) AS DOUBLE) AS dot,
              CAST(CAST(sum(e.v * e.v) AS BIGINT) AS DOUBLE) AS nv
       FROM exploded e JOIN centroid c ON c.label = e.label AND c.pos = e.pos
       GROUP BY e.label, e.vec_id
@@ -985,9 +994,14 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): posexplode ships (label, pos, v) longs — 64 rows per
     vector, no text; the centroid table is (n_clusters × dim), broadcast
     back for scoring; ranking windows partition by cluster. Integer
-    headroom: |v| ≤ 5.3e5, so nv ≤ 64·(5.3e5)² ≈ 1.8e13 and dot stays
-    < 2^62 up to ~2e8 vectors per cluster; the nc sum is decimal(38,0)
-    (HUGEINT in DuckDB) so centroid self-products can't overflow first."""
+    headroom (round-5 audit — the earlier ~2e8 claim missed that the
+    per-ELEMENT products c·c and v·c hit INT64 long before any widened
+    SUM): every centroid-involving product now runs in decimal(38,0)
+    (HUGEINT in DuckDB), so with |v| ≤ 5.3e5 and |c| ≤ 5.3e5·n the dot
+    stays exact to n ≈ 5e24 members per cluster; nv is per-vector
+    (≤ 64·(5.3e5)² ≈ 1.8e13) and safely long. The exact integers convert
+    once to double for the cosine — correctly rounded, identical in both
+    engines."""
     e = load_table(spark, sf_dir, "embeddings")
     quant = e.select(
         "vec_id",
@@ -1012,7 +1026,14 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.join(F.broadcast(centroid), ["label", "pos"])
         .groupBy("label", "vec_id")
         .agg(
-            F.sum(F.col("v") * F.col("c")).cast("long").cast("double").alias("dot"),
+            # v·c widened to decimal(38,0) (HUGEINT in the oracle): the
+            # INT64 product c·v wraps (Spark) / aborts (DuckDB) once a
+            # correlated cluster pushes |c| past ~2^63/|v| — at ~3e7
+            # members, far inside the 100 TB design target. nv stays long:
+            # it is per-vector (≤ 64·(5.3e5)² ≈ 1.8e13, overflow-free).
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("c"))
+            .cast("double")
+            .alias("dot"),
             F.sum(F.col("v") * F.col("v")).cast("long").cast("double").alias("nv"),
         )
     )
@@ -1058,6 +1079,13 @@ _AUDIT_Q_MOD = 29
 _AUDIT_COS_MIN = 0.22
 _AUDIT_BANDS = 4
 _AUDIT_ROWS = 3
+# Hard audit budget: only sampled ids below _AUDIT_Q_MOD * _AUDIT_BUDGET
+# qualify, so |Q| ≤ _AUDIT_BUDGET at ANY corpus size — the fixed-cost
+# contract that makes the forced query-side broadcasts legal (a %-only
+# sample grows linearly with N and would eventually blow the 8 GB
+# broadcast ceiling). Deterministic and content-independent; at the test
+# SFs every sampled id is inside the budget, so results are unchanged.
+_AUDIT_BUDGET = 256
 
 
 def _recall_audit_sql() -> str:
@@ -1071,6 +1099,7 @@ def _recall_audit_sql() -> str:
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qv FROM embeddings
       WHERE vec_id % {_AUDIT_Q_MOD} = 0
+        AND vec_id < {_AUDIT_Q_MOD * _AUDIT_BUDGET}
     ), truth AS (
       SELECT q.qid, e.vec_id
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
@@ -1123,17 +1152,20 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine folds, all map-side), once as banded buckets against the
     corpus band table for the candidate sets. The only shuffles touch
     query-keyed pairs (candidate dedup, per-query counts) — O(|Q|·k)
-    rows. At production scale you bound |Q| (fixed audit budget) and the
-    whole audit stays one corpus scan per side regardless of N.
+    rows. |Q| is capped by a HARD budget (_AUDIT_BUDGET, enforced in the
+    sample predicate), so the whole audit is fixed-cost beyond the two
+    corpus scans regardless of N — which is also what licenses the forced
+    query-side broadcasts.
 
     Recall here is genuinely mid-range by design (the 4×3 s-curve midpoint
     sits inside the audited truth band — see the parameter comment above),
     so the oracle check is non-vacuous: hits and misses both exist and the
     engines must agree on exactly which neighbors the bands lose."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    q = e.filter(F.col("vec_id") % _AUDIT_Q_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
+    q = e.filter(
+        (F.col("vec_id") % _AUDIT_Q_MOD == 0)
+        & (F.col("vec_id") < _AUDIT_Q_MOD * _AUDIT_BUDGET)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     truth = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("embedding")), 6))
@@ -1155,9 +1187,10 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("found", F.lit(1))
     )
-    # cand and per are query-keyed and bounded by the audit budget
-    # (|Q|·occupancy and |Q| rows) — broadcast them so the scorecard
-    # assembly adds no shuffle at any corpus size.
+    # cand and per are query-keyed and bounded by the HARD audit budget
+    # (|Q| ≤ _AUDIT_BUDGET enforced in the sample predicate above, so
+    # |cand| ≤ |Q|·occupancy and |per| ≤ |Q|) — broadcasting them is
+    # therefore safe at any corpus size.
     per = (
         truth.join(F.broadcast(cand), ["qid", "vec_id"], "left")
         .groupBy("qid")
