@@ -209,9 +209,9 @@ def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(pc * (100 - dc)) AS BIGINT) / 10000.0 AS sum_disc_price,
            CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) / 1000000.0
              AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(CAST(sum(pc) AS BIGINT) / count(*) / 100.0, 4) AS avg_price,
-           round(CAST(sum(dc) AS BIGINT) / count(*) / 100.0, 4) AS avg_disc,
+           avg(l_quantity) AS avg_qty,
+           CAST(sum(pc) AS BIGINT) / count(*) / 1e2 AS avg_price,
+           CAST(sum(dc) AS BIGINT) / count(*) / 1e2 AS avg_disc,
            count(*) AS count_order
     FROM c
     GROUP BY l_returnflag, l_linestatus
@@ -248,13 +248,15 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(pc * (100 - dc) * (100 + tc)) / F.lit(1000000.0)).alias(
                 "sum_charge"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(pc) / F.count(F.lit(1)) / F.lit(100.0), 4).alias(
-                "avg_price"
-            ),
-            F.round(F.sum(dc) / F.count(F.lit(1)) / F.lit(100.0), 4).alias(
-                "avg_disc"
-            ),
+            # avg columns stay UNROUNDED: the quotient of an exact-integer
+            # numerator is the same double in both engines, while a final
+            # round(·, 4) re-introduces the engine disagreement on
+            # print-boundary doubles (Spark string-BigDecimal HALF_UP vs
+            # DuckDB binary round — the 46.94725 class, confirmed live at
+            # 240918/48/100)
+            F.avg("l_quantity").alias("avg_qty"),
+            (F.sum(pc) / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_price"),
+            (F.sum(dc) / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -362,8 +364,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(l_linestatus, '<all>') AS linestatus,
-           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                 / count(*) / 100.0, 4) AS avg_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 1e2 AS avg_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -375,11 +377,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(
+        # unrounded exact-integer quotient (see agg_tpch_q1's avg note)
+        .agg((
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
             / F.count(F.lit(1))
-            / F.lit(100.0),
-            4,
+            / F.lit(100.0)
         ).alias("avg_price"))
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
@@ -393,26 +395,68 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     oracle="""
-    SELECT event_type,
-           round(stddev_samp(value), 4) AS sd_value,
-           round(var_samp(value), 4) AS var_value,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90
-    FROM events GROUP BY event_type ORDER BY event_type
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS qv FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS s1,
+             CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS s2
+      FROM q GROUP BY event_type
+    )
+    SELECT m.event_type,
+           sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE) / 1e4) AS sd_value,
+           CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 1e4 AS var_value,
+           p.p50, p.p90
+    FROM m JOIN (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90
+      FROM events GROUP BY event_type
+    ) p ON p.event_type = m.event_type
+    ORDER BY m.event_type
     """,
     survey_ref="A10",
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev / variance / exact interpolated percentile (Spark `percentile`
-    == DuckDB `quantile_cont`)."""
+    == DuckDB `quantile_cont`).
+
+    Variance is computed from EXACT integer moments over 2-dp-grid cents
+    (n·Σq² − (Σq)² in decimal(38,0)/HUGEINT, one double division at the
+    end, no final round) — raw var_samp/stddev_samp are float moment sums
+    whose partition-merge order can flip a rounded digit at a boundary
+    (the registry's blanket rule; the round-4 ±1 incident class). The
+    integer form is bit-identical across engines and any partitioning up
+    to ~1e30 rows/group. The percentiles keep the engines' interpolation
+    at 4 dp: p50 of a cents grid has ≤3 decimals (midpoint of integers),
+    so its round is exact; p90's interpolated value is the same double on
+    both engines for identical sorted input (sanctioned exception,
+    registry rules)."""
     ev = load_table(spark, sf_dir, "events")
+    qv = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qv).alias("s1"),
+        F.sum(qv.cast("decimal(38,0)") * qv).alias("s2"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double")
+    den = (F.col("n") * (F.col("n") - 1)).cast("double")
+    var = num / den / F.lit(1e4)
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-            F.round(F.var_samp("value"), 4).alias("var_value"),
-            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        m.select(
+            "event_type",
+            F.sqrt(var).alias("sd_value"),
+            var.alias("var_value"),
+            "p50",
+            "p90",
         )
         .orderBy("event_type")
     )
@@ -510,12 +554,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_covar",
     oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(d AS HUGEINT) * t) AS HUGEINT) AS sdt
+      FROM q GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_qty_price,
-           round(covar_pop(l_discount, l_tax), 8)             AS covar_disc_tax,
-           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope_price_on_qty
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+             AS corr_qty_price,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 1e2 AS covar_qty_price,
+           CAST(CAST(n AS HUGEINT) * sdt - CAST(sd AS HUGEINT) * st AS DOUBLE)
+             / CAST(n * n AS DOUBLE) / 1e4 AS covar_disc_tax,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / 1e2 AS slope_price_on_qty
+    FROM m ORDER BY l_returnflag
     """,
     survey_ref="A10 (bivariate statistics: corr/covar/regr)",
 )
@@ -524,15 +593,49 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance, and OLS slope (regr_slope). All decomposable into per-partition
     moment sums (n, Σx, Σy, Σxy, Σx², Σy²), so the shuffle carries six machine
     words per group — same partial/final shape as the flagship (SURVEY §2.4
-    A1/A2), nothing new at 100 TB."""
+    A1/A2), nothing new at 100 TB.
+
+    Round-5 determinism rewrite: the built-in corr/covar/regr_slope are
+    float moment sums (partition-merge-order low bits) and the final
+    round(·, d) diverges between engines on print-boundary doubles. The
+    moments are instead computed on EXACT integers (quantity integral,
+    price/discount/tax on 2-dp grids → cents/points; cross-products in
+    decimal(38,0)/HUGEINT), composed into the standard closed forms with
+    one double division at the end, unrounded — bit-identical across
+    engines and partitionings. Scale factors: covar(x, cents)/1e2,
+    covar(points, points)/1e4, slope(cents per unit)/1e2; corr is
+    scale-invariant so the quantization cancels exactly."""
     li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    t = F.round(F.col("l_tax") * 100).cast("long")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(d).alias("sd"),
+        F.sum(t).alias("st"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("sxy"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("sxx"),
+        F.sum(y.cast("decimal(38,0)") * y).alias("syy"),
+        F.sum(d.cast("decimal(38,0)") * t).alias("sdt"),
+    )
+    cov_num = (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    varx = (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    vary = (dec("n") * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
+    dt_num = (dec("n") * F.col("sdt") - dec("sd") * F.col("st")).cast("double")
+    n_pairs = (F.col("n") * (F.col("n") - 1)).cast("double")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
-            F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
-            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+        m.select(
+            "l_returnflag",
+            (cov_num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
+            (cov_num / n_pairs / F.lit(1e2)).alias("covar_qty_price"),
+            (dt_num / (F.col("n") * F.col("n")).cast("double") / F.lit(1e4)).alias(
+                "covar_disc_tax"
+            ),
+            (cov_num / varx / F.lit(1e2)).alias("slope_price_on_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -543,8 +646,8 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(value / 10.0) AS BIGINT) * 10 AS bin_lo,
            count(*) AS n,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                 / count(*) / 100.0, 4) AS bin_avg
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 1e2 AS bin_avg
     FROM events
     GROUP BY bin_lo ORDER BY bin_lo
     """,
@@ -561,11 +664,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(bin_lo, "value")
         .groupBy("bin_lo")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(
+        # unrounded exact-integer quotient (see agg_tpch_q1's avg note)
+        .agg(F.count(F.lit(1)).alias("n"), (
                 F.sum(F.round(F.col("value") * 100).cast("long"))
                 / F.count(F.lit(1))
-                / F.lit(100.0),
-                4,
+                / F.lit(100.0)
             ).alias("bin_avg"))
         .orderBy("bin_lo")
     )

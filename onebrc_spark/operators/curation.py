@@ -56,6 +56,27 @@ def _ngram_sql(n: int, distinct: bool = True) -> str:
     return f"list_distinct({body})" if distinct else body
 
 
+def sorted_pairs(arr: str, a_name: str, b_name: str) -> Column:
+    """All C(k,2) ordered pairs (arr[i], arr[j]), i<j, from a SORTED array
+    column — the shared pair-explosion used by the source-overlap matrix
+    and the co-occurrence lift (factored in round 5: the nested
+    sequence/transform index arithmetic is easy to get subtly wrong and
+    existed twice verbatim). ANSI-safe for k ≥ 2 (callers filter k < 2)."""
+    k = F.size(arr)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col(arr)[i].alias(a_name),
+                    F.col(arr)[j].alias(b_name),
+                ),
+            ),
+        )
+    )
+
+
 # --- X6: sequence packing ---------------------------------------------------
 
 _PACK_BUDGET = 2048  # chars as the token proxy (real pipelines: tokens)
@@ -83,8 +104,8 @@ _PACK_BUDGET = 2048  # chars as the token proxy (real pipelines: tokens)
     SELECT source,
            count(*) AS n_seqs,
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
-           round(CAST(sum(seq_chars) AS BIGINT) / count(*)
-                 / {_PACK_BUDGET}.0, 4) AS avg_fill
+           CAST(sum(seq_chars) AS BIGINT) / count(*)
+             / {_PACK_BUDGET}.0 AS avg_fill
     FROM seqs GROUP BY source ORDER BY source
     """,
     survey_ref="X6 (sequence packing for training shards)",
@@ -122,9 +143,10 @@ def ml_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_seqs"),
             F.sum("n_docs").alias("n_docs"),
-            F.round(
-                F.sum("seq_chars") / F.count(F.lit(1)) / F.lit(float(_PACK_BUDGET)),
-                4,
+            # unrounded exact-integer quotient (registry rule: a final
+            # round() diverges between engines on print-boundary doubles)
+            (
+                F.sum("seq_chars") / F.count(F.lit(1)) / F.lit(float(_PACK_BUDGET))
             ).alias("avg_fill"),
         )
         .orderBy("source")
@@ -201,17 +223,19 @@ _REP_THRESHOLD = 0.08  # flag docs where >8% of 2-grams are repeats
       SELECT source, string_split(text, ' ') AS ws FROM documents
     ), scored AS (
       SELECT source,
-             1.0 - CAST(len(list_distinct({_ngram_sql(2, distinct=False)})) AS DOUBLE)
-                   / greatest(len(ws) - 1, 1) AS rep
+             CASE WHEN len(ws) < 2 THEN CAST(0 AS BIGINT)
+                  ELSE 1000000
+                       - (CAST(len(list_distinct({_ngram_sql(2, distinct=False)}))
+                               AS BIGINT) * 1000000) // (len(ws) - 1)
+             END AS rep_ppm
       FROM t
     )
     SELECT source,
            count(*) AS n_docs,
-           CAST(sum(CASE WHEN rep > {_REP_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_flagged,
-           round(CAST(sum(CAST(round(rep * 1000000000) AS BIGINT)) AS BIGINT)
-                 / count(*) / 1000000000.0, 4) AS avg_rep,
-           round(max(rep), 4) AS max_rep
+           CAST(sum(CASE WHEN rep_ppm > {int(_REP_THRESHOLD * 1_000_000)}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(CAST(sum(rep_ppm) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS avg_rep,
+           CAST(max(rep_ppm) AS DOUBLE) / 1e6 AS max_rep
     FROM scored GROUP BY source ORDER BY source
     """,
     survey_ref="X4 (quality: repeated-n-gram filter)",
@@ -223,28 +247,44 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pretraining pipeline thresholds on. Reported per source with the count
     a {_REP_THRESHOLD}-threshold filter would drop.
 
+    Round-5 fixes: (a) documents with < 2 words have zero bigrams and were
+    scored maximally repetitive (1 - 0/1 = 1.0), inflating n_flagged and
+    pinning max_rep — they now score 0 (nothing can repeat); (b) the score
+    is an EXACT integer ppm (1e6 - distinct·1e6 div (len-1)) rather than a
+    per-row float round, so the per-source mean/max are exact-integer
+    quotients, unrounded, bit-identical across engines and partitionings.
+
     Scale: pure per-row JVM expression + one hash aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     ws = _WORDS(F.col("text"))
     bag = word_ngrams(F.col("text"), 2, distinct=False)
-    rep = 1.0 - F.size(F.array_distinct(bag)).cast("double") / F.greatest(
-        F.size(ws) - 1, F.lit(1)
+    rep_ppm = F.when(F.size(F.col("ws_arr")) < 2, F.lit(0).cast("long")).otherwise(
+        F.lit(1_000_000).cast("long")
+        - F.expr(
+            "CAST(size(array_distinct(bag)) AS BIGINT) * 1000000"
+            " div (size(ws_arr) - 1)"
+        )
     )
     return (
-        docs.select("source", rep.alias("rep"))
+        docs.select(
+            "source", ws.alias("ws_arr"), bag.alias("bag")
+        )
+        .select("source", rep_ppm.alias("rep_ppm"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("rep") > _REP_THRESHOLD, 1).otherwise(0))
+            F.sum(
+                F.when(F.col("rep_ppm") > int(_REP_THRESHOLD * 1_000_000), 1)
+                .otherwise(0)
+            )
             .cast("long")
             .alias("n_flagged"),
-            F.round(
-                F.sum(F.round(F.col("rep") * 1000000000).cast("long"))
+            (
+                F.sum("rep_ppm").cast("long").cast("double")
                 / F.count(F.lit(1))
-                / F.lit(1e9),
-                4,
+                / F.lit(1e6)
             ).alias("avg_rep"),
-            F.round(F.max("rep"), 4).alias("max_rep"),
+            (F.max("rep_ppm").cast("double") / F.lit(1e6)).alias("max_rep"),
         )
         .orderBy("source")
     )
@@ -338,8 +378,8 @@ _STOP_K = 5
            count(*) AS n_tokens,
            CAST(sum(CASE WHEN term NOT IN (SELECT term FROM stop)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(CAST(sum(CASE WHEN term NOT IN (SELECT term FROM stop)
-                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
+           CAST(sum(CASE WHEN term NOT IN (SELECT term FROM stop)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_ratio
     FROM toks GROUP BY source ORDER BY source
     """,
     survey_ref="X4 (data-driven stopword/boilerplate removal)",
@@ -372,9 +412,8 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),
             kept.alias("n_kept"),
-            F.round(
-                kept.cast("double") / F.sum("c"), 4
-            ).alias("kept_ratio"),
+            # unrounded exact-integer quotient (see avg_fill note)
+            (kept.cast("double") / F.sum("c")).alias("kept_ratio"),
         )
         .orderBy("source")
     )
@@ -681,22 +720,8 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    k = F.size("ss")
-    pairs = gram_sources.filter(k >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), k - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, k - 1),
-                        lambda j: F.struct(
-                            F.col("ss")[i].alias("source_a"),
-                            F.col("ss")[j].alias("source_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = gram_sources.filter(F.size("ss") >= 2).select(
+        F.explode(sorted_pairs("ss", "source_a", "source_b")).alias("p")
     )
     shared = (
         pairs.groupBy(
@@ -794,22 +819,8 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_heads = head.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("token")).alias("ts")
     )
-    k = F.size("ts")
-    pairs = doc_heads.filter(k >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), k - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, k - 1),
-                        lambda j: F.struct(
-                            F.col("ts")[i].alias("tok_a"),
-                            F.col("ts")[j].alias("tok_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = doc_heads.filter(F.size("ts") >= 2).select(
+        F.explode(sorted_pairs("ts", "tok_a", "tok_b")).alias("p")
     )
     pc = (
         pairs.groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))

@@ -293,6 +293,34 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared gap-fill input: per-user day scaffold LEFT-joined with the
+    observed daily averages (null on gap days). Factored from the LOCF and
+    lerp twins so the quantization and scaffold logic exist once.
+
+    Exact-integer daily metric: value is a 2-dp grid, so cent sums are
+    exact BIGINTs and the quotient is bit-identical across engines —
+    round(avg(value), 4) hit a round-half boundary at sf0.1 (56.35625)
+    where the engines' parallel sums tie-broke differently."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.count("value").cast("double")
+            )
+            / 100.0
+        ).alias("day_avg")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    scaffold = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return scaffold.join(daily, ["user_id", "day"], "left")
+
+
 @query(
     "evt_gap_fill_locf",
     oracle="""
@@ -333,29 +361,7 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the date span — the standard feature-store densification."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    # Exact-integer daily metric: value is a 2-dp grid, so cent sums are
-    # exact BIGINTs and the quotient is bit-identical across engines —
-    # round(avg(value), 4) hit a round-half boundary at sf0.1 (56.35625)
-    # where the engines' parallel sums tie-broke differently.
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(
-        (
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.count("value").cast("double")
-            )
-            / 100.0
-        ).alias("day_avg")
-    )
-    span = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    scaffold = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    joined = _daily_scaffold(spark, sf_dir)
     locf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -470,29 +476,7 @@ def evt_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-double round disagree (seen live: 46.94725 → .9473 vs .9472)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    # Exact-integer daily metric: value is a 2-dp grid, so cent sums are
-    # exact BIGINTs and the quotient is bit-identical across engines —
-    # round(avg(value), 4) hit a round-half boundary at sf0.1 (56.35625)
-    # where the engines' parallel sums tie-broke differently.
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(
-        (
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.count("value").cast("double")
-            )
-            / 100.0
-        ).alias("day_avg")
-    )
-    span = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    scaffold = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    joined = _daily_scaffold(spark, sf_dir)
     back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )

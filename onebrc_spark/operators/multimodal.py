@@ -26,7 +26,9 @@ from pyspark.sql import types as T
 from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import load_table, spread
 
-# Synthetic media table: documents recast as binary payloads + metadata.
+# Synthetic media table: documents recast as binary payloads + metadata —
+# the return contract of media_table(), asserted there so a drifting select
+# cannot silently stale this schema.
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -56,7 +58,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, typed metadata struct alongside — the storage layout a real
     image/audio dataset uses (payload binary + meta struct per row)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    out = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
         F.element_at(
@@ -68,32 +70,46 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("source"),
         ).alias("meta"),
     )
+    assert {f.name: f.dataType for f in out.schema.fields} == {
+        f.name: f.dataType for f in MEDIA_SCHEMA.fields
+    }, "media_table drifted from MEDIA_SCHEMA"
+    return out
 
 
-def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+def _fake_decode(
+    payload: bytes, media_type: str, with_checksum: bool = True
+) -> tuple[int, int, int]:
     """Deterministic stand-in for an image/audio decode kernel.
 
     Real implementation would be e.g. PIL.Image.open(BytesIO(payload)) —
     unavailable in this container, so derive (width, height, checksum)
     deterministically from the bytes. Raising NotImplementedError here for
     unknown types marks the genuine stub boundary.
+
+    The per-byte Python checksum fold is O(total corpus bytes) in the
+    interpreter — by far the stage's dominant CPU — so callers that never
+    read the column (mm_decode_stats aggregates only bytes/dimensions)
+    pass with_checksum=False and get 0; checksum parity is pinned by its
+    own unit test with the fold enabled.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     checksum = 0
-    for b in payload:
-        checksum = (checksum * 131 + b) % 1_000_000_007
+    if with_checksum:
+        for b in payload:
+            checksum = (checksum * 131 + b) % 1_000_000_007
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, checksum)
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, with_checksum: bool = True) -> DataFrame:
     """mapInPandas decode stage: Arrow batches in, decoded metadata out."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _fake_decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+                _fake_decode(p, t, with_checksum)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -133,7 +149,11 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode (Arrow batches) → aggregate decoded dimensions. The oracle
     reproduces the deterministic fake-decode arithmetic; checksum parity is
     unit-tested (DuckDB can't fold bytes)."""
-    decoded = decode_media(spread(media_table(spark, sf_dir), spark))
+    # with_checksum=False: this query reads only bytes/dimensions, and the
+    # per-byte Python fold would otherwise dominate the stage CPU
+    decoded = decode_media(
+        spread(media_table(spark, sf_dir), spark), with_checksum=False
+    )
     return (
         decoded.groupBy("media_type")
         .agg(
@@ -619,8 +639,12 @@ def decode_wav(buf: bytes) -> tuple[int, int, int]:
             if len(body) < 16:
                 raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             _, channels, rate, _, block, bits = struct.unpack("<HHIIHH", body[:16])
-            if channels == 0 or bits == 0 or bits % 8 != 0:
-                raise ValueError(f"bad fmt: channels={channels} bits={bits}")
+            # rate == 0 would escape as ZeroDivisionError in the duration
+            # arithmetic downstream — same hardening as channels/bits
+            if channels == 0 or bits == 0 or bits % 8 != 0 or rate == 0:
+                raise ValueError(
+                    f"bad fmt: channels={channels} bits={bits} rate={rate}"
+                )
         elif cid == b"data":
             if channels is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -638,6 +662,10 @@ def decode_bmp(buf: bytes) -> tuple[int, int, int]:
 
     if buf[:2] != b"BM":
         raise ValueError("not a BMP file")
+    # length check BEFORE the fixed-offset unpacks: a truncated file must
+    # raise ValueError (the decode contract), not struct.error
+    if len(buf) < 30:
+        raise ValueError(f"BMP truncated ({len(buf)} < 30 header bytes)")
     header_size, width, height = struct.unpack("<Iii", buf[14:26])
     if header_size < 40:
         raise ValueError(f"unsupported BMP header size {header_size}")

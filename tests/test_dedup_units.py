@@ -147,6 +147,12 @@ def test_real_wav_decoder_roundtrip_and_malformed():
         decode_wav(b"JUNKJUNKJUNKJUNK")
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no data chunk
+    # rate=0 must be ValueError, not a downstream ZeroDivisionError
+    # (round-5 review): patch the sample-rate field of a valid fmt chunk
+    zero_rate = bytearray(buf)
+    zero_rate[12 + 8 + 4 : 12 + 8 + 8] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError, match="rate"):
+        decode_wav(bytes(zero_rate))
 
 
 def test_real_bmp_decoder_roundtrip_and_malformed():
@@ -160,6 +166,11 @@ def test_real_bmp_decoder_roundtrip_and_malformed():
     assert len(buf) == 14 + 40 + 16 * 7
     with _pytest.raises(ValueError):
         decode_bmp(b"XX whatever")
+    # truncation below the fixed header must be ValueError, not struct.error
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(b"BM")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(buf[:20])
 
 
 def test_minhash_pairs_memoized_without_persist_leak(spark):
