@@ -49,6 +49,13 @@ Registration rules (SURVEY §7.4 definition-of-done):
     order means identical bits — rounding them is what INTRODUCES
     divergence (Spark string-BigDecimal HALF_UP vs DuckDB binary round
     disagree on x.xxxx5);
+  - the same applies to EXACT-INTEGER RATIOS (round-5 audit): once the
+    numerator is an exact integer, sum/count/scale is the identical double
+    in both engines — emit it UNROUNDED. A final round(·, d) re-creates
+    the divergence whenever the exact ratio terminates in a 5 at digit
+    d+1 (confirmed live: 240918/48/100 → Spark 50.1913, DuckDB 50.1912);
+    likewise statistical moments (var/corr/covar/slope) are composed from
+    integer moment sums in decimal(38,0)/HUGEINT, divided once, unrounded;
   - sketch estimates (HLL, approx_percentile) are engine-specific: the
     oracle pins the EXACT value plus a tolerance-band boolean computed on
     the Spark side — never the estimate itself;
