@@ -681,8 +681,7 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT source_a, source_b, n_shared,
-           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
-             AS jaccard
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
     FROM shared
     JOIN sizes sa ON sa.source = source_a
     JOIN sizes sb ON sb.source = source_b
@@ -739,10 +738,11 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "n_shared",
-            F.round(
+            # unrounded exact-integer ratio (registry rule: a final
+            # round() diverges between engines on print-boundary doubles)
+            (
                 F.col("n_shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_shared")),
-                4,
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")

@@ -896,7 +896,7 @@ _Q11_SQL = """
       WHERE n_name = 'NATION_7'
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS partkey, round(value_units / 1e4, 2) AS value
+    SELECT l_partkey AS partkey, value_units / 1e4 AS value
     FROM val
     WHERE value_units * 1000 > (SELECT sum(value_units) FROM val)
     ORDER BY value DESC, partkey

@@ -51,9 +51,9 @@ def _hits_sql(ws: str, markers: list[str]) -> str:
     SELECT doc_id, lang,
            len(ws) AS n_tokens,
            len(list_distinct(ws)) AS n_types,
-           round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+           CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
            n_ch AS n_chars_computed,
-           round(CAST(n_ch AS DOUBLE) / len(ws), 4) AS chars_per_token
+           CAST(n_ch AS DOUBLE) / len(ws) AS chars_per_token
     FROM toks ORDER BY doc_id
     """,
     survey_ref="X4",
@@ -67,9 +67,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(ws).alias("n_tokens"),
         F.size(F.array_distinct(ws)).alias("n_types"),
-        F.round(F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 4).alias("ttr"),
+        # unrounded exact-integer ratios (registry rule: a final round()
+        # diverges between engines on print-boundary doubles)
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias("ttr"),
         F.length("text").alias("n_chars_computed"),
-        F.round(F.length("text").cast("double") / F.size(ws), 4).alias("chars_per_token"),
+        (F.length("text").cast("double") / F.size(ws)).alias("chars_per_token"),
     ).orderBy("doc_id")
 
 
@@ -154,10 +156,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT doc_id,
              len(ws) AS n_tokens,
-             round(CAST(len(list_filter(ws, w -> list_contains(['the','a'], w)))
-                   AS DOUBLE) / len(ws), 4) AS stopword_ratio,
-             round(CAST(n_ch - len(ws) + 1 AS DOUBLE) / len(ws), 4) AS mean_word_len,
-             round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio
+             CAST(len(list_filter(ws, w -> list_contains(['the','a'], w)))
+                  AS DOUBLE) / len(ws) AS stopword_ratio,
+             CAST(n_ch - len(ws) + 1 AS DOUBLE) / len(ws) AS mean_word_len,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
       FROM feats
     )
     SELECT doc_id, n_tokens, stopword_ratio, mean_word_len, distinct_ratio,
@@ -177,15 +179,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(
+        # unrounded exact-integer ratios (see text_token_stats note) — the
+        # keep-thresholds then compare the identical double on both engines
+        (
             F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast("double")
-            / n_tokens,
-            4,
+            / n_tokens
         ).alias("stopword_ratio"),
-        F.round(
-            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 4
-        ).alias("mean_word_len"),
-        F.round(F.size(F.array_distinct(ws)).cast("double") / n_tokens, 4).alias(
+        ((F.length("text") - n_tokens + 1).cast("double") / n_tokens).alias(
+            "mean_word_len"
+        ),
+        (F.size(F.array_distinct(ws)).cast("double") / n_tokens).alias(
             "distinct_ratio"
         ),
     )

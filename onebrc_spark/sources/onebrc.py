@@ -135,9 +135,9 @@ from onebrc_spark.sources.catalog import load_table  # noqa: E402
     )
     SELECT status,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(CASE WHEN status = 'ok' THEN cents END)
-                 / (100.0 * nullif(sum(CASE WHEN status = 'ok' THEN 1 END), 0)),
-                 2) AS avg_ok_value
+           sum(CASE WHEN status = 'ok' THEN cents END)
+             / (100.0 * nullif(sum(CASE WHEN status = 'ok' THEN 1 END), 0))
+             AS avg_ok_value
     FROM classified
     GROUP BY status ORDER BY status
     """,
@@ -187,7 +187,9 @@ def onebrc_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         classified.groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(ok) / (100.0 * F.nullif(n_ok, F.lit(0))), 2).alias(
+            # unrounded exact-integer ratio (registry rule: a final
+            # round() diverges between engines on print-boundary doubles)
+            (F.sum(ok) / (100.0 * F.nullif(n_ok, F.lit(0)))).alias(
                 "avg_ok_value"
             ),
         )
