@@ -26,7 +26,7 @@ from onebrc_spark.sources.catalog import load_table
                  'sum'), 4) AS vec_sum,
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                  'max'), 6) AS vec_max,
-           CASE WHEN list_contains([label, label + 1], label) THEN 1 ELSE 0 END
+           CASE WHEN list_contains([label, label + 1], 3) THEN 1 ELSE 0 END
              AS has_label
     FROM embeddings ORDER BY vec_id
     """,
@@ -48,8 +48,11 @@ def fn_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("vec_sum"),
         F.round(F.array_max(dbl), 6).alias("vec_max"),
+        # membership against a FIXED probe (3): true only for labels 2 and
+        # 3 — the prior form array_contains([label, label+1], label) was a
+        # tautology that could never fail (round-5 non-vacuity sweep)
         F.when(
-            F.array_contains(F.array(F.col("label"), F.col("label") + 1), F.col("label")),
+            F.array_contains(F.array(F.col("label"), F.col("label") + 1), F.lit(3)),
             1,
         )
         .otherwise(0)
@@ -114,7 +117,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date_scaffold",
     oracle="""
     WITH months AS (
-      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+      SELECT unnest(generate_series(DATE '2000-01-01', DATE '2002-06-01',
                                     INTERVAL 1 MONTH)) AS month_start
     )
     SELECT CAST(m.month_start AS DATE) AS month_start,
@@ -133,13 +136,19 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode() lands one row per month, and a LEFT join onto facts keeps
     empty months as zero rows — the gap-preserving time-series shape that a
     plain GROUP BY month silently drops. The scaffold side is tiny and
-    broadcast; the fact side aggregates after a month-truncate map."""
+    broadcast; the fact side aggregates after a month-truncate map.
+
+    The window (2000-01 .. 2002-06) deliberately overruns the order
+    history (ends 2001-08), so ~10 scaffold months have ZERO orders —
+    round 5's non-vacuity sweep found the old 1995-96 window fully
+    populated, meaning an inner join would have produced the identical
+    result and the gap-preserving contract was never exercised."""
     o = load_table(spark, sf_dir, "orders")
     months = spark.range(1).select(
         F.explode(
             F.sequence(
-                F.lit("1995-01-01").cast("date"),
-                F.lit("1996-12-01").cast("date"),
+                F.lit("2000-01-01").cast("date"),
+                F.lit("2002-06-01").cast("date"),
                 F.expr("INTERVAL 1 MONTH"),
             )
         ).alias("month_start")

@@ -338,7 +338,9 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
              AS lag_seconds
     FROM (SELECT * FROM events WHERE event_type = 'purchase') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id, ts) v
       ON v.user_id = c.user_id AND c.ts >= v.ts
     ORDER BY purchase_id
     """,
@@ -352,12 +354,25 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, no per-key probe. The oracle is DuckDB's native ASOF JOIN.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.col("event_id").alias("build_id"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(0).alias("is_probe"),
+    # Canonicalize the build side to ONE row per (user, ts) — max event_id
+    # ("latest view") — BEFORE the join: DuckDB's ASOF picks an unspecified
+    # row among equal-ts matches, so without this dedup a fixture with
+    # duplicate view timestamps could hash-diverge even though both engines
+    # are individually deterministic (round-5 review; the current fixtures
+    # happen to have no such duplicates, so results are unchanged).
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("k"), F.col("ts").alias("t")
+        )
+        .agg(F.max("event_id").alias("build_id"))
+        .select(
+            "k",
+            "t",
+            "build_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("is_probe"),
+        )
     )
     c = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("k"),
@@ -401,7 +416,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
              AS lead_seconds
     FROM (SELECT * FROM events WHERE event_type = 'view') v
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+    ASOF LEFT JOIN (SELECT user_id, ts, min(event_id) AS event_id
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) c
       ON c.user_id = v.user_id AND v.ts <= c.ts
     ORDER BY view_id
     """,
@@ -415,12 +432,21 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     `v.ts <= c.ts` ties match) and first(ignorenulls) over the FOLLOWING
     frame carries the next purchase backward to each view."""
     ev = load_table(spark, sf_dir, "events")
-    c = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.col("event_id").alias("build_id"),
-        F.lit(None).cast("long").alias("view_id"),
-        F.lit(0).alias("is_probe"),
+    # build-side canonicalization mirrors join_asof (min event_id = "first
+    # purchase" among equal-ts duplicates; see the tie note there)
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("k"), F.col("ts").alias("t")
+        )
+        .agg(F.min("event_id").alias("build_id"))
+        .select(
+            "k",
+            "t",
+            "build_id",
+            F.lit(None).cast("long").alias("view_id"),
+            F.lit(0).alias("is_probe"),
+        )
     )
     v = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("k"),

@@ -356,7 +356,7 @@ def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_kept,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
-           round(avg(n_chars), 2) AS avg_chars
+           CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
     FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
     GROUP BY source ORDER BY source
     """,
@@ -387,7 +387,9 @@ def ml_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            # unrounded exact-integer ratio (registry rule: a final
+            # round() diverges between engines on print-boundary doubles)
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
         )
         .orderBy("source")
     )

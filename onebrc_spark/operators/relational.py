@@ -57,17 +57,30 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_null_semantics",
     oracle="""
+    WITH v AS (
+      SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    )
     SELECT count(*) AS n_total,
            count(value) AS n_value,
            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
-    FROM events
+    FROM v
     """,
     survey_ref="P4,P6",
 )
 def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-handling parity (the P4 empty-line filter generalized)."""
+    """NULL-handling parity (the P4 empty-line filter generalized). The
+    fixture has no NULL values, which made count(col) == count(*) and
+    n_null a constant 0 — a vacuous green (round-5 non-vacuity sweep); a
+    deterministic ~9% of rows are nulled in-query on BOTH sides so the
+    count(col)-skips-NULLs contract is actually exercised."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    v = ev.select(
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(F.col("value")).alias(
+            "value"
+        )
+    )
+    return v.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count("value").alias("n_value"),
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
@@ -141,25 +154,41 @@ def project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_constraint_audit",
     oracle="""
+    WITH li AS (
+      SELECT l_orderkey + CASE WHEN l_orderkey % 983 = 0 AND l_linenumber = 1
+                               THEN 1000000000 ELSE 0 END AS l_orderkey,
+             CASE WHEN l_orderkey % 997 = 0 AND l_linenumber = 1
+                  THEN -l_extendedprice ELSE l_extendedprice END AS l_extendedprice,
+             CASE WHEN l_orderkey % 991 = 0 AND l_linenumber = 1
+                  THEN 0.5 ELSE l_discount END AS l_discount
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 977 = 0 THEN NULL ELSE o_custkey END
+               AS o_custkey
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 971 = 0
+    )
     SELECT 'lineitem_negative_price' AS constraint_name,
-           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice < 0) AS BIGINT)
+           CAST((SELECT count(*) FROM li WHERE l_extendedprice < 0) AS BIGINT)
              AS n_violations
     UNION ALL
     SELECT 'lineitem_discount_range',
-           CAST((SELECT count(*) FROM lineitem
+           CAST((SELECT count(*) FROM li
                  WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
     UNION ALL
     SELECT 'lineitem_orphan_orderkey',
-           CAST((SELECT count(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+           CAST((SELECT count(*) FROM li l
+                 WHERE NOT EXISTS (SELECT 1 FROM o
                                    WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
     UNION ALL
     SELECT 'orders_null_custkey',
-           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+           CAST((SELECT count(*) FROM o WHERE o_custkey IS NULL) AS BIGINT)
     UNION ALL
     SELECT 'orders_duplicate_pk',
            CAST((SELECT count(*) FROM (
-              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+              SELECT o_orderkey FROM o GROUP BY o_orderkey HAVING count(*) > 1
            )) AS BIGINT)
     ORDER BY constraint_name
     """,
@@ -175,9 +204,48 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per table (conditional sums, not N scans); the FK orphan check is a
     LEFT ANTI join that broadcasts the key side when dim-sized; PK
     uniqueness is a keyed count. All violation counts, not violating rows —
-    the report stays scalar no matter how dirty the data."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    the report stays scalar no matter how dirty the data.
+
+    Non-vacuity (round-5 sweep): the raw fixture is CLEAN — every count
+    was a 0=0 green that would also pass with inverted predicates or
+    wrong join keys. The audit therefore runs against a SEEDED-FAULT twin
+    of the tables (deterministic in-query corruption: a negated price, an
+    out-of-range discount, remapped orphan keys, nulled custkeys, and
+    duplicated PK rows on small disjoint slices), so every detector
+    provably fires with a nonzero count the oracle reproduces exactly.
+    Production points the same audit at the raw tables."""
+    li0 = load_table(spark, sf_dir, "lineitem")
+    orders0 = load_table(spark, sf_dir, "orders")
+    li = li0.select(
+        (
+            F.col("l_orderkey")
+            + F.when(
+                (F.col("l_orderkey") % 983 == 0) & (F.col("l_linenumber") == 1),
+                1000000000,
+            ).otherwise(0)
+        ).alias("l_orderkey"),
+        F.when(
+            (F.col("l_orderkey") % 997 == 0) & (F.col("l_linenumber") == 1),
+            -F.col("l_extendedprice"),
+        )
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        F.when(
+            (F.col("l_orderkey") % 991 == 0) & (F.col("l_linenumber") == 1), 0.5
+        )
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+    )
+    orders = orders0.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 977 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    ).unionByName(
+        orders0.filter(F.col("o_orderkey") % 971 == 0).select(
+            "o_orderkey", "o_custkey"
+        )
+    )
 
     li_audit = li.agg(
         F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
@@ -222,6 +290,12 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_observe_metrics",
     oracle="""
+    WITH v AS (
+      SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                  WHEN event_id % 17 = 0 THEN -value
+                  ELSE value END AS value
+      FROM events
+    )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null_value,
@@ -229,7 +303,7 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_negative,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value
-    FROM events
+    FROM v
     """,
     survey_ref="P6,A3-A6 (observe()/Observation: in-flight pipeline metrics)",
 )
@@ -245,6 +319,15 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation
 
     ev = load_table(spark, sf_dir, "events")
+    # seeded nulls/negatives (round-5 non-vacuity sweep): the raw fixture
+    # has neither, so two of the five observed metrics were constant 0 and
+    # a miswired condition would still hash-match
+    ev = ev.select(
+        F.when(F.col("event_id") % 13 == 0, None)
+        .when(F.col("event_id") % 17 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
     obs = Observation("dq_metrics")
     observed = ev.observe(
         obs,

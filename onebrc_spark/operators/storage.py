@@ -312,7 +312,7 @@ def storage_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
                 ELSE o_orderpriority END AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
              AS total_price
     FROM orders GROUP BY 1 ORDER BY 1
     """,
@@ -350,8 +350,10 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            # unrounded: cents/100 has at most 2 decimals, so the round was
+            # dead code — dropped so the banned shape can't be copy-pasted
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
             ).alias("total_price"),
         )
         .orderBy("priority")

@@ -185,8 +185,8 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution",
     oracle="""
     SELECT c_mktsegment, c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     ORDER BY c_mktsegment, c_custkey
@@ -203,8 +203,12 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_mktsegment",
             "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # unrounded: (rank-1)/(n-1) and k/n are single divisions of
+            # exact integers — the identical double in both engines; a 6-dp
+            # round re-created the print-boundary divergence for segment
+            # sizes with non-dyadic n-1 (registry rule)
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
