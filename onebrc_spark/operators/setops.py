@@ -16,8 +16,11 @@ from onebrc_spark.sources.catalog import load_table
 
 
 def _buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no explicit distinct(): every consumer is a set operator (intersect /
+    # except) that applies distinct semantics itself — the extra aggregate
+    # was a redundant shuffle stage (round-5 review)
     o = load_table(spark, sf_dir, "orders")
-    return o.select(F.col("o_custkey").alias("custkey")).distinct()
+    return o.select(F.col("o_custkey").alias("custkey"))
 
 
 def _high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +95,11 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").like("1-%"))
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return c.exceptAll(urgent).distinct().orderBy("custkey")
+    # subtract() IS EXCEPT DISTINCT; the earlier exceptAll().distinct()
+    # only matched the oracle because c_custkey is unique on the left — a
+    # left-side duplicate would have survived the multiset subtraction and
+    # diverged from EXCEPT's set semantics (round-5 review)
+    return c.subtract(urgent).orderBy("custkey")
 
 
 @query(

@@ -249,8 +249,9 @@ _FP_MULT = 131
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '),
-                            t -> (ord(t) * 31 + length(t)) % {_FP_MOD}) AS vals
+             list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> (ord(t) * 31 + length(t)) % {_FP_MOD}) AS vals
       FROM documents
     )
     SELECT doc_id,
@@ -266,8 +267,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB list_reduce seeds with the first element, mirrored here by folding
     aggregate() over the tail with vals[0] as the initial accumulator."""
     d = load_table(spark, sf_dir, "documents")
+    # empty tokens are dropped BEFORE hashing on both sides: Spark's
+    # ascii('') is 0 but DuckDB's ord('') is -1 (and its % keeps the sign),
+    # so an empty token — any double/leading/trailing space — would give
+    # divergent fingerprints (round-5 review; latent in the clean fixture)
     vals = F.transform(
-        _WORDS(F.col("text")),
+        F.filter(_WORDS(F.col("text")), lambda t: t != ""),
         lambda t: (F.ascii(t) * 31 + F.length(t)) % _FP_MOD,
     )
     return d.select(

@@ -105,10 +105,10 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "udf_grouped_map_zscore",
     oracle="""
     SELECT user_id, event_id,
-           round(value, 4) AS value,
+           value,
            round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) + 0.0
-             AS zscore
+                 / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+                 4) + 0.0 AS zscore
     FROM events ORDER BY user_id, event_id
     """,
     survey_ref="U3",
@@ -125,7 +125,14 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        F.round("value", 4).alias("value"),
+        # raw pass-through (registry rule: per-row scalars stay unrounded;
+        # value is bit-identical in both engines). zscore KEEPS its round:
+        # pandas mean/std vs the window aggregates are genuinely different
+        # float computations, and the 4-dp round absorbs their ulp gap.
+        # nullif(sd, 0) in the oracle matches the kernel's None for
+        # constant-value groups — DuckDB's IEEE 0.0/0.0 would be NaN,
+        # not NULL (round-5 review; latent in the fixture).
+        F.col("value"),
         # + 0.0 canonicalizes IEEE -0.0: a value within half an ulp-of-4dp
         # of its group mean rounds to ±0.0 depending on which side the
         # engine's summation lands (seen at sf0.1: pandas mean vs DuckDB

@@ -40,20 +40,36 @@ def ts_units(sf_dir: str, name: str) -> tuple[tuple[str, str], ...]:
 
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):  # directory-style parquet dataset
-        parts = sorted(glob.glob(f"{path}/*.parquet"))
-        if not parts:
+        paths = sorted(glob.glob(f"{path}/*.parquet"))
+        if not paths:
             raise FileNotFoundError(f"no parquet part files under {path}")
-        path = parts[0]
-    footer = pq.read_schema(path)
+    else:
+        paths = [path]
+    # Sniff EVERY part file, not just the first: a partially regenerated
+    # dataset (part-0 micros, later parts nanos — the exact drift class
+    # this function exists to catch) must fail LOUDLY here instead of
+    # silently decoding some rows 1000x off (round-5 review). Footer reads
+    # are metadata-only and the result is cached per (directory, table).
     out = []
     for field in schemas.TABLES[name].fields:
         if not isinstance(field.dataType, T.TimestampType):
             continue
-        typ = footer.field(field.name).type
-        unit = getattr(typ, "unit", None)
-        if unit is None:
-            raise TypeError(f"{name}.{field.name} is not a parquet timestamp: {typ}")
-        out.append((field.name, unit))
+        units = set()
+        for part in paths:
+            typ = pq.read_schema(part).field(field.name).type
+            unit = getattr(typ, "unit", None)
+            if unit is None:
+                raise TypeError(
+                    f"{name}.{field.name} is not a parquet timestamp: {typ}"
+                )
+            units.add(unit)
+        if len(units) > 1:
+            raise TypeError(
+                f"{name}.{field.name} has MIXED timestamp units across part "
+                f"files ({sorted(units)}) — refusing to guess; regenerate "
+                "the dataset with one unit"
+            )
+        out.append((field.name, units.pop()))
     return tuple(out)
 
 

@@ -58,10 +58,16 @@ def read_measurements_fast(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_measurements(df: DataFrame, path: str) -> None:
-    """Sink (station, measure) back to 1BRC text format (generate.rs:35)."""
+    """Sink (station, measure) back to 1BRC text format (generate.rs:35).
+
+    format_string, NOT format_number: format_number inserts
+    thousands-grouping commas ('1,234.5'), which silently corrupts the
+    `station;temp` line format for any |measure| >= 1000 — FAILFAST would
+    abort on the extra field and the fast reader would NULL the value
+    (round-5 review; latent while generator temps stay within ±150)."""
     (
         df.select(
-            F.concat_ws(";", F.col("station"), F.format_number(F.col("measure"), 1))
+            F.format_string("%s;%.1f", F.col("station"), F.col("measure"))
         ).write.mode("overwrite").text(path)
     )
 
@@ -74,26 +80,37 @@ def format_report(agg: DataFrame) -> DataFrame:
     `{a=min/mean/max, b=min/mean/max, ...}` — the format of
     `thebracket.rs:169-187` / `rangnargrootkeorkamp.rs:330-353`.
 
-    Uses sort_array over collect_list so the result is deterministic without
-    requiring a single-partition sort before the aggregate.
+    Uses sort_array over collect_list of (station, line) STRUCTS — sorted
+    by station name, then the line extracted — so the result is
+    deterministic without a single-partition pre-sort AND the order is the
+    canonical station order (sorting the formatted lines themselves breaks
+    when one station name is a prefix of another: ' ' and digits sort
+    below '=', so 'Foo Bar=...' would precede 'Foo=...').
     """
     # Round to 1 dp BEFORE formatting: Spark round() and DuckDB round() agree
     # (shortest-decimal half-up), but %.1f-style formatters disagree on raw
     # ties (Java formats the shortest repr, fmt formats the binary value).
     # Formatting an already-1-dp-rounded double is stable in both.
     per_station = agg.select(
+        "station",
         F.format_string(
             "%s=%.1f/%.1f/%.1f",
             F.col("station"),
             F.round(F.col("min"), 1),
             F.round(F.col("mean"), 1),
             F.round(F.col("max"), 1),
-        ).alias("line")
+        ).alias("line"),
     )
     return per_station.agg(
         F.concat(
             F.lit("{"),
-            F.array_join(F.sort_array(F.collect_list("line")), ", "),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("station", "line"))),
+                    lambda s: s["line"],
+                ),
+                ", ",
+            ),
             F.lit("}"),
         ).alias("report")
     )

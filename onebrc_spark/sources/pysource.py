@@ -70,11 +70,16 @@ def _round1(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("0.1"), rounding=ROUND_HALF_UP))
 
 
-def _station(i: int) -> tuple[str, float, float]:
-    """(name, mean, sigma) for station i — twin of generator.station_table."""
+def _station(i: int, seed: int = _SRC_SEED) -> tuple[str, float, float]:
+    """(name, mean, sigma) for station i — twin of generator.station_table.
+
+    seed MUST be the reader's configured seed (round-5 review: the sigma
+    derivation hardcoded the default, silently breaking bit-identity with
+    generate_measurements_ca for any other seed — invisible while the
+    tests only exercised seed=7)."""
     mean = _round1(MEAN_LO + ((MEAN_HI - MEAN_LO) * i) / (NUM_STATIONS - 1))
-    u1 = _u("sigma_u1", _SRC_SEED, i)
-    u2 = _u("sigma_u2", _SRC_SEED, i)
+    u1 = _u("sigma_u1", seed, i)
+    u2 = _u("sigma_u2", seed, i)
     z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
     sigma = max(0.1, 10.0 + 2.5 * z)
     return (f"station_{i:03d}", mean, sigma)
@@ -116,7 +121,7 @@ class OnebrcSynthReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        stations = [_station(i) for i in range(NUM_STATIONS)]
+        stations = [_station(i, self.seed) for i in range(NUM_STATIONS)]
         for i in range(partition.start, partition.end):
             pick = int(_u("pick", self.seed, i) * NUM_STATIONS)
             u1 = _u("temp_u1", self.seed, i)
@@ -203,7 +208,7 @@ class OnebrcSynthStreamReader(DataSourceStreamReader):
         return [_Slice(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
     def read(self, partition: _Slice):
-        stations = [_station(i) for i in range(NUM_STATIONS)]
+        stations = [_station(i, self.seed) for i in range(NUM_STATIONS)]
         for i in range(partition.start, partition.end):
             pick = int(_u("pick", self.seed, i) * NUM_STATIONS)
             u1 = _u("temp_u1", self.seed, i)

@@ -9,10 +9,15 @@ from onebrc_spark.sources.pysource import read_synth
 
 
 def test_python_source_matches_jvm_generator(spark):
-    n, seed = 2000, 7
-    got = sorted(map(tuple, read_synth(spark, n, seed).collect()))
-    want = sorted(map(tuple, generate_measurements_ca(spark, n, seed).collect()))
-    assert got == want
+    # BOTH the default seed and a non-default one: the sigma derivation
+    # once hardcoded the default seed, which only a seed!=7 run can catch
+    # (round-5 review)
+    for n, seed in ((2000, 7), (1500, 42)):
+        got = sorted(map(tuple, read_synth(spark, n, seed).collect()))
+        want = sorted(
+            map(tuple, generate_measurements_ca(spark, n, seed).collect())
+        )
+        assert got == want, f"seed={seed}"
 
 
 def test_python_source_partition_parallelism(spark):
