@@ -99,10 +99,11 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
              mx
       FROM g
     ), lines AS (
-      SELECT format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
+      SELECT station,
+             format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
       FROM agg
     )
-    SELECT '{' || string_agg(line, ', ' ORDER BY line) || '}' AS report
+    SELECT '{' || string_agg(line, ', ' ORDER BY station) || '}' AS report
     FROM lines
     """,
     survey_ref="S8,F1,F3",
@@ -406,9 +407,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.event_type,
            sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-                / CAST(n * (n - 1) AS DOUBLE) / 1e4) AS sd_value,
+                / CAST(nullif(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1), 0)
+                       AS DOUBLE) / 1e4) AS sd_value,
            CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-             / CAST(n * (n - 1) AS DOUBLE) / 1e4 AS var_value,
+             / CAST(nullif(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1), 0)
+                    AS DOUBLE) / 1e4 AS var_value,
            p.p50, p.p90
     FROM m JOIN (
       SELECT event_type,
@@ -428,9 +431,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·Σq² − (Σq)² in decimal(38,0)/HUGEINT, one double division at the
     end, no final round) — raw var_samp/stddev_samp are float moment sums
     whose partition-merge order can flip a rounded digit at a boundary
-    (the registry's blanket rule; the round-4 ±1 incident class). The
-    integer form is bit-identical across engines and any partitioning up
-    to ~1e30 rows/group. The percentiles keep the engines' interpolation
+    (the registry's blanket rule; the round-4 ±1 incident class). Both
+    numerator and the n·(n−1) denominator are widened to decimal(38,0)/
+    HUGEINT, so the integer form is exact for any group size the moment
+    sums themselves can hold (Σq² < 10^38, i.e. ~1e30 rows/group at cents
+    scale). Singleton groups (n=1) yield NULL via nullif(n·(n−1), 0) on
+    both engines — matching var_samp/stddev_samp's built-in semantics;
+    bare double x/0 is NaN/Inf in Spark but NULL in DuckDB, so the guard
+    is also what keeps the engines aligned on degenerate groups.
+    The percentiles keep the engines' interpolation
     at 4 dp: p50 of a cents grid has ≤3 decimals (midpoint of integers),
     so its round is exact; p90's interpolated value is the same double on
     both engines for identical sorted input (sanctioned exception,
@@ -448,7 +457,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("decimal(38,0)") * F.col("s2")
         - F.col("s1").cast("decimal(38,0)") * F.col("s1")
     ).cast("double")
-    den = (F.col("n") * (F.col("n") - 1)).cast("double")
+    den_int = F.col("n").cast("decimal(38,0)") * (
+        F.col("n").cast("decimal(38,0)") - F.lit(1)
+    )
+    den = F.when(den_int == 0, F.lit(None)).otherwise(den_int).cast("double")
     var = num / den / F.lit(1e4)
     return (
         m.select(
@@ -574,15 +586,20 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+             / nullif(
+                sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                0)
              AS corr_qty_price,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-             / CAST(n * (n - 1) AS DOUBLE) / 1e2 AS covar_qty_price,
+             / CAST(nullif(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1), 0)
+                    AS DOUBLE) / 1e2 AS covar_qty_price,
            CAST(CAST(n AS HUGEINT) * sdt - CAST(sd AS HUGEINT) * st AS DOUBLE)
-             / CAST(n * n AS DOUBLE) / 1e4 AS covar_disc_tax,
+             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 1e4 AS covar_disc_tax,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / nullif(
+                CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                0)
              / 1e2 AS slope_price_on_qty
     FROM m ORDER BY l_returnflag
     """,
@@ -626,16 +643,20 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
     vary = (dec("n") * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
     dt_num = (dec("n") * F.col("sdt") - dec("sd") * F.col("st")).cast("double")
-    n_pairs = (F.col("n") * (F.col("n") - 1)).cast("double")
+    # NULL (not NaN/Inf) on degenerate groups — n=1 or zero variance —
+    # matching the built-ins' semantics and DuckDB's x/0 = NULL. Denominator
+    # products widened to decimal(38,0) like the numerators (BIGINT n·(n−1)
+    # would overflow at n≈3e9 rows/group).
+    nz = lambda c: F.when(c == 0, F.lit(None)).otherwise(c)  # noqa: E731
+    n_pairs = nz(dec("n") * (dec("n") - F.lit(1))).cast("double")
+    n_sq = (dec("n") * dec("n")).cast("double")
     return (
         m.select(
             "l_returnflag",
-            (cov_num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
+            (cov_num / nz(F.sqrt(varx) * F.sqrt(vary))).alias("corr_qty_price"),
             (cov_num / n_pairs / F.lit(1e2)).alias("covar_qty_price"),
-            (dt_num / (F.col("n") * F.col("n")).cast("double") / F.lit(1e4)).alias(
-                "covar_disc_tax"
-            ),
-            (cov_num / varx / F.lit(1e2)).alias("slope_price_on_qty"),
+            (dt_num / n_sq / F.lit(1e4)).alias("covar_disc_tax"),
+            (cov_num / nz(varx) / F.lit(1e2)).alias("slope_price_on_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -255,8 +255,9 @@ _FP_MULT = 131
       FROM documents
     )
     SELECT doc_id,
-           list_reduce(vals, (acc, x) -> (acc * {_FP_MULT} + x) % {_FP_MOD})
-             AS fingerprint
+           CASE WHEN len(vals) = 0 THEN NULL
+                ELSE list_reduce(vals, (acc, x) -> (acc * {_FP_MULT} + x) % {_FP_MOD})
+           END AS fingerprint
     FROM toks ORDER BY doc_id
     """,
     survey_ref="X4",
@@ -275,13 +276,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(_WORDS(F.col("text")), lambda t: t != ""),
         lambda t: (F.ascii(t) * 31 + F.length(t)) % _FP_MOD,
     )
+    # empty/all-whitespace doc → vals = [] → NULL fingerprint on both sides
+    # (ANSI element_at([], 1) throws; DuckDB list_reduce([]) errors — the
+    # guard is what makes the empty-token filter above safe, round-5 advice)
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("long"),
+        lambda acc, x: (acc * _FP_MULT + x) % _FP_MOD,
+    )
     return d.select(
         "doc_id",
-        F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-            F.element_at(vals, 1).cast("long"),
-            lambda acc, x: (acc * _FP_MULT + x) % _FP_MOD,
-        ).alias("fingerprint"),
+        F.when(F.size(vals) == 0, F.lit(None).cast("long"))
+        .otherwise(fold)
+        .alias("fingerprint"),
     ).orderBy("doc_id")
 
 

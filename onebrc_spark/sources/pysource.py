@@ -268,8 +268,11 @@ class OnebrcReportSink(DataSource):
       write()  — one call per task: writes lines to
                  <path>/_temporary/<uuid>.txt, returns (name, n_rows).
       commit() — driver-only, after ALL tasks succeed: renames every temp
-                 file to part-<i>.txt and writes _SUCCESS with the total
-                 row count. Readers never observe a half-written job.
+                 file to a job-unique part-<i>-<jobid>.txt, atomically
+                 replaces the _SUCCESS manifest (which lists the live
+                 files), then clears stale parts. Manifest-gated readers
+                 never observe a half-written or half-deleted job; see
+                 commit() for the crash-ordering argument.
       abort()  — deletes the orphaned temp files.
 
     This is the same task-attempt / job-commit contract every production
@@ -313,31 +316,51 @@ class OnebrcReportWriter(DataSourceWriter):
         return _ReportCommit(tmp_name, n)
 
     def commit(self, messages) -> None:
+        """Publish in crash-safe order (round-5 advice: the old
+        delete-then-rename left a window with neither old nor new data):
+
+          1. rename new parts into place under JOB-UNIQUE names
+             (part-<i>-<jobid>.txt — can't collide with a previous job's),
+          2. atomically os.replace() the _SUCCESS manifest, which lists the
+             new job's files,
+          3. only then delete stale parts from prior jobs + _temporary.
+
+        A crash before step 2 leaves the previous _SUCCESS + its parts fully
+        intact; a crash after step 2 leaves the new job committed (stale
+        parts leak until the next overwrite, but the manifest names the live
+        files). Atomicity is thus real for manifest-gated readers — readers
+        that blind-glob part-* must tolerate stale files between steps 2-3."""
         import json
         import os
         import shutil
+        import uuid
 
         tmp_dir = os.path.join(self.path, "_temporary")
-        if self.overwrite:
-            for entry in os.listdir(self.path):
-                if entry != "_temporary":
-                    full = os.path.join(self.path, entry)
-                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+        job_id = uuid.uuid4().hex[:8]
         total = 0
-        parts = 0
+        files = []
         for i, m in enumerate(messages):
             if m is None:
                 continue
+            final = f"part-{i:05d}-{job_id}.txt"
             os.replace(
-                os.path.join(tmp_dir, m.tmp_name),
-                os.path.join(self.path, f"part-{i:05d}.txt"),
+                os.path.join(tmp_dir, m.tmp_name), os.path.join(self.path, final)
             )
             total += m.n_rows
-            parts += 1
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+            files.append(final)
+        success = os.path.join(self.path, "_SUCCESS")
+        success_tmp = os.path.join(tmp_dir, "_SUCCESS.tmp")
+        with open(success_tmp, "w", encoding="utf-8") as f:
             # parts = files actually renamed (None messages carry no file)
-            json.dump({"rows": total, "parts": parts}, f)
+            json.dump({"rows": total, "parts": len(files), "files": files}, f)
+        os.replace(success_tmp, success)  # the commit point
+        if self.overwrite:
+            keep = set(files) | {"_SUCCESS", "_temporary"}
+            for entry in os.listdir(self.path):
+                if entry not in keep:
+                    full = os.path.join(self.path, entry)
+                    (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def abort(self, messages) -> None:
         import os
