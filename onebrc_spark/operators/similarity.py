@@ -646,6 +646,13 @@ def kmeans_fit(
     of the data under ANY parallelism (pinned in tests). Quantization
     error 5e-10 per coordinate is noise against the corpus scale.
 
+    The quantizer is floor(x·1e9 + 0.5), NOT round(x·1e9): round() on
+    doubles is string-BigDecimal HALF_UP in Spark but binary in DuckDB
+    (the registry's cross-engine round class), while floor of the
+    identical IEEE product+sum is bit-equal in both engines — which is
+    what lets sim_ann_ivf_trained's oracle REPLAY this whole fit in SQL
+    and hash-verify the trained retrieval end-to-end.
+
     Scale design: each iteration is ONE distributed pass — assign cells
     row-locally against broadcast centroid literals, then posexplode the
     vector and hash-aggregate (cell, dim) means. The driver only ever
@@ -670,7 +677,7 @@ def kmeans_fit(
             )
             .groupBy("cell", "pos")
             .agg(
-                F.sum(F.round(F.col("x") * 1e9).cast("long")).alias("s"),
+                F.sum(F.floor(F.col("x") * 1e9 + 0.5).cast("long")).alias("s"),
                 F.count("x").alias("n"),
             )
             .collect()
@@ -682,14 +689,141 @@ def kmeans_fit(
     return cents
 
 
+def _kmeans_iter_sql(prev: str, nxt: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector to
+    its argmax-cosine cell against the `prev` centroid table (tie → first
+    maximal cell, same as Spark's array_position-of-max), re-estimate
+    per-cell coordinate means on exact floor(x·1e9+0.5) integers, and keep
+    the previous centroid for empty cells — a literal SQL replay of
+    kmeans_fit's one distributed pass."""
+    return f"""
+    {nxt}_assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    {nxt}_sums AS (
+      SELECT cell, pos,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT cell,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM {nxt}_assign)
+      GROUP BY cell, pos
+    ),
+    {nxt}_new AS (
+      SELECT cell,
+             list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 ORDER BY pos)
+               AS cvec
+      FROM {nxt}_sums GROUP BY cell
+    ),
+    {nxt} AS (
+      SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN {nxt}_new n ON n.cell = p.cell
+    )"""
+
+
+def _ivf_trained_sql() -> str:
+    """Full SQL twin of sim_ann_ivf_trained: replay the 3-iteration k-means
+    fit (possible because every fit step is either exact integer math or a
+    fixed-order IEEE expression — see kmeans_fit's determinism note), then
+    probe-2 retrieval, exact truth, and the per-query recall audit."""
+    c0_rows = ",\n        ".join(
+        "({cell}, list_transform([{vals}], v -> CAST(v AS DOUBLE)))".format(
+            cell=j + 1, vals=", ".join(str(v) for v in c)
+        )
+        for j, c in enumerate(_centroids())
+    )
+    iters = ",".join(
+        _kmeans_iter_sql(f"c{i}", f"c{i + 1}") for i in range(3)
+    )
+    return f"""
+    WITH c0 AS (
+      SELECT * FROM (VALUES
+        {c0_rows}
+      ) AS t(cell, cvec)
+    ),{iters},
+    rk AS (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                         c.cell ASC) AS rn
+      FROM embeddings e CROSS JOIN c3 c
+    ),
+    celled AS (
+      SELECT e.vec_id, e.embedding, a.cell AS cell, b.cell AS cell2
+      FROM embeddings e
+      JOIN rk a ON a.vec_id = e.vec_id AND a.rn = 1
+      JOIN rk b ON b.vec_id = e.vec_id AND b.rn = 2
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, cell AS qcell, cell2 AS qcell2
+          FROM celled WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cos_sim
+      FROM q JOIN celled c
+        ON (c.cell = q.qcell OR c.cell = q.qcell2) AND c.vec_id <> q.qid
+    ),
+    ivf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid) AS rn
+        FROM scored) WHERE rn <= {_KNN_K}
+    ),
+    exact_scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, nid) AS rn
+        FROM exact_scored) WHERE rn <= {_KNN_K}
+    ),
+    occupancy AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_in_cell
+      FROM celled GROUP BY cell
+    ),
+    hits AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_found
+      FROM exact t LEFT JOIN ivf i ON i.qid = t.qid AND i.nid = t.nid
+      GROUP BY t.qid
+    ),
+    nret AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ret
+             FROM ivf GROUP BY qid)
+    SELECT q.qid,
+           CAST(coalesce(o1.n_in_cell, 0) + coalesce(o2.n_in_cell, 0) - 1
+                AS BIGINT) AS n_cand,
+           CAST(coalesce(nret.n_ret, 0) AS BIGINT) AS n_ret,
+           CAST(coalesce(hits.n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(hits.n_found, 0) AS BIGINT) AS n_found,
+           CAST(coalesce(hits.n_found, 0) * 1000000
+                // greatest(coalesce(hits.n_true, 0), 1) AS BIGINT)
+             AS recall_ppm
+    FROM q
+    LEFT JOIN occupancy o1 ON o1.cell = q.qcell
+    LEFT JOIN occupancy o2 ON o2.cell = q.qcell2
+    LEFT JOIN nret ON nret.qid = q.qid
+    LEFT JOIN hits ON hits.qid = q.qid
+    ORDER BY q.qid
+    """
+
+
 @query(
     "sim_ann_ivf_trained",
-    oracle=f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           TRUE AS ivf_complete,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {_N_QUERIES}
-    """,
+    oracle=_ivf_trained_sql(),
     survey_ref="X3 (IVF with k-means-trained coarse quantizer, probe-2)",
 )
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,21 +833,24 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 0.26-0.42 on this corpus, probe-2 is 0.42-0.58), top-5 within the
     probed cells.
 
-    Oracle strategy (upgraded from rows-only — the last such row): the
-    fitted centroids are data-dependent, so no literal SQL twin of the
-    retrieval exists; instead the query AUDITS ITSELF against exact
-    brute-force kNN computed in the same plan and emits
-    (n_queries, ivf_complete, recall_ok). Both booleans are defined so a
-    benign testdata regeneration cannot flip them (ADVICE r3):
-    ivf_complete checks the OPERATOR CONTRACT — every query returns
-    exactly min(k, candidates available in its probed cells) rows — not
-    the data property "probed cells hold ≥ k candidates"; recall_ok is an
-    anti-degenerate band (recall@5 vs exact ≥ 0.05, ~50× random's ~0.001)
-    rather than a corpus-tuned quality gate — the measured 0.42-0.58
-    probe-2 recall on the current fixtures is asserted where data is
-    pinned, in tests. The DuckDB oracle pins n_queries exactly and the
-    booleans TRUE — the same tolerance-band pattern as the HLL sketch
-    rows. Determinism and inertia descent of the fit are pinned in
+    Oracle strategy (round 6 — VERDICT item 5, replacing the pinned-TRUE
+    booleans that were the registry's weakest oracle): the fitted
+    centroids are data-dependent, but the fit itself is a PURE FUNCTION
+    of the data — every step is exact integer math (floor(x·1e9+0.5)
+    coordinate sums) or a fixed-order IEEE expression (the cosine fold) —
+    so the DuckDB oracle REPLAYS the whole 3-iteration Lloyd fit as
+    unrolled SQL CTEs (_kmeans_iter_sql), then the probe-2 retrieval,
+    the exact brute-force truth, and the audit. Output is per-query
+    exact integers, every column value-bearing and hash-verified:
+      n_cand      candidates in the two probed cells (independent
+                  occupancy census, minus the query itself),
+      n_ret       rows the IVF retrieval returned (contract:
+                  n_ret = min(k, n_cand) — the old ivf_complete boolean,
+                  now checkable per-row by the driver),
+      n_true      exact top-k truth size,
+      n_found     |ivf ∩ exact|,
+      recall_ppm  exact-integer recall@5 (X3d's idiom).
+    Determinism and inertia descent of the fit are pinned in
     tests/test_properties.py."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     cents = kmeans_fit(e)
@@ -773,28 +910,12 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KNN_K)
         .select("qid", "nid")
     )
-    audit = (
-        ivf.withColumn("in_ivf", F.lit(True))
-        .join(
-            exact.withColumn("in_exact", F.lit(True)),
-            ["qid", "nid"],
-            "full_outer",
-        )
-        .select(
-            "qid",
-            F.coalesce("in_ivf", F.lit(False)).alias("in_ivf"),
-            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
-        )
-    )
-    # Contract check: every query returns exactly min(k, candidates in its
-    # probed cells) rows. A query whose two cells are near-empty (possible
-    # on any regenerated fixture) lowers its EXPECTATION rather than
-    # failing the audit. Crucially, the expected candidate count is derived
-    # from an INDEPENDENT path — the per-cell occupancy census over
+    # Per-query audit columns, all exact integers. The candidate count is
+    # derived from an INDEPENDENT path — the per-cell occupancy census over
     # `celled`, NOT the `scored` join that produced ivf — so a bug in the
     # probe join (wrong cell column, broken condition) diverges from the
-    # census and flips the boolean; deriving both sides from `scored` would
-    # make the check true by construction.
+    # census and the driver's hash catches it; deriving both sides from
+    # `scored` would make n_ret = min(k, n_cand) true by construction.
     cell_counts = celled.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
     c1 = cell_counts.select(
         F.col("cell").alias("qcell"), F.col("n_in_cell").alias("n1")
@@ -808,32 +929,41 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             # the query itself sits in qcell and is excluded from retrieval
-            (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0)) - 1).alias(
-                "n_cand"
-            ),
+            (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0)) - 1)
+            .cast("long")
+            .alias("n_cand"),
         )
     )
-    contract = (
-        expected.join(
-            ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ret")), "qid", "left"
+    nret = ivf.groupBy("qid").agg(F.count(F.lit(1)).cast("long").alias("n_ret"))
+    hits = (
+        exact.join(
+            F.broadcast(ivf.withColumn("found", F.lit(1))), ["qid", "nid"], "left"
         )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("long").alias("n_found"),
+        )
+    )
+    # q / expected / nret / hits are all |Q|-bounded (vec_id < _N_QUERIES),
+    # so the assembly joins broadcast at any corpus size.
+    return (
+        q.select("qid")
+        .join(F.broadcast(expected), "qid", "left")
+        .join(F.broadcast(nret), "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
         .select(
-            (
-                F.coalesce("n_ret", F.lit(0))
-                == F.least(F.lit(_KNN_K), F.col("n_cand"))
-            ).alias("ok")
+            "qid",
+            "n_cand",
+            F.coalesce("n_ret", F.lit(0)).cast("long").alias("n_ret"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.expr(
+                "CAST(coalesce(n_found, 0) * 1000000"
+                " div greatest(coalesce(n_true, 0), 1) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
-        .agg(F.coalesce(F.every("ok"), F.lit(True)).alias("ivf_complete"))
-    )
-    summary = audit.agg(
-        F.countDistinct("qid").alias("n_queries"),
-        (
-            F.sum(F.when(F.col("in_ivf") & F.col("in_exact"), 1).otherwise(0))
-            >= F.sum(F.when(F.col("in_exact"), 1).otherwise(0)) * 0.05
-        ).alias("recall_ok"),
-    )
-    return summary.crossJoin(contract).select(
-        "n_queries", "ivf_complete", "recall_ok"
+        .orderBy("qid")
     )
 
 

@@ -118,20 +118,25 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 5): the correctness driver verifies the
-# FIRST 50 registry entries per round. In-window this round:
+# Driver-coverage rotation (round 6): the correctness driver verifies the
+# FIRST 50 registry entries per round. All 179 queries have ≥1 driver-green
+# row across rounds (coverage gap closed in r5), so this round's window is
+# pure evidence-refresh, ordered by staleness and semantic change:
 # (a) the flagship + the four event-time rows, pinned every round;
-# (b) the 10 round-4 queries that have never had ANY driver row
-#     (VERDICT r4 §4 — implemented + locally green, zero driver evidence);
-# (c) the 15 DECIMAL-rendering fixes (VERDICT r4 §1): the 7 hash-red rows
-#     from CORRECTNESS_r04 plus the 8 latent same-class queries, all now
-#     emitting DOUBLE (exponent-literal divisions; enforced by
-#     tests/test_schema_lint.py) — changed SQL needs fresh driver proof;
-# (d) every other query whose Spark code or oracle text changed in round 5
-#     (quantize-to-cents on join_left_outer / fn_date_scaffold, the staged
-#     overflow-safe division in ml_temperature_mix, /1e2 literal swaps);
-# (e) filler: green rows from the big operator families longest without a
-#     re-proof. Every query not in the window stays pinned locally by
+# (b) every query whose Spark code or oracle text changed in round 6:
+#     onebrc_report (the r5 red — oracle now ORDER BY station),
+#     agg_stats / agg_corr_covar (nullif-guarded + decimal-widened
+#     denominators), text_fingerprint (empty-doc NULL guard),
+#     sim_ann_ivf_trained (pinned-TRUE oracle replaced by measured
+#     recall_ppm);
+# (c) the 32 queries whose latest driver evidence is ROUND 1 — the round-5
+#     exact-ratio sweep touched nearly every module after their last driver
+#     row, so these are the longest code-vs-evidence gaps in the registry;
+# (d) VERDICT-named stale-SQL rows: storage_csv_roundtrip / evt_dedup_by_id
+#     (r2 evidence), cdc_merge_upsert / cdc_snapshot_diff (r3, sweep-changed
+#     SQL), join_asof + onebrc_generated (r4 evidence, r5 code changes).
+# Slot 51+ holds the r2/r3 remainder oldest-first, ready to rotate in next
+# round. Every query not in the window stays pinned locally by
 # tests/test_oracle_parity.py, which runs the same oracle comparison (plus
 # a driver-strict canonicalizer) over ALL queries.
 _PRIORITY = [
@@ -141,97 +146,109 @@ _PRIORITY = [
     "evt_sliding_window",
     "evt_session_window",
     "evt_watermark_late_drop",
-    # (b) never-driver-sampled round-4 queries — close 176/176 coverage
-    "dedup_incremental_admission",
-    "dq_snapshot_drift",
-    "dedup_cluster_best_survivor",
-    "text_source_overlap",
-    "sim_semantic_prune",
-    "agg_cms_heavy_hitters",
-    "storage_schema_evolution",
-    "text_cooccurrence_lift",
-    "dq_column_profile",
-    "onebrc_permissive_quarantine",
-    # (c) DECIMAL-fix re-proofs: the 7 r4 hash-reds ...
-    "sql_tpch_q7_shape",
-    "sql_tpch_q8_shape",
-    "sql_tpch_q9_shape",
-    "sql_tpch_q10_shape",
-    "sql_tpch_q11_shape",
-    "sql_tpch_q15_shape",
-    "sql_udf_declared",
-    # ... and the 8 latent same-class queries never sampled on DOUBLE output
-    "sql_tpch_q3_shape",
-    "sql_tpch_q5_shape",
-    "sql_tpch_q6_shape",
-    "sql_tpch_q14_shape",
-    "sql_tpch_q17_shape",
-    "sql_tpch_q19_shape",
-    "sql_tpch_q22_shape",
-    "sql_recursive_cte",
-    # (d) round-5 code/oracle changes needing fresh proof
-    "join_left_outer",
-    "fn_date_scaffold",
-    "ml_temperature_mix",
-    "pivot_status_matrix",
-    "sql_agg_filter_clause",
-    "dedup_minhash_lsh",
-    # (d2) NEW in round 5 — need their first driver rows
-    "sim_ann_recall_audit",
-    "cdc_scd2_history",
-    "dq_key_skew_profile",
-    # (e) filler: longest-unproven green rows across operator families
-    "text_langid",
-    "window_running_frames",
-    "dedup_ngram_jaccard",
-    "sim_knn_bruteforce",
-    "udf_scalar_sigmoid",
-    "evt_funnel",
-    "udf_grouped_map_zscore",
-    "fn_json",
+    # (b) round-6 semantic changes — need same-round driver proof
     "onebrc_report",
-    "ml_hash_split",
-    "ml_source_mix",
-    # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
-    # marker is outside the round-5 window; kept in useful order in case
-    # the driver checks further) ----
-    "cdc_merge_upsert",
-    "cdc_snapshot_diff",
-    "storage_csv_roundtrip",
-    "storage_zorder_layout",
-    "agg_hll_sketch_merge",
-    "mm_byte_stats_arrow",
-    "udtf_chunk_documents",
-    "sim_lsh_candidate_stats",
-    "window_first_last_nth",
-    "window_range_frame",
-    "window_distribution",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_stats",
     "agg_corr_covar",
-    "join_full_outer",
-    "join_cross",
-    "join_theta_nonequi",
-    "join_asof_forward",
-    "setop_union_all",
-    "fn_strings",
-    "fn_regexp",
-    "fn_datetime",
-    "fn_math",
-    "fn_bitwise",
-    "fn_conditional",
+    "text_fingerprint",
+    "sim_ann_ivf_trained",
+    # (c) round-1-evidence rows, oldest code-vs-evidence gap (32)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_min_by_max_by",
+    "agg_rollup",
+    "agg_sum_count",
+    "filter_predicates",
     "fn_array_basics",
     "fn_array_higher_order",
-    "fn_variant_json",
-    "udf_grouped_agg_geomean",
-    "evt_dedup_by_id",
-    "filter_predicates",
-    "filter_null_semantics",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_hash_digests",
+    "fn_math",
+    "fn_regexp",
+    "fn_strings",
+    "join_cross",
+    "join_full_outer",
+    "join_theta_nonequi",
+    "project_prune",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
     "sort_multi_key",
     "topk_limit",
-    "project_prune",
+    "window_distribution",
+    "window_first_last_nth",
+    "window_range_frame",
+    "window_ranking",
+    # (d) VERDICT-named stale-SQL / code-changed rows
+    "storage_csv_roundtrip",
+    "evt_dedup_by_id",
+    "cdc_merge_upsert",
+    "cdc_snapshot_diff",
+    "join_asof",
+    "onebrc_generated",
+    # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
+    # marker is outside the round-6 window; r2/r3 remainder oldest-first,
+    # pre-ordered for the round-7 rotation) ----
+    "agg_collect_sorted_list",
+    "agg_salted_twophase",
+    "dedup_embedding_neardup",
+    "dedup_exact_distinct",
+    "dedup_keep_first",
+    "filter_null_semantics",
+    "join_salted_skew",
+    "mm_decode_stats",
+    "mm_resize",
+    "sim_label_centroid",
+    "sql_exists_correlated",
+    "storage_bucketed_join",
+    "storage_json_roundtrip",
+    "storage_partitioned_pruning",
+    "text_fuzzy_levenshtein",
+    "text_ngram_tf",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "udf_grouped_agg_geomean",
+    "unpivot_stack",
+    "agg_approx_percentile",
+    "agg_bitmap_distinct",
+    "agg_equidepth_histogram",
+    "agg_hll_sketch_merge",
+    "agg_partial_reaggregation",
+    "agg_rank_correlation",
+    "dq_constraint_audit",
+    "dq_observe_metrics",
+    "evt_gap_fill_lerp",
+    "evt_gap_fill_locf",
+    "evt_retention_cohorts",
+    "evt_transition_matrix",
+    "fn_variant_json",
+    "join_asof_forward",
+    "ml_contamination_ngram",
+    "ml_fixed_size_sample",
+    "ml_quantile_filter",
+    "ml_sequence_packing",
+    "ml_stratified_sample",
+    "mm_byte_stats_arrow",
+    "sim_lsh_candidate_stats",
+    "sql_lateral_topn",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q18_shape",
+    "sql_tpch_q4_shape",
+    "src_python_datasource",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
+    "text_inverted_index",
+    "text_pii_redaction",
+    "text_repetition_score",
+    "text_stopword_removal",
+    "text_tfidf_top_terms",
+    "udtf_chunk_documents",
 ]
 
 
