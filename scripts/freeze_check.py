@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Mechanical freeze gate (VERDICT r5 item 2).
+
+Rounds 2 and 5 each lost a driver row to the same process defect: a
+semantic edit under onebrc_spark/ landed AFTER the last oracle-parity run
+(round 5: the snapshot commit itself changed format_report's sort while the
+oracle still ordered by line). This script makes the freeze mechanical:
+
+  python scripts/freeze_check.py          # run the gate, record green
+  python scripts/freeze_check.py --check  # fast: is the current tree green?
+
+The gate runs the full local parity suite (every registered query vs its
+DuckDB oracle, driver-strict canonicalizer) plus the schema/ordering lints,
+and on success appends a `parity_green` record with the onebrc_spark/ tree
+hash to PROGRESS.jsonl. The pre-commit hook (scripts/hooks/pre-commit,
+installed by scripts/install_hooks.sh) refuses any commit whose staged diff
+touches onebrc_spark/ while the tree hash has no matching green record —
+so query semantics can never again change unverified, least of all in the
+end-of-round snapshot.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+PROGRESS = REPO / "PROGRESS.jsonl"
+GATE_TESTS = ["tests/test_oracle_parity.py", "tests/test_schema_lint.py"]
+
+
+def tree_hash() -> str:
+    """Content hash of every tracked file under onebrc_spark/ plus the
+    entry module — the exact surface whose semantics the gate protects."""
+    h = hashlib.sha256()
+    files = sorted(
+        p
+        for pat in ("onebrc_spark/**/*.py", "__spark_entry__.py")
+        for p in REPO.glob(pat)
+        if p.is_file()
+    )
+    for p in files:
+        h.update(str(p.relative_to(REPO)).encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+def last_green() -> str | None:
+    if not PROGRESS.exists():
+        return None
+    green = None
+    with PROGRESS.open() as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") == "parity_green":
+                green = rec.get("tree_hash")
+    return green
+
+
+def main() -> int:
+    current = tree_hash()
+    if "--check" in sys.argv:
+        if last_green() == current:
+            print(f"freeze_check: tree {current} has a green parity record")
+            return 0
+        print(
+            f"freeze_check: tree {current} has NO green parity record — "
+            "run `python scripts/freeze_check.py` before committing "
+            "onebrc_spark/ changes",
+            file=sys.stderr,
+        )
+        return 1
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *GATE_TESTS, "-q"],
+        cwd=REPO,
+        env={**os.environ},
+    )
+    if proc.returncode != 0:
+        print("freeze_check: parity gate FAILED — not recording green",
+              file=sys.stderr)
+        return proc.returncode
+    rec = {
+        "event": "parity_green",
+        "tree_hash": current,
+        "sf_dir": os.environ.get("ONEBRC_TEST_SF_DIR", "/root/testdata/sf0.01"),
+        "elapsed_sec": round(time.time() - t0, 1),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with PROGRESS.open("a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"freeze_check: GREEN — recorded tree {current} in PROGRESS.jsonl")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

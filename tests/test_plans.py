@@ -570,6 +570,11 @@ def test_recall_audit_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in txt, txt[:3000]
     assert "BroadcastNestedLoopJoin" in txt  # the exact-cosine truth strip
     assert "BroadcastHashJoin" in txt  # the band-bucket candidate join
+    # Scan census: exactly 2 corpus-sized embeddings scans (truth strip +
+    # corpus band table); the other 3 are query-side, pruned to |Q| by the
+    # pushed vec_id budget predicate. A new full-corpus scan would bump
+    # this count — the cheap tripwire for the "corpus scanned twice" claim.
+    assert txt.count("embeddings.parquet") == 5, txt[:3000]
 
 
 def test_scd2_one_exchange_feeds_both_windows(spark):

@@ -73,6 +73,49 @@ def test_salting_is_semantically_invisible(spark, seed, salts):
         df.unpersist()
 
 
+def test_text_roundtrip_large_magnitudes(spark, tmp_path_factory):
+    """write_measurements must emit plain '%.1f' text for |measure| >= 1000:
+    the format_number variant it replaced inserted thousands-grouping commas
+    ('1,234.5'), silently corrupting the station;temp line format — FAILFAST
+    aborts on the extra field, the fast reader NULLs the value (round-5
+    review fix; this is its pin, VERDICT r5 item 8). Generator temps stay
+    within ±150, so only a purpose-built fixture exercises the class."""
+    from onebrc_spark.sources.onebrc import read_measurements, write_measurements
+
+    path = str(tmp_path_factory.mktemp("roundtrip_large") / "m_large")
+    df = spark.createDataFrame(
+        [
+            ("big", 1234567.8),
+            ("big", 1000.0),
+            ("neg", -98765.4),
+            ("neg", -1000.1),
+            ("small", 3.2),
+        ],
+        "station STRING, measure DOUBLE",
+    )
+    write_measurements(df, path)
+    lines = sorted(r["value"] for r in spark.read.text(path).collect())
+    assert lines == [
+        "big;1000.0",
+        "big;1234567.8",
+        "neg;-1000.1",
+        "neg;-98765.4",
+        "small;3.2",
+    ], lines
+    # FAILFAST reader accepts every line and round-trips the values exactly
+    back = sorted(
+        (r["station"], r["measure"])
+        for r in read_measurements(spark, path).collect()
+    )
+    assert back == [
+        ("big", 1000.0),
+        ("big", 1234567.8),
+        ("neg", -98765.4),
+        ("neg", -1000.1),
+        ("small", 3.2),
+    ], back
+
+
 @_SETTINGS
 @given(seed=st.integers(0, 2**31 - 1))
 def test_text_roundtrip_preserves_aggregate(spark, seed, tmp_path_factory):
