@@ -446,3 +446,128 @@ def ml_deterministic_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- X11c/X4e: domain capping + per-source token budgets ---------------------
+
+# Per-domain document cap and per-source token budget for the curated
+# mixture. Real pipelines read these from a mixture config; constants keep
+# the oracles exact.
+_DOMAIN_CAP = 10
+_TOKEN_BUDGET = 800
+
+
+@query(
+    "ml_domain_cap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_DOMAIN_CAP}
+    ORDER BY source, rnk
+    """,
+    survey_ref="X11 (per-domain frequency capping for web-scale curation)",
+)
+def ml_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping: keep at most _DOMAIN_CAP documents per
+    source, preferring the token-richest (ties broken by doc_id — fully
+    deterministic). This is the standard web-curation guard against any
+    single domain dominating the training mixture (the `source` column
+    stands in for registered domain).
+
+    Scale notes (100 TB): one hash shuffle on `source` carrying
+    (doc_id, n_tokens) — the text never moves; the rank is a per-key
+    window (top-N-per-group, the window_topn_per_group shape). A
+    pathologically hot domain is exactly what dq_key_skew_profile prices
+    pre-join; the salted two-phase variant (partial top-N per partition,
+    then top-N of top-Ns — valid because rank-N is monotone under
+    concatenation) drops in without changing this result."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", n_tokens)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        .orderBy("source", "rnk")
+    )
+
+
+@query(
+    "ml_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), run AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE cum <= {_TOKEN_BUDGET}) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE cum > {_TOKEN_BUDGET}) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE cum <= {_TOKEN_BUDGET}),
+                         0) AS BIGINT) AS kept_tokens
+    FROM run GROUP BY source ORDER BY source
+    """,
+    survey_ref="X11 (per-source token budgets: mixture weights in tokens)",
+)
+def ml_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: admit documents in ingest order
+    (doc_id) until the source's token budget is exhausted — mixture
+    weights are specified in TOKENS, not documents, in every modern
+    pretraining recipe, so the curation op must cut on a running token
+    sum, not a row count. Emits the per-source admission summary
+    (n_kept / n_dropped / kept_tokens), all exact integers.
+
+    Scale notes (100 TB): one hash shuffle on `source` carrying
+    (doc_id, n_tokens); the running sum is a per-key prefix scan inside
+    the window sort, then the summary aggregates map-side. The admission
+    set is reproducible under any partitioning because the cut order is
+    the stored doc_id, never arrival order."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.select("source", "doc_id", n_tokens).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    kept = F.col("cum") <= _TOKEN_BUDGET
+    return (
+        run.groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -146,12 +146,14 @@ _PRIORITY = [
     "evt_sliding_window",
     "evt_session_window",
     "evt_watermark_late_drop",
-    # (b) round-6 semantic changes — need same-round driver proof
+    # (b) round-6 semantic changes / NEW queries — need same-round proof
     "onebrc_report",
     "agg_stats",
     "agg_corr_covar",
     "text_fingerprint",
     "sim_ann_ivf_trained",
+    "ml_domain_cap",
+    "ml_token_budget",
     # (c) round-1-evidence rows, oldest code-vs-evidence gap (32)
     "agg_count_distinct",
     "agg_cube",

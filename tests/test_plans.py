@@ -605,3 +605,22 @@ def test_key_skew_profile_map_side_combine_topk_broadcast(spark):
     assert "TakeOrderedAndProject" in txt
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_domain_cap_and_token_budget_single_source_exchange(spark):
+    """ml_domain_cap / ml_token_budget scale claims: each is ONE hash
+    exchange on `source` (the window clustering; the presentation sort adds
+    its rangepartitioning) carrying (doc_id, n_tokens) — the text never
+    shuffles — and no join of any kind."""
+    import re
+
+    from onebrc_spark.operators.mlprep import ml_domain_cap, ml_token_budget
+
+    for fn in (ml_domain_cap, ml_token_budget):
+        df = fn(spark, SMOKE_SF_DIR)
+        txt = explain_str(df, "simple")
+        assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, (
+            fn.__name__,
+            txt[:2000],
+        )
+        assert "Join" not in txt, (fn.__name__, txt[:2000])
