@@ -677,3 +677,41 @@ def test_staged_division_is_exact_and_int64_safe():
                 assert abs(term) < 2**63, (term, sizes)
 
     run()
+
+
+def test_domain_cap_and_token_budget_contracts(spark):
+    """ml_domain_cap: ≤ cap rows per source, ranks contiguous from 1,
+    n_tokens non-increasing within a source. ml_token_budget: kept_tokens
+    never exceeds the budget, admission is a prefix in doc_id order, and
+    kept + dropped partitions the source's documents."""
+    from onebrc_spark.operators.mlprep import (
+        _DOMAIN_CAP,
+        _TOKEN_BUDGET,
+        ml_domain_cap,
+        ml_token_budget,
+    )
+    from onebrc_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    capped = ml_domain_cap(spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in capped:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rows in by_src.items():
+        assert len(rows) <= _DOMAIN_CAP, src
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1)), src
+        toks = [r["n_tokens"] for r in rows]
+        assert toks == sorted(toks, reverse=True), (src, toks)
+
+    per_source_docs = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in ml_token_budget(spark, SF_DIR).collect():
+        assert r["kept_tokens"] <= _TOKEN_BUDGET, r
+        assert r["n_kept"] + r["n_dropped"] == per_source_docs[r["source"]], r
+        assert r["n_kept"] >= 1, r  # budget admits at least the first doc here
