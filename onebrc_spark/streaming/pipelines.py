@@ -519,3 +519,58 @@ def stream_scd2_maintain(changes: DataFrame, target_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_token_budget_admit(docs: DataFrame) -> DataFrame:
+    """Streaming twin of mlprep.ml_token_budget's admission gate: per-source
+    token budgets enforced ONLINE with applyInPandasWithState — the state is
+    one integer per source (the running token sum), so state size is
+    O(#sources) forever, independent of stream length.
+
+    Semantics match the batch operator exactly when ingest order is
+    doc_id-monotone across micro-batches (the crawl-append production
+    shape; within a batch the update sorts by doc_id): the batch op keeps
+    docs while the doc_id-ordered running sum stays ≤ budget, and because
+    n_tokens ≥ 0 that sum is monotone — so the admitted set is the same
+    prefix whether computed in one pass (batch) or folded per micro-batch
+    (here). The running sum advances on REJECTED docs too, mirroring the
+    batch cum; emitted rows are only the admitted ones.
+
+    Scale notes: token counting stays a JVM expression BEFORE the stateful
+    op (the Python worker sees (source, doc_id, n_tokens) — never text);
+    the one shuffle is the groupBy(source) state partitioning, the same
+    key the batch window clusters on."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from onebrc_spark.operators.mlprep import _TOKEN_BUDGET
+
+    n_tokens = (
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    enriched = docs.select("source", "doc_id", n_tokens)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        out: dict[str, list] = {"source": [], "doc_id": [], "n_tokens": [], "cum_tokens": []}
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        for doc_id, n in zip(batch["doc_id"], batch["n_tokens"]):
+            cum += int(n)
+            if cum <= _TOKEN_BUDGET:
+                out["source"].append(key[0])
+                out["doc_id"].append(int(doc_id))
+                out["n_tokens"].append(int(n))
+                out["cum_tokens"].append(cum)
+        state.update((cum,))
+        yield pd.DataFrame(out)
+
+    return enriched.groupBy("source").applyInPandasWithState(
+        update,
+        "source string, doc_id long, n_tokens long, cum_tokens long",
+        "cum_tokens long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

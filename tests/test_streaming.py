@@ -411,3 +411,36 @@ def test_scd2_merge_random_streams_match_batch(spark, tmp_path):
         assert _scd2_rows(spark.read.parquet(target)) == want, (
             f"trial {trial}: replay changed history"
         )
+
+
+def test_stream_token_budget_matches_batch_operator(spark):
+    """The stateful per-source token-budget gate must admit exactly the
+    docs the batch ml_token_budget window keeps: same per-source n_kept and
+    kept_tokens, and the admitted running sums never exceed the budget.
+    (Single-file source → doc_id order holds across batches, the
+    correctness precondition documented on the twin.)"""
+    from onebrc_spark.operators.mlprep import _TOKEN_BUDGET, ml_token_budget
+    from onebrc_spark.streaming.pipelines import (
+        read_documents_stream,
+        run_to_completion,
+        stream_token_budget_admit,
+    )
+
+    out = run_to_completion(
+        stream_token_budget_admit(read_documents_stream(spark, SMOKE_SF_DIR)),
+        "budget_smoke",
+        spark,
+        mode="update",
+    )
+    rows = out.collect()
+    assert rows and all(r["cum_tokens"] <= _TOKEN_BUDGET for r in rows)
+    got: dict = {}
+    for r in rows:
+        n, toks = got.get(r["source"], (0, 0))
+        got[r["source"]] = (n + 1, toks + r["n_tokens"])
+    want = {
+        r["source"]: (r["n_kept"], r["kept_tokens"])
+        for r in ml_token_budget(spark, SMOKE_SF_DIR).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == want
