@@ -571,3 +571,85 @@ def ml_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X11f: quality-weighted upsampling (epoch repetition factors) ------------
+
+_UPS_PCT_SQL = (
+    "CAST(substring(rpad(regexp_replace(md5('ups:' || CAST(doc_id AS VARCHAR)),"
+    " '[a-f]', '', 'g'), 2, '0'), 1, 2) AS INT)"
+)
+
+
+@query(
+    "ml_quality_upsample",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id,
+             10 + ({hash_bucket_sql("source")}) * 2 AS w_tenths,
+             {_UPS_PCT_SQL} AS pct
+      FROM documents
+    ), per_doc AS (
+      SELECT source, w_tenths,
+             w_tenths // 10
+               + CASE WHEN pct < (w_tenths % 10) * 10 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM w
+    )
+    SELECT source,
+           CAST(max(w_tenths) AS BIGINT) AS w_tenths,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies,
+           CAST(sum(n_copies) * 1000000 // count(*) AS BIGINT)
+             AS upsample_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    survey_ref="X11f (quality-weighted upsampling: fractional epoch repetition)",
+)
+def ml_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch-repetition factors: every pretraining mixture
+    assigns each source a repetition weight (often fractional, e.g. 2.4
+    epochs of Wikipedia); a doc under weight w is materialized floor(w)
+    times plus one more with probability frac(w). The Bernoulli draw is
+    CONTENT-ADDRESSED (md5 percentile with its own 'ups:' salt, so it is
+    independent of the sampling op's draws): reproducible across runs,
+    engines, and task retries, and the realized expansion is exact —
+    Σ n_copies is a deterministic function of the corpus, not a random
+    variate. Weights here derive from the source name (tenths in
+    [1.0, 4.0] step 0.2 via the shared md5 bucket) standing in for the
+    mixture config. Emits the per-source expansion census with
+    upsample_ppm = realized copies per doc in exact-integer ppm.
+
+    Scale notes (100 TB): per-row map (JVM codegen, no Python) + one
+    map-side-combinable aggregate on source. The materialization step is
+    `posexplode(sequence(1, n_copies))` in the writer — the census here is
+    its exact size forecast, so the op doubles as the pre-write cost
+    estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    w_tenths = (F.lit(10) + _hash_bucket(F.col("source")) * 2).alias("w_tenths")
+    digits = F.translate(
+        F.md5(F.concat(F.lit("ups:"), F.col("doc_id").cast("string"))),
+        "abcdef",
+        "",
+    )
+    pct = F.substring(F.rpad(digits, 2, "0"), 1, 2).cast("int")
+    per_doc = d.select("source", w_tenths, pct.alias("pct")).select(
+        "source",
+        "w_tenths",
+        (
+            (F.col("w_tenths") / 10).cast("long")
+            + F.when(F.col("pct") < (F.col("w_tenths") % 10) * 10, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.max("w_tenths").cast("long").alias("w_tenths"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+            F.expr("CAST(sum(n_copies) * 1000000 div count(*) AS BIGINT)").alias(
+                "upsample_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -154,6 +154,7 @@ _PRIORITY = [
     "sim_ann_ivf_trained",
     "ml_domain_cap",
     "ml_token_budget",
+    "ml_quality_upsample",
     # (c) round-1-evidence rows, oldest code-vs-evidence gap (32)
     "agg_count_distinct",
     "agg_cube",

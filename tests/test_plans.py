@@ -624,3 +624,18 @@ def test_domain_cap_and_token_budget_single_source_exchange(spark):
             txt[:2000],
         )
         assert "Join" not in txt, (fn.__name__, txt[:2000])
+
+
+def test_quality_upsample_map_side_combine_no_join(spark):
+    """ml_quality_upsample: pure per-row map + one map-side-combinable
+    aggregate on source — one hash exchange, partial aggregation present,
+    no join, no window."""
+    from onebrc_spark.operators.mlprep import ml_quality_upsample
+
+    import re
+
+    df = ml_quality_upsample(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, txt[:2000]
+    assert "partial_sum" in txt or "partial_count" in txt, txt[:2000]
+    assert "Join" not in txt and "Window" not in txt, txt[:2000]
