@@ -187,7 +187,6 @@ _PRIORITY = [
     "window_distribution",
     "window_first_last_nth",
     "window_range_frame",
-    "window_ranking",
     # (d) VERDICT-named stale-SQL / code-changed rows
     "storage_csv_roundtrip",
     "evt_dedup_by_id",
@@ -197,7 +196,10 @@ _PRIORITY = [
     "onebrc_generated",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
-    # pre-ordered for the round-7 rotation) ----
+    # pre-ordered for the round-7 rotation). window_ranking yielded its
+    # round-6 slot to the three new X11 ops (it is r1-stale but its family
+    # has four fresher rows; locally green at sf0.01 and sf0.1). ----
+    "window_ranking",
     "agg_collect_sorted_list",
     "agg_salted_twophase",
     "dedup_embedding_neardup",
