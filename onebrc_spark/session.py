@@ -43,7 +43,13 @@ def get_spark(app_name: str = "onebrc_spark", master: str | None = None) -> Spar
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            # 128m default; the 1e9 text-scan sweep (README) reads ~3% faster
+            # at 64m — override per-workload, e.g. SPARK_GRAFT_MAX_PARTITION_
+            # BYTES=64m for the fullscale text scans.
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
