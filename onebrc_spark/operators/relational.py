@@ -560,3 +560,78 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- O4 (extension): global dense ids without the single-partition trap ------
+
+_GID_PARTITIONS = 8
+
+
+@query(
+    "sort_global_dense_ids",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS global_id,
+           doc_id, n_chars
+    FROM documents ORDER BY global_id
+    """,
+    survey_ref="O2/O3 extension (global dense rank, two-phase offsets)",
+)
+def sort_global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally dense, order-defined row ids (1..N by (n_chars DESC,
+    doc_id)) — the operator Spark famously lacks a scale-safe built-in
+    for: `row_number() OVER (ORDER BY ...)` with no PARTITION BY moves the
+    ENTIRE dataset to one partition (Spark itself logs the WindowExec
+    warning), and `monotonically_increasing_id` is neither dense nor
+    order-defined.
+
+    Scale-correct two-phase form, DataFrame-only:
+      1. `repartitionByRange` on the id order — partition i holds a
+         contiguous key range below partition i+1's (this is a sort's
+         shuffle WITHOUT a final merge);
+      2. per-partition row counts → driver prefix-sum → broadcast offset
+         table (≤ P rows collected — the k-means-model class of driver
+         action, never data);
+      3. within-partition row_number (each window partition = one range
+         partition) + offset = the global dense id.
+
+    Determinism hazard, and its fix: RangePartitioner's boundary sample is
+    seeded by the RDD id, which CHANGES per job — so running the count
+    action and the id query as two independent jobs can place boundary
+    rows differently and corrupt the offsets (reproduced live at sf0.1:
+    ids off by ±14 around a boundary; invisible at sf0.01 where the
+    sample saw every row). The localCheckpoint pins ONE materialized
+    shuffle output that both the counts and the ids read — placements
+    identical by construction, and the input is scanned once instead of
+    twice. The key (n_chars DESC, doc_id) is unique per row, so ids are
+    unique and reproducible — and the DuckDB oracle's naive global
+    row_number must agree exactly, which is the whole point: same
+    semantics, minus the single-partition bottleneck. At 100 TB this is
+    how training-example ids / shard manifests get stamped."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    t = (
+        d.repartitionByRange(_GID_PARTITIONS, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        t.groupBy("pid").count().collect(), key=lambda r: r["pid"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["pid"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offsets, "pid INT, off LONG")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy(*order)
+    return (
+        t.join(F.broadcast(off_df), "pid")
+        .select(
+            (F.row_number().over(w) + F.col("off")).cast("long").alias("global_id"),
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("global_id")
+    )

@@ -155,6 +155,7 @@ _PRIORITY = [
     "ml_domain_cap",
     "ml_token_budget",
     "ml_quality_upsample",
+    "sort_global_dense_ids",
     # (c) round-1-evidence rows, oldest code-vs-evidence gap (32)
     "agg_count_distinct",
     "agg_cube",
@@ -186,7 +187,6 @@ _PRIORITY = [
     "topk_limit",
     "window_distribution",
     "window_first_last_nth",
-    "window_range_frame",
     # (d) VERDICT-named stale-SQL / code-changed rows
     "storage_csv_roundtrip",
     "evt_dedup_by_id",
@@ -196,10 +196,13 @@ _PRIORITY = [
     "onebrc_generated",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
-    # pre-ordered for the round-7 rotation). window_ranking yielded its
-    # round-6 slot to the three new X11 ops (it is r1-stale but its family
-    # has four fresher rows; locally green at sf0.01 and sf0.1). ----
+    # pre-ordered for the round-7 rotation). window_ranking and
+    # window_range_frame yielded their round-6 slots to the four NEW ops
+    # (first driver rows beat evidence refreshes; both are r1-stale but
+    # their family has fresher rows and both are locally green at sf0.01
+    # and sf0.1). ----
     "window_ranking",
+    "window_range_frame",
     "agg_collect_sorted_list",
     "agg_salted_twophase",
     "dedup_embedding_neardup",

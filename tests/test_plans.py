@@ -639,3 +639,19 @@ def test_quality_upsample_map_side_combine_no_join(spark):
     assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, txt[:2000]
     assert "partial_sum" in txt or "partial_count" in txt, txt[:2000]
     assert "Join" not in txt and "Window" not in txt, txt[:2000]
+
+
+def test_global_dense_ids_no_single_partition_window(spark):
+    """sort_global_dense_ids' scale claim: the id assignment must never
+    contain the naive form's 'Exchange SinglePartition' feeding a Window —
+    ids come from a rangepartitioning shuffle + per-partition windows +
+    broadcast offsets. (The presentation orderBy's rangepartitioning on
+    global_id is the only global ordering step.)"""
+    from onebrc_spark.operators.relational import sort_global_dense_ids
+
+    df = sort_global_dense_ids(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "Window" in txt, txt[:2000]
+    assert "Exchange SinglePartition" not in txt, txt[:3000]
+    assert "Exchange rangepartitioning" in txt, txt[:2000]
+    assert has_broadcast_join(df)
