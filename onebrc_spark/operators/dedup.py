@@ -227,7 +227,11 @@ def _jaccard_pairs_exact(g: DataFrame, threshold: float) -> DataFrame:
         F.size(F.col("a.gset")) + F.size(F.col("b.gset"))
         - F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset")))
     )
-    jac = inter / union
+    # Two empty shingle sets in one block → 0/0: ANSI Spark THROWS while
+    # DuckDB's x/0 is NULL (pair dropped by the threshold filter). NULL the
+    # denominator so both engines drop the undefined pair (edge-fixture
+    # class: documents shorter than the 3-gram window have empty gsets).
+    jac = inter / F.when(union == 0, F.lit(None)).otherwise(union)
     return (
         a.join(
             b,
@@ -289,7 +293,9 @@ def _jaccard_pairs_lsh_fallback(g: DataFrame, threshold: float) -> DataFrame:
     union = (
         F.size("gset_a") + F.size("gset_b") - F.size(F.array_intersect("gset_a", "gset_b"))
     )
-    jac = inter / union
+    # same ANSI-0/0 guard as _jaccard_pairs_exact: empty shingle sets share
+    # a MinHash signature, so they always reach the verify predicate
+    jac = inter / F.when(union == 0, F.lit(None)).otherwise(union)
     return (
         candidates.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -515,7 +521,11 @@ def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
-    jac = inter / union
+    # Empty word sets share a signature, so they ALWAYS band-collide into a
+    # candidate pair — and their 0/0 Jaccard THROWS under ANSI while
+    # DuckDB's x/0 is NULL (dropped by the threshold). NULL the denominator
+    # so both engines drop the undefined pair (edge-fixture class).
+    jac = inter / F.when(union == 0, F.lit(None)).otherwise(union)
     out = (
         candidates.join(wa, "doc_a")
         .join(wb, "doc_b")

@@ -209,7 +209,12 @@ def incremental_rejections(
         )
         .withColumn("ws_a", word_3grams(F.col("text_a")))
         .withColumn("ws_b", word_3grams(F.col("text_b")))
-        .filter(inter / union >= threshold)
+        # ANSI-0/0 guard (edge-fixture class): two sub-3-gram docs always
+        # band-collide (empty sets share a signature) and their undefined
+        # Jaccard must DROP — DuckDB's x/0 is NULL, Spark would throw.
+        .filter(
+            inter / F.when(union == 0, F.lit(None)).otherwise(union) >= threshold
+        )
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
         .join(exact_rej.select("doc_id"), "doc_id", "left_anti")

@@ -82,13 +82,22 @@ def banded_hyperplanes(n_bands: int, rows_per_band: int) -> list[list[list[int]]
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Exact cosine similarity of two float-array columns, double math."""
+    """Exact cosine similarity of two float-array columns, double math.
+
+    A zero-norm vector makes the denominator 0.0: ANSI Spark 4 throws
+    DIVIDE_BY_ZERO for EVERY numeric type (verified live — doubles do NOT
+    yield Inf/NaN under ANSI), while DuckDB's x/0 is NULL. The NULL guard
+    makes a degenerate vector's similarity NULL in both engines (dropped
+    by every >= threshold filter) instead of killing the job — the
+    edge-fixture hardening class; the driver's random embeddings never
+    contain a zero vector, so this was latent."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    den = na * nb
+    return dot / F.when(den == 0.0, F.lit(None)).otherwise(den)
 
 
 _COS_SQL = """
@@ -665,8 +674,18 @@ def kmeans_fit(
     cents = [[float(v) for v in c] for c in _centroids()[:k]]
     dim = EMBEDDING_DIM
     for _ in range(iters):
+        # coalesce(cos, -2) totalizes the argmax: a zero-norm vector's
+        # cosines are all NULL (cosine()'s ANSI guard), which would give it
+        # a NULL cell here but cell 1 in the oracle's row_number replay —
+        # the sentinel sends it to the first cell in BOTH engines.
         cs = F.array(
-            *[cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in cents]
+            *[
+                F.coalesce(
+                    cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                    F.lit(-2.0),
+                )
+                for c in cents
+            ]
         )
         assigned = e.select(
             "embedding", F.array_position(cs, F.array_max(cs)).alias("cell")
@@ -702,7 +721,9 @@ def _kmeans_iter_sql(prev: str, nxt: str) -> str:
         SELECT e.vec_id, e.embedding, c.cell,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cell ASC
+                 ORDER BY coalesce({_cos_sql('e.embedding', 'c.cvec')}, -2.0)
+                            DESC,
+                          c.cell ASC
                ) AS rn
         FROM embeddings e CROSS JOIN {prev} c
       ) WHERE rn = 1
@@ -752,9 +773,10 @@ def _ivf_trained_sql() -> str:
     ),{iters},
     rk AS (
       SELECT e.vec_id, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
-                                         c.cell ASC) AS rn
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY coalesce({_cos_sql('e.embedding', 'c.cvec')}, -2.0) DESC,
+                        c.cell ASC) AS rn
       FROM embeddings e CROSS JOIN c3 c
     ),
     celled AS (
@@ -854,19 +876,30 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     cents = kmeans_fit(e)
+    # coalesce(cos, -2) totalizes the argmax for zero-norm vectors (same
+    # sentinel as kmeans_fit — matches the oracle's row_number tie-break:
+    # cell 1, then cell 2).
     cs = F.array(
-        *[cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in cents]
+        *[
+            F.coalesce(
+                cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                F.lit(-2.0),
+            )
+            for c in cents
+        ]
     )
     # Probe cells chosen POSITIONALLY: array_remove(cs, max) drops ALL
     # values equal to the max, so an exact cosine tie between the two
     # nearest centroids skipped the true second cell (ADVICE r3). Masking
-    # the argmax INDEX (cosine ≥ -1 > the -2 sentinel) makes ties resolve
-    # deterministically to the first maximal cell, then the first of the
-    # remaining maxima.
+    # the argmax INDEX (cosine ≥ -1, and the NULL-coalesce sentinel is -2,
+    # both > the -3 mask) makes ties resolve deterministically to the
+    # first maximal cell, then the first of the remaining maxima — for a
+    # degenerate all-(-2) row that's cell 1 then cell 2, exactly the
+    # oracle's rn=1/rn=2.
     best_idx = F.array_position(cs, F.array_max(cs))
     masked = F.transform(
         cs,
-        lambda x, i: F.when(i + 1 == best_idx, F.lit(-2.0)).otherwise(x),
+        lambda x, i: F.when(i + 1 == best_idx, F.lit(-3.0)).otherwise(x),
     )
     celled = e.select(
         "vec_id",
@@ -1167,7 +1200,11 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") * F.col("v")).cast("long").cast("double").alias("nv"),
         )
     )
-    cos_c = F.col("dot") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc")))
+    # ANSI-0/0 guard (same class as cosine()): a vector whose quantized
+    # coordinates are all zero has nv = 0 — NULL cosine in both engines
+    # (DuckDB x/0 is NULL), never a DIVIDE_BY_ZERO job kill.
+    _den = F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))
+    cos_c = F.col("dot") / F.when(_den == 0.0, F.lit(None)).otherwise(_den)
     scored = (
         pervec.join(F.broadcast(cnorm), "label")
         .withColumn("cos_c", cos_c)
