@@ -92,12 +92,23 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Lenient props for DuckDB oracles: NULL for malformed/empty JSON, matching
+# Spark's from_json/get_json_object/try_parse_json (see fn_json's comment).
+_PROPS_JSON = "CASE WHEN json_valid(props) THEN props END"
+
+
 @query(
     "fn_json",
-    oracle="""
+    # _PROPS_JSON (not bare props): Spark's JSON accessors are lenient —
+    # NULL on malformed/empty input — but DuckDB's json_extract ERRORS the
+    # whole query on the first bad document (edge-fixture class: a crawl's
+    # props column always contains garbage rows). json_valid-guarding the
+    # oracle pins the production semantics: bad JSON → NULL, never a job
+    # kill. Same guard in every props-JSON oracle below.
+    oracle=f"""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-           json_extract_string(props, '$.k') AS k_str
+           CAST(json_extract({_PROPS_JSON}, '$.k') AS BIGINT) AS k_val,
+           json_extract_string({_PROPS_JSON}, '$.k') AS k_str
     FROM events ORDER BY event_id
     """,
     survey_ref="F10",
@@ -181,10 +192,11 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_variant_json",
-    oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+    oracle=f"""
+    SELECT CAST(json_extract({_PROPS_JSON}, '$.k') AS INT) // 10 AS k_bucket,
            count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+           CAST(sum(CAST(json_extract({_PROPS_JSON}, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
     FROM events GROUP BY k_bucket ORDER BY k_bucket
     """,
     survey_ref="F10 (VARIANT semi-structured type: parse_json + typed variant_get)",
@@ -200,7 +212,10 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle extracts the same path with DuckDB's JSON functions."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(F.parse_json("props").alias("v"))
+    # try_parse_json, not parse_json: the strict form THROWS on the first
+    # malformed props row (ANSI), where the lenient form yields a NULL
+    # variant — matching the oracle's json_valid guard (edge-fixture class).
+    v = ev.select(F.try_parse_json("props").alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "int")
     return (
         v.select(F.floor(k / 10).cast("long").alias("k_bucket"), k.alias("k"))
@@ -212,10 +227,11 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_map_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(json_extract({_PROPS_JSON}, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_v
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -244,7 +260,12 @@ def fn_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("event_type")
         .agg(
             (F.count(F.lit(1)) / 2).cast("long").alias("n"),
-            F.sum(F.when(F.col("mk") == "k", F.col("mv") / 2.0).otherwise(0.0))
+            # no .otherwise(0): non-k rows contribute NULL (ignored by sum),
+            # so a group whose every k is NULL/malformed sums to NULL —
+            # matching the oracle's sum over json_extract (the old
+            # otherwise-0 rendered such a group 0 vs NULL; edge-fixture
+            # class, unreachable in the clean sf fixtures)
+            F.sum(F.when(F.col("mk") == "k", F.col("mv") / 2.0))
             .cast("long")
             .alias("sum_k"),
             # mv/2 recovers the original 2-dp grid value exactly (×2 and /2
@@ -254,7 +275,7 @@ def fn_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(
                         F.col("mk") == "v",
                         F.round(F.col("mv") / 2.0 * 100).cast("long"),
-                    ).otherwise(F.lit(0))
+                    )
                 )
                 / F.lit(100.0)
             ).alias("sum_v"),

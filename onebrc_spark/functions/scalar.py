@@ -232,11 +232,11 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CASE WHEN value / NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 0)
+           CAST(sum(CASE WHEN value / NULLIF(CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 7, 0)
                          IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
-           CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) % 7 <> 0
+           CAST(sum(CASE WHEN CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 7 <> 0
                          THEN CAST(round(value * 100) AS BIGINT)
-                              * CAST(60 / (CAST(json_extract(props, '$.k') AS INT) % 7) AS BIGINT)
+                              * CAST(60 / (CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) % 7) AS BIGINT)
                          ELSE 0 END) AS BIGINT) / 6000.0 AS sum_safe_div,
            CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
@@ -291,7 +291,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH urls AS (
       SELECT 'https://data.example.org/' || event_type || '/ingest?k=' ||
-             CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) ||
+             CAST(CAST(json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS VARCHAR) ||
              '&u=' || CAST(user_id AS VARCHAR) AS url
       FROM events
     )

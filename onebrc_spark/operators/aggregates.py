@@ -973,10 +973,18 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_exact"),
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_est"),
         F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("p90_est"),
-        F.percentile("value", F.lit(0.49)).alias("p49"),
-        F.percentile("value", F.lit(0.51)).alias("p51"),
-        F.percentile("value", F.lit(0.89)).alias("p89"),
-        F.percentile("value", F.lit(0.91)).alias("p91"),
+        # DISCRETE (nearest-rank) band bounds, not interpolated: the KLL
+        # sketch returns an ACTUAL data value, so for a small group the
+        # interpolated p49..p51 band can be narrower than the gap between
+        # adjacent elements and the exact-for-small-n estimate sits outside
+        # it (edge-fixture class: 2-element group {5.55, 99.99} has
+        # interpolated p50 52.77 but est 5.55). percentile_disc bounds are
+        # data values at the slack ranks — the correct envelope for a
+        # value-returning sketch at ANY group size.
+        F.expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY value)").alias("p49"),
+        F.expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY value)").alias("p51"),
+        F.expr("percentile_disc(0.89) WITHIN GROUP (ORDER BY value)").alias("p89"),
+        F.expr("percentile_disc(0.91) WITHIN GROUP (ORDER BY value)").alias("p91"),
     )
     return agg.select(
         "event_type",

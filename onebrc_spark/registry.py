@@ -156,37 +156,43 @@ _PRIORITY = [
     "ml_token_budget",
     "ml_quality_upsample",
     "sort_global_dense_ids",
-    # (c) round-1-evidence rows, oldest code-vs-evidence gap (32)
+    # (b2) round-6 edge-hardening changes (ANSI-0/0 guards, lenient-JSON
+    # oracles, discrete percentile bands) — the other queries whose Spark
+    # expression or oracle text changed this round
+    "fn_json",
+    "fn_variant_json",
+    "fn_map_roundtrip",
+    "fn_try_arithmetic",
+    "fn_url_parse",
+    "agg_approx_percentile",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_admission",
+    "dedup_embedding_neardup",
+    "sim_knn_bruteforce",
+    "sim_semantic_prune",
+    # (c) round-1-evidence rows, oldest code-vs-evidence gap (20 of 32 —
+    # the other 12 yielded their slots to (b2)'s changed-code rows, chosen
+    # as the r1 rows whose operator family keeps another in-window
+    # representative; all remain locally green at sf0.01 AND sf0.1)
     "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_histogram",
     "agg_min_by_max_by",
     "agg_rollup",
     "agg_sum_count",
     "filter_predicates",
-    "fn_array_basics",
-    "fn_array_higher_order",
-    "fn_bitwise",
-    "fn_conditional",
     "fn_datetime",
     "fn_hash_digests",
     "fn_math",
     "fn_regexp",
     "fn_strings",
-    "join_cross",
     "join_full_outer",
-    "join_theta_nonequi",
     "project_prune",
     "setop_except",
-    "setop_except_all",
     "setop_intersect",
-    "setop_intersect_all",
     "setop_union_all",
     "sort_multi_key",
     "topk_limit",
-    "window_distribution",
-    "window_first_last_nth",
     # (d) VERDICT-named stale-SQL / code-changed rows
     "storage_csv_roundtrip",
     "evt_dedup_by_id",
@@ -200,12 +206,23 @@ _PRIORITY = [
     # window_range_frame yielded their round-6 slots to the four NEW ops
     # (first driver rows beat evidence refreshes; both are r1-stale but
     # their family has fresher rows and both are locally green at sf0.01
-    # and sf0.1). ----
+    # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
     "window_ranking",
     "window_range_frame",
+    "window_distribution",
+    "window_first_last_nth",
+    "agg_cube",
+    "agg_grouping_sets",
+    "fn_array_basics",
+    "fn_array_higher_order",
+    "fn_bitwise",
+    "fn_conditional",
+    "join_cross",
+    "join_theta_nonequi",
+    "setop_except_all",
+    "setop_intersect_all",
     "agg_collect_sorted_list",
     "agg_salted_twophase",
-    "dedup_embedding_neardup",
     "dedup_exact_distinct",
     "dedup_keep_first",
     "filter_null_semantics",
@@ -223,7 +240,6 @@ _PRIORITY = [
     "text_token_count_bpe",
     "udf_grouped_agg_geomean",
     "unpivot_stack",
-    "agg_approx_percentile",
     "agg_bitmap_distinct",
     "agg_equidepth_histogram",
     "agg_hll_sketch_merge",
@@ -235,7 +251,6 @@ _PRIORITY = [
     "evt_gap_fill_locf",
     "evt_retention_cohorts",
     "evt_transition_matrix",
-    "fn_variant_json",
     "join_asof_forward",
     "ml_contamination_ngram",
     "ml_fixed_size_sample",

@@ -188,3 +188,125 @@ def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_duck, name):
     sdf = q.fn(spark, edge_emb_dir)
     rel = edge_emb_duck.sql(q.oracle)
     assert_match(sdf, rel, name=f"{name}[edge-emb]")
+
+
+# --- edge events: NULL values, ties, storms, malformed props, off-grid ------
+
+EVT_ONLY = [
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_bitmap_distinct",
+    "agg_count_distinct",
+    "agg_histogram",
+    "agg_hll_sketch_merge",
+    "agg_partial_reaggregation",
+    "agg_stats",
+    "dq_observe_metrics",
+    "evt_dedup_by_id",
+    "evt_funnel",
+    "evt_gap_fill_lerp",
+    "evt_gap_fill_locf",
+    "evt_retention_cohorts",
+    "evt_session_window",
+    "evt_sliding_window",
+    "evt_transition_matrix",
+    "evt_tumbling_window",
+    "evt_watermark_late_drop",
+    "filter_null_semantics",
+    "fn_collation_ci",
+    "fn_json",
+    "fn_map_roundtrip",
+    "fn_try_arithmetic",
+    "fn_url_parse",
+    "fn_variant_json",
+    "join_asof",
+    "join_asof_forward",
+    "onebrc_flagship",
+    "onebrc_report",
+    "sql_agg_filter_clause",
+    "sql_udf_declared",
+    "storage_json_roundtrip",
+    "udf_grouped_agg_geomean",
+    "udf_grouped_map_zscore",
+    "udf_scalar_sigmoid",
+    "window_first_last_nth",
+    "window_lag_lead",
+]
+
+_T0 = "2024-03-01 00:0{m}:{s:02d}"
+
+_EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # user 1: normal funnel with a NULL-value click
+    (1, "2024-03-01 00:00:00", 1, "signup", 10.00, '{"k": 1}'),
+    (2, "2024-03-01 00:01:00", 1, "click", None, '{"k": 2}'),
+    (3, "2024-03-01 00:02:00", 1, "purchase", 99.99, '{"k": 3}'),
+    # user 2: single event, negative + off-grid value, malformed props
+    (4, "2024-03-01 00:00:30", 2, "view", -5.12345, "not json"),
+    # user 3: timestamp storm — 4 events at the SAME instant (asof ties,
+    # session boundaries), zero values, duplicate event_id (5 twice)
+    (5, "2024-03-01 00:05:00", 3, "click", 0.0, '{"k": 0}'),
+    (5, "2024-03-01 00:05:00", 3, "click", 0.0, '{"k": 0}'),
+    (6, "2024-03-01 00:05:00", 3, "view", 0.0, ""),
+    (7, "2024-03-01 00:05:00", 3, "error", 1e9, None),
+    # user 4: events exactly on 5-minute window boundaries
+    (8, "2024-03-01 00:00:00", 4, "view", 1.25, '{"k": 4}'),
+    (9, "2024-03-01 00:05:00", 4, "view", 2.50, '{"k": 5}'),
+    (10, "2024-03-01 00:10:00", 4, "view", 3.75, '{"k": 6}'),
+    # user 5: all values equal (zero variance), spanning two days (cohorts)
+    (11, "2024-03-01 00:00:10", 5, "click", 7.00, '{"k": 7}'),
+    (12, "2024-03-02 00:00:10", 5, "click", 7.00, '{"k": 8}'),
+    (13, "2024-03-08 00:00:10", 5, "click", 7.00, '{"k": 9}'),
+    # user 6: out-of-order arrival (event_id vs ts inverted), late row
+    (15, "2024-03-01 00:03:00", 6, "signup", 4.44, '{"k": 10}'),
+    (14, "2024-03-01 00:09:00", 6, "purchase", 5.55, '{"k": 11}'),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_evt_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_evt")
+    ev = spark.createDataFrame(
+        _EDGE_EVENTS,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props"
+    )
+    # Spark's default parquet timestamp encoding is legacy INT96, which the
+    # catalog's footer unit-sniffing (and DuckDB) reads differently than
+    # the driver's INT64 fixtures — write MICROS like the driver does.
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    # Some events-only queries register the whole catalog (register_views):
+    # link the untouched sf0.001 tables so only `events` is adversarial.
+    import shutil
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_evt_duck(edge_evt_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{edge_evt_dir}/events.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVT_ONLY)
+def test_edge_events_match_oracle(spark, edge_evt_dir, edge_evt_duck, name):
+    q = ALL[name]
+    sdf = q.fn(spark, edge_evt_dir)
+    rel = edge_evt_duck.sql(q.oracle)
+    assert_match(sdf, rel, name=f"{name}[edge-evt]")
