@@ -31,7 +31,14 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 PROGRESS = REPO / "PROGRESS.jsonl"
-GATE_TESTS = ["tests/test_oracle_parity.py", "tests/test_schema_lint.py"]
+GATE_TESTS = [
+    "tests/test_oracle_parity.py",
+    "tests/test_schema_lint.py",
+    # round-6 additions: adversarial-fixture differential suites — the
+    # degenerate/edge classes the sf* fixtures never execute
+    "tests/test_degenerate_groups.py",
+    "tests/test_edge_documents.py",
+]
 
 
 def tree_hash() -> str:
