@@ -28,7 +28,8 @@ from onebrc_spark.sources.catalog import load_table
            concat_ws('|', p_brand, p_type) AS brand_type,
            replace(p_name, ' ', '_') AS name_snake,
            CASE WHEN p_name LIKE '%al%' THEN 1 ELSE 0 END AS has_al,
-           split_part(p_type, ' ', 1) AS type_first_word
+           CASE WHEN p_type IS NULL THEN NULL
+                ELSE split_part(p_type, ' ', 1) END AS type_first_word
     FROM part ORDER BY p_partkey
     """,
     survey_ref="F5",

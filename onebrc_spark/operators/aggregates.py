@@ -824,9 +824,10 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            CAST(sum(CAST('0x' || substring(
-             md5(CAST(l_orderkey AS VARCHAR) || '|' ||
-                 CAST(l_linenumber AS VARCHAR) || '|' ||
-                 CAST(l_quantity AS BIGINT) || '|' || l_returnflag),
+             md5(coalesce(CAST(l_orderkey AS VARCHAR), '<null>') || '|' ||
+                 coalesce(CAST(l_linenumber AS VARCHAR), '<null>') || '|' ||
+                 coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '<null>')
+                 || '|' || coalesce(l_returnflag, '<null>')),
              1, 8) AS BIGINT)) AS BIGINT) AS fingerprint
     FROM lineitem
     """,
@@ -843,12 +844,17 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash is the portable md5-prefix-as-bigint used across the repo
     (dedup.py), so DuckDB reproduces it bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Every field is coalesced to an explicit sentinel BEFORE concatenation:
+    # concat_ws silently SKIPS null args (making (1,NULL,2) collide with
+    # (1,2)), and DuckDB's || nulls the whole key — both wrong for a
+    # content fingerprint. NULL must hash as a value of its own.
+    nul = F.lit("<null>")
     row_key = F.concat_ws(
         "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_quantity").cast("long").cast("string"),
-        F.col("l_returnflag"),
+        F.coalesce(F.col("l_orderkey").cast("string"), nul),
+        F.coalesce(F.col("l_linenumber").cast("string"), nul),
+        F.coalesce(F.col("l_quantity").cast("long").cast("string"), nul),
+        F.coalesce(F.col("l_returnflag"), nul),
     )
     row_hash = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
     return li.agg(
@@ -865,7 +871,7 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              ntile(10) OVER (
                ORDER BY l_extendedprice, l_orderkey, l_linenumber
              ) AS bucket
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT bucket, count(*) AS n,
            round(min(l_extendedprice), 2) AS lo,
@@ -886,7 +892,12 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketize pass (no global sort), same output contract."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL measures are excluded (as optimizer column stats do — null_count
+    # is its own statistic): with NULLs in the sort, Spark's NULLS-FIRST vs
+    # DuckDB's NULLS-LAST default would shift every bucket boundary.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     return (
         li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))

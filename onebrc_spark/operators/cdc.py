@@ -94,10 +94,14 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle of each side on o_orderkey (bucketed base → delta
     shuffles alone; dim-sized delta → broadcast, zero base movement)."""
     orders = load_table(spark, sf_dir, "orders")
-    b, d = _base(orders), _delta(orders)
+    # Side presence is detected with an explicit literal flag, NOT a payload
+    # column: a base row whose price is legitimately NULL is a CARRY, not an
+    # INSERT (the oracle keys on o_orderkey presence; so must we).
+    b = _base(orders).withColumn("b_present", F.lit(1))
+    d = _delta(orders).withColumn("d_present", F.lit(1))
     merged = b.alias("b").join(d.alias("d"), "o_orderkey", "full").select(
-        F.when(F.col("b.price").isNull(), "insert")
-        .when(F.col("d.price").isNull(), "carry")
+        F.when(F.col("b.b_present").isNull(), "insert")
+        .when(F.col("d.d_present").isNull(), "carry")
         .otherwise("update")
         .alias("action"),
         F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
@@ -150,7 +154,9 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     both snapshots share the bucketed layout so the diff is narrow."""
     orders = load_table(spark, sf_dir, "orders")
     snap_a = orders.filter(F.col("o_orderkey") % 4 != 3).select(
-        "o_orderkey", F.col("o_totalprice").alias("price")
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("a_present"),
     )
     snap_b = orders.filter(F.col("o_orderkey") % 4 != 1).select(
         "o_orderkey",
@@ -158,10 +164,13 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
             + F.when(F.col("o_orderkey") % 5 == 0, 10.0).otherwise(0.0)
         ).alias("price"),
+        F.lit(1).alias("b_present"),
     )
+    # Same presence-flag rule as the merge: a snapshot row with a NULL price
+    # still EXISTS in that snapshot (key-presence classification).
     diff = snap_a.alias("a").join(snap_b.alias("b"), "o_orderkey", "full").select(
-        F.when(F.col("a.price").isNull(), "added")
-        .when(F.col("b.price").isNull(), "removed")
+        F.when(F.col("a.a_present").isNull(), "added")
+        .when(F.col("b.b_present").isNull(), "removed")
         .when(F.col("a.price") != F.col("b.price"), "changed")
         .otherwise("unchanged")
         .alias("verdict"),

@@ -126,7 +126,8 @@ _SKEW_TOPK = 10
 def _skew_family_sql(family: str, table: str, key: str) -> str:
     return f"""
     SELECT '{family}' AS key_family,
-           CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+           CAST(row_number() OVER (ORDER BY cnt DESC, key NULLS FIRST)
+             AS BIGINT) AS rank,
            key, cnt,
            s.n_keys, s.n_rows,
            CAST(cnt * s.n_keys * 1000000 // s.n_rows AS BIGINT) AS load_ppm
@@ -138,7 +139,7 @@ def _skew_family_sql(family: str, table: str, key: str) -> str:
              CAST(sum(cnt) AS BIGINT) AS n_rows
       FROM (SELECT count(*) AS cnt FROM {table} GROUP BY {key})
     ) s
-    ORDER BY cnt DESC, key LIMIT {_SKEW_TOPK}
+    ORDER BY cnt DESC, key NULLS FIRST LIMIT {_SKEW_TOPK}
     """
 
 

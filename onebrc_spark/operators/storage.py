@@ -32,7 +32,11 @@ _ROOT = "/tmp/onebrc_spark_storage"
 
 
 def _tag(sf_dir: str) -> str:
-    return sf_dir.strip("/").replace("/", "_").replace(".", "p")
+    # Must be a valid unquoted SQL identifier: bucketed-table names embed it
+    # (pytest tmpdirs carry '-', which Spark's parser rejects unbackquoted).
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").replace(".", "p"))
 
 
 @query(

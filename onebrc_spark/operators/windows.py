@@ -91,18 +91,20 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
-                          l_quantity, l_extendedprice
+                 ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber,
+                          l_quantity NULLS FIRST, l_extendedprice NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_qty,
            (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                    OVER (PARTITION BY l_suppkey
-                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
-                                  l_quantity, l_extendedprice
+                         ORDER BY l_shipdate NULLS FIRST, l_orderkey,
+                                  l_linenumber, l_quantity NULLS FIRST,
+                                  l_extendedprice NULLS FIRST
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
             / CAST(count(*) OVER (PARTITION BY l_suppkey
-                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
-                                  l_quantity, l_extendedprice
+                         ORDER BY l_shipdate NULLS FIRST, l_orderkey,
+                                  l_linenumber, l_quantity NULLS FIRST,
+                                  l_extendedprice NULLS FIRST
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE))
             / 100.0 AS moving_avg_price
     FROM lineitem
@@ -123,7 +125,10 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
     # value columns join the sort key so the running order is total wrt the
     # aggregated values (sf0.1 has a full-key duplicate with differing
-    # quantity, which made prefix sums order-dependent).
+    # quantity, which made prefix sums order-dependent). The nullable sort
+    # keys carry NULLS FIRST in the oracle: Spark ASC defaults to NULLS
+    # FIRST, DuckDB to NULLS LAST, and a ROWS frame makes that placement
+    # observable in every prefix sum.
     w = Window.partitionBy("l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )

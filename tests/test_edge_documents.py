@@ -310,3 +310,142 @@ def test_edge_events_match_oracle(spark, edge_evt_dir, edge_evt_duck, name):
     sdf = q.fn(spark, edge_evt_dir)
     rel = edge_evt_duck.sql(q.oracle)
     assert_match(sdf, rel, name=f"{name}[edge-evt]")
+
+
+# --- edge CATALOG: all 10 tables adversarial, entire registry swept ----------
+#
+# NULL keys and NULL measures, orphan foreign keys (nation->region 99,
+# customer/supplier->nation 99, orders->customer 999, lineitem->orders 999),
+# customers with no orders, zero/negative/huge monetary values, discount at
+# both bounds, NULL dates and grouping keys, full-row duplicates. Design
+# constraints respected: per-group min_by/max_by extremes stay unique among
+# non-NULL values (the operator's documented tie precondition), and no two
+# rows share a window sort key with different payloads (full-row duplicates
+# are multiset-safe; partial ones would make rank output ambiguous in BOTH
+# engines).
+
+_EDGE_TPCH = {
+    "region": (
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+         (4, "MIDDLE EAST"), (5, "")],
+        "r_regionkey INT, r_name STRING",
+    ),
+    "nation": (
+        [(0, "NATION_0", 0), (1, "NATION_1", 1), (2, "NATION_2", 2),
+         (3, "NATION_3", 3), (4, "NATION_4", 99), (5, None, None)],
+        "n_nationkey INT, n_name STRING, n_regionkey INT",
+    ),
+    "customer": (
+        [(1, "Customer#1", 0, 100.50, "BUILDING"),
+         (2, "Customer#2", 1, -999.99, "AUTOMOBILE"),
+         (3, "Customer#3", 2, 0.0, "MACHINERY"),
+         (4, "Customer#4", 99, 55.25, "HOUSEHOLD"),     # orphan nation
+         (5, "Customer#5", None, None, None),            # NULL everything
+         (6, "Customer#6", 3, 7000.01, "FURNITURE"),    # no orders (q22)
+         (7, "Customer#2", 1, 42.42, "BUILDING"),       # duplicate name
+         (8, "Customer#8", 0, 0.01, "BUILDING")],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, "
+        "c_mktsegment STRING",
+    ),
+    "supplier": (
+        [(1, "Supplier#1", 0, 10.00),
+         (2, "Supplier#2", 1, -5.75),
+         (3, "Supplier#3", 99, 0.0),                     # orphan nation
+         (4, "Supplier#4", 2, None),                     # NULL acctbal
+         (5, "Supplier#1", 3, 99.99)],                   # duplicate name
+        "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    ),
+    "part": (
+        [(1, "part one", "Brand#5", "SMALL", 1, 10.00),
+         (2, "part two", "Brand#5", "ECONOMY", 0, 0.0),   # size 0, free
+         (3, "part three", "Brand#25", "PROMO", -1, 25.25),  # negative size
+         (4, "part four", "Brand#14", None, 50, None),    # NULL type/price
+         (5, "part five", "Brand#24", "LARGE", 7, 3.50),
+         (6, "part six", "Brand#12", "STANDARD", 7, 8.75)],
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE",
+    ),
+    "orders": (
+        [(1, 1, "O", 100.00, "1995-01-01 00:00:00", "1-URGENT"),
+         (2, 1, "F", 250.50, "1996-06-15 00:00:00", "2-HIGH"),
+         (3, 2, "P", 0.0, "1997-03-10 00:00:00", "3-MEDIUM"),
+         (4, 3, "O", 1e7, "1997-03-10 00:00:00", "4-NOT SPECIFIED"),
+         (5, 4, "F", None, "1998-11-30 00:00:00", "5-LOW"),   # NULL price
+         (6, 5, "O", 77.77, None, "1-URGENT"),                # NULL date
+         (7, 999, "F", 31.00, "1999-02-28 00:00:00", "2-HIGH"),  # orphan cust
+         (8, 999, "O", 32.00, "2000-02-29 00:00:00", "5-LOW"),   # leap day
+         (9, None, "P", 33.00, "2001-08-01 00:00:00", "3-MEDIUM"),  # NULL cust
+         (10, 8, "O", 44.44, "1995-01-01 00:00:00", "1-URGENT")],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate STRING, o_orderpriority STRING",
+    ),
+    "lineitem": (
+        [(1, 1, 1, 1, 5.0, 100.00, 0.05, 0.02, "R", "O", "1995-02-01 00:00:00"),
+         (1, 2, 2, 2, 0.0, 0.0, 0.0, 0.0, "A", "F", "1995-02-03 00:00:00"),
+         (2, 3, 3, 1, 3.0, 75.50, 1.0, 0.08, "N", "O", "1996-07-01 00:00:00"),
+         (2, 4, 4, 2, None, None, None, None, None, None, None),  # NULL row
+         (3, 5, 5, 1, 7.0, 200.25, 0.10, 0.0, "R", "F", "1997-04-01 00:00:00"),
+         (3, 5, 5, 1, 7.0, 200.25, 0.10, 0.0, "R", "F", "1997-04-01 00:00:00"),
+         # ^ full-row duplicate (multiset-safe)
+         (4, 6, 1, 1, 50.0, 9999.99, 0.07, 0.04, "A", "O", "1997-05-05 00:00:00"),
+         (5, 1, 2, 1, 2.0, 20.00, 0.02, 0.01, "N", "F", "1998-12-01 00:00:00"),
+         (6, 2, 3, 1, 4.0, 44.00, 0.04, 0.02, "R", "O", "1999-01-01 00:00:00"),
+         (999, 3, 4, 1, 9.0, 90.00, 0.09, 0.03, "A", "F", "1999-06-01 00:00:00"),
+         # ^ orphan orderkey
+         (7, 4, 5, 1, 1.0, 11.11, 0.0, 0.0, "N", "O", "2000-03-01 00:00:00"),
+         (8, 5, 1, 1, 6.0, 66.60, 0.06, 0.05, "R", "F", "2001-07-31 00:00:00")],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, "
+        "l_shipdate STRING",
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def edge_cat_dir(spark, tmp_path_factory, edge_dir, edge_emb_dir, edge_evt_dir):
+    """All 10 tables adversarial: TPC-H edge tables built here, documents /
+    embeddings / events reused from the single-table edge fixtures."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("edge_catalog")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        for name, (rows, schema) in _EDGE_TPCH.items():
+            df = spark.createDataFrame(rows, schema)
+            for c, t in (("o_orderdate", "orders"), ("l_shipdate", "lineitem")):
+                if name == t:
+                    df = df.withColumn(c, df[c].cast("timestamp"))
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(d / f"{name}.parquet")
+            )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    shutil.copytree(f"{edge_dir}/documents.parquet", str(d / "documents.parquet"))
+    shutil.copytree(
+        f"{edge_emb_dir}/embeddings.parquet", str(d / "embeddings.parquet")
+    )
+    shutil.copytree(f"{edge_evt_dir}/events.parquet", str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_cat_duck(edge_cat_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{edge_cat_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_edge_catalog_matches_oracle(spark, edge_cat_dir, edge_cat_duck, name):
+    q = ALL[name]
+    sdf = q.fn(spark, edge_cat_dir)
+    rel = edge_cat_duck.sql(q.oracle)
+    assert_match(sdf, rel, name=f"{name}[edge-cat]")
