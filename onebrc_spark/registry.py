@@ -176,18 +176,13 @@ _PRIORITY = [
     # as the r1 rows whose operator family keeps another in-window
     # representative; all remain locally green at sf0.01 AND sf0.1)
     "agg_count_distinct",
-    "agg_histogram",
-    "agg_min_by_max_by",
     "agg_rollup",
-    "agg_sum_count",
     "filter_predicates",
     "fn_datetime",
     "fn_hash_digests",
     "fn_math",
     "fn_regexp",
     "fn_strings",
-    "join_full_outer",
-    "project_prune",
     "setop_except",
     "setop_intersect",
     "setop_union_all",
@@ -200,6 +195,16 @@ _PRIORITY = [
     "cdc_snapshot_diff",
     "join_asof",
     "onebrc_generated",
+    # (e) edge-catalog hardening changes (NULL-semantics fixes late in
+    # round 6) — same-round proof; five (c) rows yielded their slots
+    # (agg_sum_count, agg_histogram, agg_min_by_max_by, join_full_outer,
+    # project_prune — each family keeps an in-window representative and
+    # all five are locally green at sf0.01 and sf0.1)
+    "agg_table_fingerprint",
+    "agg_equidepth_histogram",
+    "dq_key_skew_profile",
+    "window_running_frames",
+    "storage_bucketed_join",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
     # pre-ordered for the round-7 rotation). window_ranking and
@@ -207,6 +212,11 @@ _PRIORITY = [
     # (first driver rows beat evidence refreshes; both are r1-stale but
     # their family has fresher rows and both are locally green at sf0.01
     # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
+    "agg_sum_count",
+    "agg_histogram",
+    "agg_min_by_max_by",
+    "join_full_outer",
+    "project_prune",
     "window_ranking",
     "window_range_frame",
     "window_distribution",
@@ -231,7 +241,6 @@ _PRIORITY = [
     "mm_resize",
     "sim_label_centroid",
     "sql_exists_correlated",
-    "storage_bucketed_join",
     "storage_json_roundtrip",
     "storage_partitioned_pruning",
     "text_fuzzy_levenshtein",
@@ -241,7 +250,6 @@ _PRIORITY = [
     "udf_grouped_agg_geomean",
     "unpivot_stack",
     "agg_bitmap_distinct",
-    "agg_equidepth_histogram",
     "agg_hll_sketch_merge",
     "agg_partial_reaggregation",
     "agg_rank_correlation",

@@ -260,6 +260,12 @@ _EDGE_EVENTS = [
     # user 6: out-of-order arrival (event_id vs ts inverted), late row
     (15, "2024-03-01 00:03:00", 6, "signup", 4.44, '{"k": 10}'),
     (14, "2024-03-01 00:09:00", 6, "purchase", 5.55, '{"k": 11}'),
+    # users 9 and 10: straddle the numeric/lexicographic boundary — any
+    # per-station collapse ordered by key STRING ("10" < "9") instead of
+    # key VALUE (9 < 10) becomes observable (the round-5 onebrc_report
+    # defect class). Benign payloads: unique extremes, valid JSON.
+    (16, "2024-03-01 00:04:00", 9, "view", 8.25, '{"k": 12}'),
+    (17, "2024-03-01 00:06:00", 10, "view", 9.75, '{"k": 13}'),
 ]
 
 
