@@ -688,3 +688,109 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+# Stopword-shingle exclusion for the containment index: a gram present in
+# more than this many documents is boilerplate vocabulary, not evidence of
+# copying — and each gram with document frequency df fans out C(df, 2)
+# candidate pairs, so the cap also bounds the inverted-index join at
+# C(64, 2) ≈ 2k pairs per gram. The cap is part of the operator CONTRACT
+# (the oracle applies the same exclusion), not a silent approximation.
+_CONTAIN_DF_CAP = 64
+
+
+@query(
+    "dedup_overlap_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+      FROM toks
+    ), hot AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(*) > {_CONTAIN_DF_CAP}
+    ), kept AS (
+      SELECT doc_id, gram FROM g
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared,
+           sa.n_kept AS n_a, sb.n_kept AS n_b,
+           CAST(s.shared AS DOUBLE) / least(sa.n_kept, sb.n_kept) AS overlap
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE s.shared * 10 >= 9 * least(sa.n_kept, sb.n_kept)
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ref="X2c (asymmetric containment: doc-in-doc / quote detection)",
+)
+def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: overlap coefficient
+    |A∩B| / min(|A|, |B|) ≥ 0.9 over distinct word-3-gram sets. Jaccard
+    (dedup_ngram_jaccard) misses doc-in-doc copying — a 100-gram quote
+    inside a 10,000-gram page has Jaccard ≈ 0.01 but containment 1.0 —
+    and this is the signature of quoted/boilerplate/wrapper reuse that
+    contamination and dedup passes must catch.
+
+    Shape: inverted-index candidate generation, never all-pairs — explode
+    distinct grams, drop grams hotter than the df cap (broadcast anti-join
+    against the small hot set), self-join on gram (each gram fans out at
+    most C(cap,2) pairs), count shared grams per pair, then join the two
+    per-doc set sizes back. The threshold compares EXACT integers
+    (shared·10 ≥ 9·min) — no double boundary to flip across engines; the
+    reported overlap is the exact-integer quotient, unrounded."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    g = d.select(
+        "doc_id", F.explode(word_3grams(F.col("text"))).alias("gram")
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONTAIN_DF_CAP)
+        .select("gram")
+    )
+    kept = g.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    n_min = F.least(F.col("sa.n_kept"), F.col("sb.n_kept"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.col("shared") * 10 >= 9 * n_min)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("sa.n_kept").alias("n_a"),
+            F.col("sb.n_kept").alias("n_b"),
+            (F.col("shared").cast("double") / n_min).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+

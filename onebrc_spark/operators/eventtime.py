@@ -508,3 +508,77 @@ def evt_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("value_filled"),
         F.col("day_avg").isNull().cast("int").alias("is_gap"),
     ).orderBy("user_id", "day")
+
+@query(
+    "evt_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_values,
+           max(d.med) AS med,
+           max(a.mad) AS mad,
+           CAST(coalesce(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 END), 0)
+             AS BIGINT) AS n_anomalies,
+           CAST(coalesce(sum(CASE WHEN d.adev > 3 * a.mad
+                   THEN CAST(round(d.value * 100) AS BIGINT) END), 0)
+             AS BIGINT) AS anom_cents
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    survey_ref="X16b (robust anomaly flags: median/MAD, the outlier-proof 3-sigma)",
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: flag values whose absolute
+    deviation from the group median exceeds 3x the median absolute
+    deviation (MAD). Unlike mean/stddev z-scores (udf_grouped_map_zscore),
+    the median/MAD pair has a 50% breakdown point — a telemetry pipeline's
+    1e9-valued poison rows move it by nothing, which is exactly why
+    monitoring stacks score on MAD.
+
+    Shape: two grouped exact medians with a broadcast join-back between
+    them (the per-type median table is GROUP-BY-cardinality-sized, never
+    fact-sized). Exact median = per-group sort, the stats-job contract
+    (same as agg_equidepth_histogram); the streaming-scale variant swaps
+    in approx_percentile(0.5) with identical plumbing. All-constant groups
+    get mad=0 and flag nothing (adev > 0 is false for every member);
+    zero-division never arises — no ratios at all."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        e.filter(F.col("value").isNotNull())
+        .join(F.broadcast(med), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_anom = F.col("adev") > 3 * F.col("mad")
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.coalesce(F.sum(F.when(is_anom, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.coalesce(
+                F.sum(
+                    F.when(is_anom, F.round(F.col("value") * 100).cast("long"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("anom_cents"),
+        )
+        .orderBy("event_type")
+    )
+

@@ -327,3 +327,82 @@ def text_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 6)
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+@query(
+    "text_repetition_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS word FROM toks
+    ), c AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY doc_id, word
+    ), p AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(max(cnt) AS BIGINT) AS top_cnt,
+             CAST(coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT)
+               AS dup_tokens
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(p.top_cnt AS DOUBLE) / p.n_tokens AS top_word_share,
+           CAST(p.dup_tokens AS DOUBLE) / p.n_tokens AS dup_token_frac
+    FROM toks t LEFT JOIN p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey_ref="X4e (repetition signals: Gopher-style quality filter inputs)",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher/FineWeb quality-filter
+    inputs that catch boilerplate and degenerate generations: most-frequent-
+    token share (top_word_share) and the fraction of tokens belonging to a
+    word that repeats (dup_token_frac). High values on either are the
+    canonical drop signals for template pages and stuck-decoder text.
+    Complements text_repetition_score (curation.py), which thresholds
+    per-SOURCE bigram repetition — this is the per-DOCUMENT word-level
+    profile a filter inspects before dropping individual rows.
+
+    Shape: explode -> wordcount on (doc_id, word) -> per-doc fold -> left
+    join back onto the doc spine so token-less documents survive with
+    n_tokens=0 and NULL shares (ANSI-safe: no 0/0). Both shuffles carry
+    (id, word-key, count) longs, never the text; the spine join is on
+    doc_id only. Ratios are exact-integer divisions emitted unrounded
+    (registry rulebook) — bit-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(_WORDS(F.col("text")), lambda w: w != "").alias("ws"),
+    )
+    counts = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    prof = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_word_share"
+            ),
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -180,14 +180,11 @@ _PRIORITY = [
     "filter_predicates",
     "fn_datetime",
     "fn_hash_digests",
-    "fn_math",
-    "fn_regexp",
     "fn_strings",
     "setop_except",
     "setop_intersect",
     "setop_union_all",
     "sort_multi_key",
-    "topk_limit",
     # (d) VERDICT-named stale-SQL / code-changed rows
     "storage_csv_roundtrip",
     "evt_dedup_by_id",
@@ -205,6 +202,12 @@ _PRIORITY = [
     "dq_key_skew_profile",
     "window_running_frames",
     "storage_bucketed_join",
+    # (f) NEW ops added late in round 6 — first driver rows beat evidence
+    # refreshes (fn_math and topk_limit yielded; both families keep
+    # in-window representatives and both are locally green at both SFs)
+    "text_repetition_profile",
+    "evt_anomaly_mad",
+    "dedup_overlap_containment",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
     # pre-ordered for the round-7 rotation). window_ranking and
@@ -212,6 +215,9 @@ _PRIORITY = [
     # (first driver rows beat evidence refreshes; both are r1-stale but
     # their family has fresher rows and both are locally green at sf0.01
     # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
+    "fn_regexp",
+    "fn_math",
+    "topk_limit",
     "agg_sum_count",
     "agg_histogram",
     "agg_min_by_max_by",

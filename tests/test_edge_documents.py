@@ -36,6 +36,7 @@ DOC_ONLY = [
     "dedup_keep_first",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_overlap_containment",
     "dedup_simhash",
     "fn_hash_digests",
     "fn_regexp",
@@ -66,6 +67,7 @@ DOC_ONLY = [
     "text_ngram_tf",
     "text_pii_redaction",
     "text_quality_score",
+    "text_repetition_profile",
     "text_repetition_score",
     "text_source_overlap",
     "text_stopword_removal",
@@ -202,6 +204,7 @@ EVT_ONLY = [
     "agg_partial_reaggregation",
     "agg_stats",
     "dq_observe_metrics",
+    "evt_anomaly_mad",
     "evt_dedup_by_id",
     "evt_funnel",
     "evt_gap_fill_lerp",
