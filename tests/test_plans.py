@@ -655,3 +655,51 @@ def test_global_dense_ids_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in txt, txt[:3000]
     assert "Exchange rangepartitioning" in txt, txt[:2000]
     assert has_broadcast_join(df)
+
+
+def test_repetition_profile_shuffles_carry_counts_not_text(spark):
+    """text_repetition_profile's scale claims: explode → wordcount →
+    per-doc fold is two hash exchanges on (doc_id, word) / doc_id with
+    map-side partial aggregation, plus the doc-spine join's exchange —
+    the text column itself never appears in a shuffle (pruned before the
+    explode output is aggregated)."""
+    import re
+
+    from onebrc_spark.operators.textops import text_repetition_profile
+
+    df = text_repetition_profile(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "partial_count" in txt or "partial_sum" in txt, txt[:2000]
+    assert "Generate explode" in txt, txt[:2000]
+    # hash exchanges: wordcount key, per-doc fold, spine-join key(s) — and
+    # none of them may carry the raw text column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_anomaly_mad_join_backs_are_broadcast(spark):
+    """evt_anomaly_mad's scale claims: both median join-backs broadcast the
+    GROUP-cardinality-sized side (never a fact-fact SortMergeJoin), and the
+    medians sort within groups, not globally."""
+    from onebrc_spark.operators.eventtime import evt_anomaly_mad
+
+    df = evt_anomaly_mad(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert "SortMergeJoin" not in txt, txt[:3000]
+    assert "Exchange SinglePartition" not in txt, txt[:3000]
+
+
+def test_overlap_containment_anti_join_broadcasts_hot_set(spark):
+    """dedup_overlap_containment's scale claims: the hot-gram exclusion is
+    a broadcast anti-join (the hot set is small by construction), the pair
+    join is an equi-join on gram (no BroadcastNestedLoopJoin / cartesian
+    all-pairs anywhere), and the gram wordcounts combine map-side."""
+    from onebrc_spark.operators.dedup import dedup_overlap_containment
+
+    df = dedup_overlap_containment(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt[:3000]
+    assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
+    assert "CartesianProduct" not in txt, txt[:3000]
+    assert "partial_count" in txt, txt[:2000]
