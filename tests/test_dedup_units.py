@@ -266,3 +266,42 @@ def test_incremental_candidate_load_grows_slower_than_global_dedup(spark):
     # corpus grew 4x: incremental load tracks it; global load outpaces it.
     assert inc_growth < full_growth
     assert inc_growth < 8  # ~linear in corpus for the fixed batch
+
+
+def test_overlap_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """Semantic contract of dedup_overlap_containment beyond oracle parity
+    (which only proves Spark==DuckDB of the same formula): a short document
+    fully quoted inside a much longer one must flag with overlap 1.0 even
+    though its Jaccard similarity is far below the 0.8 dedup threshold."""
+    import uuid
+
+    from onebrc_spark.operators.dedup import dedup_overlap_containment
+
+    # quote: 12 words -> 10 distinct 3-grams; host: quote + 88 unique words
+    quote_words = [f"q{i}" for i in range(12)]
+    host_words = quote_words + [f"h{uuid.uuid4().hex[:8]}_{i}" for i in range(88)]
+    filler = [  # unrelated docs so the df-cap census has variety
+        (10 + i, " ".join(f"f{i}_{j}" for j in range(30)), "en", "filler", 0)
+        for i in range(3)
+    ]
+    rows = [
+        (1, " ".join(quote_words), "en", "src", 0),
+        (2, " ".join(host_words), "en", "src", 0),
+    ] + filler
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in dedup_overlap_containment(spark, d).collect()
+        }
+    assert (1, 2) in out, out
+    r = out[(1, 2)]
+    assert r["overlap"] == 1.0 and r["n_a"] == 10 and r["shared"] == 10
+    # Jaccard of the same pair is 10 / (10 + 98 - 10) < 0.11 — far below the
+    # 0.8 dedup threshold; this is exactly the pair class Jaccard misses.
+    jaccard = r["shared"] / (r["n_a"] + r["n_b"] - r["shared"])
+    assert jaccard < 0.2, jaccard

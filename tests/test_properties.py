@@ -715,3 +715,65 @@ def test_domain_cap_and_token_budget_contracts(spark):
         assert r["kept_tokens"] <= _TOKEN_BUDGET, r
         assert r["n_kept"] + r["n_dropped"] == per_source_docs[r["source"]], r
         assert r["n_kept"] >= 1, r  # budget admits at least the first doc here
+
+
+def test_repetition_profile_extremes(spark):
+    """Semantic contract beyond oracle parity: a fully-repetitive document
+    scores 1.0 on both signals, an all-unique document scores 1/n and 0,
+    and a token-less document survives with n_tokens=0 and NULL shares."""
+    import tempfile
+
+    from onebrc_spark.operators.textops import text_repetition_profile
+
+    rows = [
+        (1, "x x x x x", "en", "s", 0),
+        (2, "a b c d e", "en", "s", 0),
+        (3, "   ", "en", "s", 0),
+        (4, "a b a b c", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in text_repetition_profile(spark, d).collect()}
+    assert out[1]["top_word_share"] == 1.0 and out[1]["dup_token_frac"] == 1.0
+    assert out[2]["top_word_share"] == 0.2 and out[2]["dup_token_frac"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["top_word_share"] is None
+    assert out[4]["top_word_share"] == 0.4  # 'a' and 'b' twice each of 5
+    assert out[4]["dup_token_frac"] == 0.8  # only 'c' is unique
+
+
+def test_anomaly_mad_is_poison_resistant(spark):
+    """Semantic contract: one 1e9 poison row in a tight group must flag as
+    the group's ONLY anomaly (median/MAD barely move — the property that
+    makes MAD the monitoring-stack scorer where mean/stddev z-scores
+    swallow their own outlier), and an all-constant group flags nothing."""
+    import tempfile
+
+    from onebrc_spark.operators.eventtime import evt_anomaly_mad
+
+    rows = (
+        # tight group around 10 with one poison row
+        [(i, "2024-03-01 00:00:%02d" % i, 1, "tight", 10.0 + (i % 3) * 0.01, None)
+         for i in range(20)]
+        + [(99, "2024-03-01 00:01:00", 1, "tight", 1e9, None)]
+        # constant group
+        + [(200 + i, "2024-03-01 00:02:%02d" % i, 2, "const", 7.0, None)
+           for i in range(5)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["event_type"]: r for r in evt_anomaly_mad(spark, d).collect()}
+    tight = out["tight"]
+    assert tight["n_anomalies"] == 1, tight
+    assert tight["anom_cents"] == int(1e9) * 100
+    assert abs(tight["med"] - 10.01) < 0.02  # median unmoved by the poison
+    const = out["const"]
+    assert const["n_anomalies"] == 0 and const["mad"] == 0.0
