@@ -38,6 +38,8 @@ GATE_TESTS = [
     # degenerate/edge classes the sf* fixtures never execute
     "tests/test_degenerate_groups.py",
     "tests/test_edge_documents.py",
+    # registry-wide shuffle-regression tripwire (plans only — ~45 s)
+    "tests/test_plan_census.py",
 ]
 
 
