@@ -103,7 +103,7 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
              format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
       FROM agg
     )
-    SELECT '{' || string_agg(line, ', ' ORDER BY station) || '}' AS report
+    SELECT '{' || coalesce(string_agg(line, ', ' ORDER BY station), '') || '}' AS report
     FROM lines
     """,
     survey_ref="S8,F1,F3",
@@ -336,6 +336,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     ORDER BY returnflag, linestatus
     """,
     survey_ref="A9",
@@ -369,6 +370,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              / count(*) / 1e2 AS avg_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     ORDER BY returnflag, linestatus
     """,
     survey_ref="A9",
@@ -544,6 +546,7 @@ _GROUPING_SETS_SQL = """
            count(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING count(*) > 0
     ORDER BY returnflag, linestatus
 """
 

@@ -177,7 +177,7 @@ def evt_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evt_dedup_by_id",
     oracle="""
     SELECT count(*) AS n_unique,
-           CAST(sum(n_dupes) AS BIGINT) AS n_dropped
+           CAST(coalesce(sum(n_dupes), 0) AS BIGINT) AS n_dropped
     FROM (
       SELECT event_id, count(*) - 1 AS n_dupes
       FROM events GROUP BY event_id

@@ -247,13 +247,19 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # coalesce: SUM over an EMPTY table is NULL in both engines, but the
+    # oracle counts with count(*) (0) — an empty-partition-day audit must
+    # report zero violations, not NULL
     li_audit = li.agg(
-        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("lineitem_negative_price"),
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("lineitem_discount_range"),
@@ -264,7 +270,7 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("lineitem_orphan_orderkey"))
     )
     o_audit = orders.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("orders_null_custkey"),
     )

@@ -296,7 +296,7 @@ def _banded_stats_sql() -> str:
         parts.append(f"""
         SELECT {band} AS band,
                count(*) AS n_buckets,
-               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_candidates
+               CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_candidates
         FROM (
           SELECT {_bucket_sql_for('embedding', planes[band])} AS bucket,
                  count(*) AS c
@@ -323,11 +323,20 @@ def sim_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     b = banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
     occ = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    census = occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_candidates"),
+    )
+    # The band list is an index PARAMETER, not data: the census must carry
+    # every band even when the corpus (or a band's bucket set) is empty —
+    # an empty-partition-day cost estimate is "0 candidates", not "no rows".
+    spine = spark.range(_STATS_BANDS).select(F.col("id").cast("int").alias("band"))
     return (
-        occ.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_candidates"),
+        spine.join(census, "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_buckets", F.lit(0)).cast("long").alias("n_buckets"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
         )
         .orderBy("band")
     )

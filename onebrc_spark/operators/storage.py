@@ -68,7 +68,19 @@ def storage_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
     )
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dest)
-    back = spark.read.parquet(dest).filter(F.col("l_returnflag") == "R")
+    # Schema declared, not inferred (the repo's S1 no-inference rule): an
+    # EMPTY source writes zero part files and zero partition dirs, and
+    # schema inference on that directory fails outright — a production
+    # "empty partition day" must read back as 0 rows, not crash.
+    back_schema = (
+        "l_linestatus STRING, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_returnflag STRING"
+    )
+    back = (
+        spark.read.schema(back_schema)
+        .parquet(dest)
+        .filter(F.col("l_returnflag") == "R")
+    )
     return (
         back.groupBy("l_linestatus")
         .agg(

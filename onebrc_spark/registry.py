@@ -215,6 +215,13 @@ _PRIORITY = [
     # (first driver rows beat evidence refreshes; both are r1-stale but
     # their family has fresher rows and both are locally green at sf0.01
     # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
+    # round-6 empty-catalog touch-ups (populated-input results unchanged —
+    # HAVING/coalesce/spine only bite on empty inputs; re-prove first in r7)
+    "agg_cube",
+    "agg_grouping_sets",
+    "dq_constraint_audit",
+    "sim_lsh_candidate_stats",
+    "storage_partitioned_pruning",
     "fn_regexp",
     "fn_math",
     "topk_limit",
@@ -227,8 +234,6 @@ _PRIORITY = [
     "window_range_frame",
     "window_distribution",
     "window_first_last_nth",
-    "agg_cube",
-    "agg_grouping_sets",
     "fn_array_basics",
     "fn_array_higher_order",
     "fn_bitwise",
@@ -248,7 +253,6 @@ _PRIORITY = [
     "sim_label_centroid",
     "sql_exists_correlated",
     "storage_json_roundtrip",
-    "storage_partitioned_pruning",
     "text_fuzzy_levenshtein",
     "text_ngram_tf",
     "text_quality_score",
@@ -259,7 +263,6 @@ _PRIORITY = [
     "agg_hll_sketch_merge",
     "agg_partial_reaggregation",
     "agg_rank_correlation",
-    "dq_constraint_audit",
     "dq_observe_metrics",
     "evt_gap_fill_lerp",
     "evt_gap_fill_locf",
@@ -272,7 +275,6 @@ _PRIORITY = [
     "ml_sequence_packing",
     "ml_stratified_sample",
     "mm_byte_stats_arrow",
-    "sim_lsh_candidate_stats",
     "sql_lateral_topn",
     "sql_tpch_q13_shape",
     "sql_tpch_q18_shape",

@@ -458,3 +458,50 @@ def test_edge_catalog_matches_oracle(spark, edge_cat_dir, edge_cat_duck, name):
     sdf = q.fn(spark, edge_cat_dir)
     rel = edge_cat_duck.sql(q.oracle)
     assert_match(sdf, rel, name=f"{name}[edge-cat]")
+
+
+# --- edge EMPTY catalog: all 10 tables present, all 0 rows -------------------
+#
+# The "empty partition day" reality: a pipeline pointed at a day/source with
+# no data must produce empty (or census-zero) results, not crash. This class
+# executes code paths no populated fixture reaches: iterative convergence
+# probes over empty edge sets, k-means over an empty sample, min/max over
+# nothing, windows over zero partitions.
+
+
+@pytest.fixture(scope="module")
+def edge_empty_dir(spark, tmp_path_factory):
+    from onebrc_spark import schemas
+
+    d = tmp_path_factory.mktemp("edge_empty")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        for name, schema in schemas.TABLES.items():
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / f"{name}.parquet"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_empty_duck(edge_empty_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{edge_empty_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_edge_empty_catalog_matches_oracle(spark, edge_empty_dir, edge_empty_duck, name):
+    q = ALL[name]
+    sdf = q.fn(spark, edge_empty_dir)
+    rel = edge_empty_duck.sql(q.oracle)
+    assert_match(sdf, rel, name=f"{name}[edge-empty]")
