@@ -849,3 +849,166 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(_LIFT_TOPK)
     )
+
+# End-to-end pipeline contract constants (each calibrated so EVERY stage
+# drops documents at the driver SF — no vacuous stages; see the docstring).
+_PIPE_MIN_TOKENS = 15
+_PIPE_MIN_TYPE_RATIO_X10 = 4     # distinct-word ratio >= 0.4, exact integers
+_PIPE_DOMAIN_CAP = 12            # max docs per source (token-richest first)
+_PIPE_TOKEN_BUDGET = 450         # max admitted tokens per source
+
+
+@query(
+    "ml_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                  t -> t <> ''))) AS BIGINT) AS n_types
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, source, n_tokens,
+             (row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1)
+               AS s1,
+             (row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+              AND n_tokens >= {_PIPE_MIN_TOKENS}
+              AND n_types * 10 >= {_PIPE_MIN_TYPE_RATIO_X10} * n_tokens)
+               AS s2
+      FROM toks
+    ), ranked AS (
+      SELECT *,
+             sum(CASE WHEN s2 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cond_rnk
+      FROM flags
+    ), capped AS (
+      SELECT *, (s2 AND cond_rnk <= {_PIPE_DOMAIN_CAP}) AS s3 FROM ranked
+    ), budgeted AS (
+      SELECT *,
+             sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cond_cum
+      FROM capped
+    ), final AS (
+      SELECT *, (s3 AND cond_cum <= {_PIPE_TOKEN_BUDGET}) AS s4 FROM budgeted
+    ), census AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(coalesce(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN s2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+             CAST(coalesce(sum(CASE WHEN s3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+             CAST(coalesce(sum(CASE WHEN s4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n4,
+             CAST(coalesce(sum(CASE WHEN s1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t1,
+             CAST(coalesce(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
+             CAST(coalesce(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
+             CAST(coalesce(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4
+      FROM final
+    )
+    SELECT 1 AS stage_ord, 'exact_dedup' AS stage,
+           n0 AS docs_in, n1 AS docs_out, t1 AS tokens_out FROM census
+    UNION ALL SELECT 2, 'quality_filter', n1, n2, t2 FROM census
+    UNION ALL SELECT 3, 'domain_cap', n2, n3, t3 FROM census
+    UNION ALL SELECT 4, 'token_budget', n3, n4, t4 FROM census
+    ORDER BY stage_ord
+    """,
+    survey_ref="X1,X4b,X11 (composed curation pipeline with per-stage accounting)",
+)
+def ml_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation run: exact dedup → quality filter → per-domain
+    cap → per-source token budget, with the per-stage survivor/token
+    accounting every production run publishes. This is the end-to-end
+    funnel a user of the reference would actually operate; the individual
+    stages exist as standalone audited operators (dedup_exact,
+    text_quality_score, ml_domain_cap, ml_token_budget) — this op proves
+    they COMPOSE, and prices each stage's cut.
+
+    Shape — the one-pass composed-stage pattern: stage membership is a
+    CONDITIONAL-WINDOW FLAG, not a materialized intermediate. Stage 3's
+    rank-among-survivors is `sum(CASE WHEN s2 THEN 1 END)` over the
+    (n_tokens DESC, doc_id) window; stage 4's running token sum counts
+    only s3 survivors over the doc_id window. Total cost: ONE shuffle on
+    digest + ONE shuffle on source feeding both source-windows (the SCD2
+    one-exchange pattern), then a single map-side-combinable census — the
+    naive form (filter → count per stage) scans the corpus five times.
+    Every number is an exact integer; stage ordering is total
+    (doc_id tiebreaks), so the census is partition-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_types"),
+    )
+    w_digest = Window.partitionBy("digest").orderBy("doc_id")
+    s1 = F.row_number().over(w_digest) == 1
+    s2 = (
+        s1
+        & (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+        & (F.col("n_types") * 10 >= _PIPE_MIN_TYPE_RATIO_X10 * F.col("n_tokens"))
+    )
+    flags = toks.select("doc_id", "source", "n_tokens", s1.alias("s1"), s2.alias("s2"))
+    w_rank = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cond_rnk = F.sum(F.when(F.col("s2"), 1).otherwise(0)).over(w_rank)
+    capped = flags.withColumn(
+        "s3", F.col("s2") & (cond_rnk <= _PIPE_DOMAIN_CAP)
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cond_cum = F.sum(
+        F.when(F.col("s3"), F.col("n_tokens")).otherwise(0)
+    ).over(w_budget)
+    final = capped.withColumn("s4", F.col("s3") & (cond_cum <= _PIPE_TOKEN_BUDGET))
+
+    def _n(flag):
+        return F.coalesce(
+            F.sum(F.when(F.col(flag), 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    def _t(flag):
+        return F.coalesce(
+            F.sum(F.when(F.col(flag), F.col("n_tokens")).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    census = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        _n("s1").alias("n1"), _n("s2").alias("n2"),
+        _n("s3").alias("n3"), _n("s4").alias("n4"),
+        _t("s1").alias("t1"), _t("s2").alias("t2"),
+        _t("s3").alias("t3"), _t("s4").alias("t4"),
+    )
+    # The census row fans out to 4 stage rows by EXPLODE, not by a union of
+    # four selects — a union re-plans the whole census lineage per branch.
+    stages = [
+        (1, "exact_dedup", "n0", "n1", "t1"),
+        (2, "quality_filter", "n1", "n2", "t2"),
+        (3, "domain_cap", "n2", "n3", "t3"),
+        (4, "token_budget", "n3", "n4", "t4"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(ord_).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                F.col(cin).alias("docs_in"),
+                F.col(cout).alias("docs_out"),
+                F.col(tout).alias("tokens_out"),
+            )
+            for ord_, name, cin, cout, tout in stages
+        ]
+    )
+    return (
+        census.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("stage_ord")
+    )
+

@@ -42,6 +42,7 @@ DOC_ONLY = [
     "fn_regexp",
     "ml_cluster_safe_split",
     "ml_contamination_ngram",
+    "ml_curation_pipeline",
     "ml_deterministic_shard",
     "ml_domain_cap",
     "ml_fixed_size_sample",

@@ -703,3 +703,20 @@ def test_overlap_containment_anti_join_broadcasts_hot_set(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
     assert "CartesianProduct" not in txt, txt[:3000]
     assert "partial_count" in txt, txt[:2000]
+
+
+def test_curation_pipeline_one_pass_two_shuffles(spark):
+    """ml_curation_pipeline's scale claim: the composed 4-stage funnel is
+    ONE pass — one hash exchange on digest, one on source feeding BOTH
+    source-windows (rank and budget share the clustering), a single
+    partial/final census, and an explode fan-out. No join, no union of
+    re-planned census branches, no per-stage scans."""
+    import re
+
+    from onebrc_spark.operators.curation import ml_curation_pipeline
+
+    df = ml_curation_pipeline(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 2, txt[:3000]
+    assert "Join" not in txt, txt[:3000]
+    assert txt.count("documents.parquet") == 1, txt[:3000]
