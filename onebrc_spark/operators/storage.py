@@ -374,3 +374,88 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+@query(
+    "storage_compaction",
+    oracle="""
+    WITH fp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CAST('0x' || substring(
+               md5(coalesce(CAST(l_orderkey AS VARCHAR), '<null>') || '|' ||
+                   coalesce(CAST(l_linenumber AS VARCHAR), '<null>') || '|' ||
+                   coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                                 AS VARCHAR), '<null>') || '|' ||
+                   coalesce(l_returnflag, '<null>')),
+               1, 8) AS BIGINT)), 0) AS BIGINT) AS fingerprint
+      FROM lineitem
+    )
+    SELECT 'fragmented' AS layout, n_rows, fingerprint FROM fp
+    UNION ALL
+    SELECT 'compacted', n_rows, fingerprint FROM fp
+    ORDER BY layout
+    """,
+    survey_ref="S6,S8 (small-file compaction: lossless layout rewrite)",
+)
+def storage_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — THE operational chore of a 100 TB lake:
+    ingest leaves thousands of tiny files per partition (one per task per
+    micro-batch), and scan throughput collapses under per-file open/footer
+    costs. This op writes a deliberately fragmented copy (64-way round-
+    robin), compacts it with a coalesce-style rewrite to the target file
+    count, and proves the rewrite LOSSLESS: the order-independent content
+    fingerprint (agg_table_fingerprint's sum-of-row-hashes) of both
+    layouts must equal the oracle's fingerprint of the original table.
+
+    The file-count physics (64 files -> few, sizes near target) is a
+    physical artifact no SQL oracle can see — it is asserted in
+    tests/test_properties.py::test_compaction_reduces_files; the ORACLE
+    contract here is content invariance, which is what makes compaction
+    safe to run unattended. Scale: the rewrite is one narrow
+    repartition-write per partition window — at 100 TB you compact
+    per-partition (a day, a source), never the whole table at once."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    frag = f"{_ROOT}/{_tag(sf_dir)}/lineitem_fragmented"
+    comp = f"{_ROOT}/{_tag(sf_dir)}/lineitem_compacted"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+
+    back_schema = (
+        "l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, "
+        "l_returnflag STRING"
+    )
+    fragmented = spark.read.schema(back_schema).parquet(frag)
+    n_rows = fragmented.count()
+    # target ~256k rows/file (stand-in for a byte target: row width is
+    # fixed here); never 0 partitions
+    n_out = max(1, math.ceil(n_rows / 262_144))
+    fragmented.repartition(n_out).write.mode("overwrite").parquet(comp)
+    compacted = spark.read.schema(back_schema).parquet(comp)
+
+    nul = F.lit("<null>")
+    def fingerprint(df, layout):
+        row_key = F.concat_ws(
+            "|",
+            F.coalesce(F.col("l_orderkey").cast("string"), nul),
+            F.coalesce(F.col("l_linenumber").cast("string"), nul),
+            F.coalesce(
+                F.round(F.col("l_quantity") * 100).cast("long").cast("string"),
+                nul,
+            ),
+            F.coalesce(F.col("l_returnflag"), nul),
+        )
+        row_hash = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
+        return df.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(row_hash), F.lit(0)).cast("long").alias("fingerprint"),
+        )
+
+    return (
+        fingerprint(fragmented, "fragmented")
+        .unionAll(fingerprint(compacted, "compacted"))
+        .orderBy("layout")
+    )
+

@@ -178,7 +178,6 @@ _PRIORITY = [
     "agg_count_distinct",
     "agg_rollup",
     "filter_predicates",
-    "fn_hash_digests",
     "fn_strings",
     "setop_except",
     "setop_intersect",
@@ -208,6 +207,7 @@ _PRIORITY = [
     "evt_anomaly_mad",
     "dedup_overlap_containment",
     "ml_curation_pipeline",
+    "storage_compaction",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
     # pre-ordered for the round-7 rotation). window_ranking and
@@ -217,6 +217,7 @@ _PRIORITY = [
     # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
     # round-6 empty-catalog touch-ups (populated-input results unchanged —
     # HAVING/coalesce/spine only bite on empty inputs; re-prove first in r7)
+    "fn_hash_digests",
     "fn_datetime",
     "agg_cube",
     "agg_grouping_sets",

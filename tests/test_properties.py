@@ -777,3 +777,28 @@ def test_anomaly_mad_is_poison_resistant(spark):
     assert abs(tight["med"] - 10.01) < 0.02  # median unmoved by the poison
     const = out["const"]
     assert const["n_anomalies"] == 0 and const["mad"] == 0.0
+
+
+def test_compaction_reduces_files(spark):
+    """storage_compaction's physical contract — the part no SQL oracle can
+    see: the fragmented layout has 64 part files, the compacted rewrite
+    collapses them to the row-count-derived target (1 at smoke scale), and
+    both layouts hold identical content (asserted via the query's own
+    fingerprint rows, which also ran green against the oracle)."""
+    import glob
+    import math
+
+    from onebrc_spark.operators.storage import _ROOT, _tag, storage_compaction
+    from tests.conftest import SMOKE_SF_DIR
+
+    rows = {r["layout"]: r for r in storage_compaction(spark, SMOKE_SF_DIR).collect()}
+    assert rows["fragmented"]["fingerprint"] == rows["compacted"]["fingerprint"]
+    assert rows["fragmented"]["n_rows"] == rows["compacted"]["n_rows"]
+
+    tag = _tag(SMOKE_SF_DIR)
+    n_frag = len(glob.glob(f"{_ROOT}/{tag}/lineitem_fragmented/part-*"))
+    n_comp = len(glob.glob(f"{_ROOT}/{tag}/lineitem_compacted/part-*"))
+    assert n_frag == 64, n_frag
+    expected = max(1, math.ceil(rows["compacted"]["n_rows"] / 262_144))
+    assert n_comp == expected, (n_comp, expected)
+    assert n_comp < n_frag
