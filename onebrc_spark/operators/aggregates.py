@@ -21,7 +21,7 @@ words per key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onebrc_spark.registry import query
@@ -822,6 +822,20 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def row_fingerprint(*cols) -> Column:
+    """THE row-content fingerprint term (shared by agg_table_fingerprint and
+    storage_compaction — one definition, so the two can never diverge):
+    every field is coalesced to an explicit '<null>' sentinel BEFORE
+    concatenation (concat_ws silently SKIPS null args, making (1,NULL,2)
+    collide with (1,2); DuckDB's || nulls the whole key — both wrong for a
+    content fingerprint), then md5-prefix-as-BIGINT, summable into an
+    order-independent table checksum. Callers pre-canonicalize numeric
+    columns (e.g. doubles to exact cents) identically in their oracles."""
+    nul = F.lit("<null>")
+    key = F.concat_ws("|", *[F.coalesce(c.cast("string"), nul) for c in cols])
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
 @query(
     "agg_table_fingerprint",
     oracle="""
@@ -829,7 +843,8 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST('0x' || substring(
              md5(coalesce(CAST(l_orderkey AS VARCHAR), '<null>') || '|' ||
                  coalesce(CAST(l_linenumber AS VARCHAR), '<null>') || '|' ||
-                 coalesce(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '<null>')
+                 coalesce(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                               AS VARCHAR), '<null>')
                  || '|' || coalesce(l_returnflag, '<null>')),
              1, 8) AS BIGINT)) AS BIGINT) AS fingerprint
     FROM lineitem
@@ -847,19 +862,15 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash is the portable md5-prefix-as-bigint used across the repo
     (dedup.py), so DuckDB reproduces it bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Every field is coalesced to an explicit sentinel BEFORE concatenation:
-    # concat_ws silently SKIPS null args (making (1,NULL,2) collide with
-    # (1,2)), and DuckDB's || nulls the whole key — both wrong for a
-    # content fingerprint. NULL must hash as a value of its own.
-    nul = F.lit("<null>")
-    row_key = F.concat_ws(
-        "|",
-        F.coalesce(F.col("l_orderkey").cast("string"), nul),
-        F.coalesce(F.col("l_linenumber").cast("string"), nul),
-        F.coalesce(F.col("l_quantity").cast("long").cast("string"), nul),
-        F.coalesce(F.col("l_returnflag"), nul),
+    row_hash = row_fingerprint(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        # quantities canonicalize as exact CENTS: cast('long') truncates in
+        # Spark while DuckDB CAST(AS BIGINT) rounds — round(*100) is the
+        # one definition both engines (and storage_compaction) share
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        F.col("l_returnflag"),
     )
-    row_hash = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("long").alias("fingerprint"),

@@ -34,9 +34,15 @@ _ROOT = "/tmp/onebrc_spark_storage"
 def _tag(sf_dir: str) -> str:
     # Must be a valid unquoted SQL identifier: bucketed-table names embed it
     # (pytest tmpdirs carry '-', which Spark's parser rejects unbackquoted).
+    # The md5 suffix keeps DISTINCT sf_dirs distinct after sanitization
+    # ('run-1' vs 'run_1' would otherwise share a /tmp workspace and
+    # bucketed-table name, and interleaved runs would read each other's
+    # data).
+    import hashlib
     import re
 
-    return re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").replace(".", "p"))
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").replace(".", "p"))
+    return f"{safe}_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
 
 
 @query(
@@ -71,13 +77,10 @@ def storage_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema declared, not inferred (the repo's S1 no-inference rule): an
     # EMPTY source writes zero part files and zero partition dirs, and
     # schema inference on that directory fails outright — a production
-    # "empty partition day" must read back as 0 rows, not crash.
-    back_schema = (
-        "l_linestatus STRING, l_quantity DOUBLE, l_extendedprice DOUBLE, "
-        "l_discount DOUBLE, l_returnflag STRING"
-    )
+    # "empty partition day" must read back as 0 rows, not crash. Derived
+    # from the written DataFrame so it can never drift from the write.
     back = (
-        spark.read.schema(back_schema)
+        spark.read.schema(li.schema)
         .parquet(dest)
         .filter(F.col("l_returnflag") == "R")
     )
@@ -422,31 +425,23 @@ def storage_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = f"{_ROOT}/{_tag(sf_dir)}/lineitem_compacted"
     li.repartition(64).write.mode("overwrite").parquet(frag)
 
-    back_schema = (
-        "l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, "
-        "l_returnflag STRING"
-    )
-    fragmented = spark.read.schema(back_schema).parquet(frag)
+    fragmented = spark.read.schema(li.schema).parquet(frag)
     n_rows = fragmented.count()
     # target ~256k rows/file (stand-in for a byte target: row width is
     # fixed here); never 0 partitions
     n_out = max(1, math.ceil(n_rows / 262_144))
     fragmented.repartition(n_out).write.mode("overwrite").parquet(comp)
-    compacted = spark.read.schema(back_schema).parquet(comp)
+    compacted = spark.read.schema(li.schema).parquet(comp)
 
-    nul = F.lit("<null>")
+    from onebrc_spark.operators.aggregates import row_fingerprint
+
     def fingerprint(df, layout):
-        row_key = F.concat_ws(
-            "|",
-            F.coalesce(F.col("l_orderkey").cast("string"), nul),
-            F.coalesce(F.col("l_linenumber").cast("string"), nul),
-            F.coalesce(
-                F.round(F.col("l_quantity") * 100).cast("long").cast("string"),
-                nul,
-            ),
-            F.coalesce(F.col("l_returnflag"), nul),
+        row_hash = row_fingerprint(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.round(F.col("l_quantity") * 100).cast("long"),
+            F.col("l_returnflag"),
         )
-        row_hash = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("long")
         return df.agg(
             F.lit(layout).alias("layout"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -38,7 +38,8 @@ GATE_TESTS = [
     # degenerate/edge classes the sf* fixtures never execute
     "tests/test_degenerate_groups.py",
     "tests/test_edge_documents.py",
-    # registry-wide shuffle-regression tripwire (plans only — ~45 s)
+    # registry-wide shuffle-regression tripwire (~45 s; builds every
+    # query — storage ops execute their /tmp writes at build time)
     "tests/test_plan_census.py",
 ]
 
