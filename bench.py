@@ -71,6 +71,11 @@ HEADLINE = [
     # the production dedup shape) and the mergeable count-min sketch.
     "dedup_incremental_admission",
     "agg_cms_heavy_hitters",
+    # round-6 surface: the CCNet/Dolma paragraph-dedup stage (segment df
+    # census on 8-byte keys + hot-set broadcast — text never shuffles),
+    # and the BPE merge census (two-stage wordcount, TakeOrdered top-30).
+    "text_boilerplate_segments",
+    "text_bpe_merge_pairs",
 ]
 
 

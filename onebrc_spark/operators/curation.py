@@ -1012,3 +1012,149 @@ def ml_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("stage_ord")
     )
 
+
+
+@query(
+    "text_boilerplate_segments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, source,
+             array_to_string(t[(i-1)*4+1 : i*4], ' ') AS seg
+      FROM toks, unnest(range(1, CAST((len(t)+3)//4 AS BIGINT)+1)) AS u(i)
+    ), df AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), marked AS (
+      SELECT s.doc_id, s.source, s.seg,
+             CASE WHEN d.df >= 5 THEN 1 ELSE 0 END AS hot
+      FROM segs s JOIN df d USING (seg)
+    ), seg_stats AS (
+      SELECT source,
+             count(*) AS segs_total,
+             sum(hot) AS segs_removed,
+             sum(CASE WHEN hot = 1 THEN length(seg) ELSE 0 END)
+               AS chars_removed,
+             count(DISTINCT CASE WHEN hot = 1 THEN doc_id END)
+               AS docs_touched
+      FROM marked GROUP BY source
+    ), base AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(s.docs_touched, 0) AS BIGINT) AS docs_touched,
+           CAST(coalesce(s.segs_total, 0) AS BIGINT) AS segs_total,
+           CAST(coalesce(s.segs_removed, 0) AS BIGINT) AS segs_removed,
+           CAST(coalesce(s.chars_removed, 0) AS BIGINT) AS chars_removed
+    FROM base b LEFT JOIN seg_stats s
+      ON b.source IS NOT DISTINCT FROM s.source
+    ORDER BY b.source NULLS FIRST
+    """,
+    survey_ref="X4f (cross-document boilerplate span removal: CCNet/Dolma paragraph dedup)",
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate span removal — the CCNet/Dolma paragraph-
+    dedup stage, distinct from document-level dedup (X1/X2) and token-level
+    stopword removal (X4): a SEGMENT that recurs across many documents
+    (cookie banners, license headers, navigation chrome) is boilerplate and
+    is stripped from every document it appears in, while each document's
+    unique content survives. Segments here are non-overlapping 4-token
+    spans (the fixtures are single-line space-tokenized text; on real
+    corpora the segmenter splits on newline/sentence boundaries — same
+    plan, different split expression). A span is boilerplate when its
+    document frequency df >= 5: within-document repetition alone never
+    triggers removal (df counts DISTINCT docs), matching CCNet semantics.
+
+    Result is the per-source cleaning ledger (docs touched, segments and
+    chars removed — exact integers), i.e. what a release audit publishes;
+    the cleaned text itself is the same marked stream minus hot segments.
+
+    Shape (100 TB): tokenize/segment is a narrow array expression; the df
+    census shuffles 8-byte xxhash64 segment keys, never text; the hot set
+    after the df >= 5 filter is tiny (boilerplate vocabulary, not corpus
+    vocabulary) and broadcasts back onto the segment stream; the final
+    groupBy(source) is dim-sized. The segment stream is traversed twice
+    (census + mark) — at cluster scale, checkpoint the exploded (h,
+    doc_id, source, len) table once, ~16 bytes/segment, instead of
+    re-reading text. DuckDB oracle groups raw segment strings; results
+    agree unless two distinct segments collide in xxhash64 (none at test
+    SFs; at corpus scale a collision merely overstates one df count —
+    acceptable for a boilerplate detector, per the registry's sketch
+    rulebook note on engine-internal keys).
+    """
+    W, TAU = 4, 5
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda x: x != "",
+        ).alias("t"),
+    )
+    # sequence(1, 0) would run DESCENDING — the size()>0 filter makes the
+    # bound safe; empty docs carry no segments on either engine.
+    segs = (
+        docs.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.expr(f"(size(t) + {W - 1}) div {W}").cast("int")),
+                    lambda i: F.array_join(
+                        F.slice("t", (i - F.lit(1)) * W + F.lit(1), W), " "
+                    ),
+                )
+            ).alias("seg"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.xxhash64("seg").alias("h"),
+            F.length("seg").alias("seg_chars"),
+        )
+    )
+    hot = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= TAU)
+        .select("h", F.lit(1).alias("hot"))
+    )
+    marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
+        "hot", F.coalesce("hot", F.lit(0))
+    )
+    seg_stats = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("segs_total"),
+        F.sum("hot").alias("segs_removed"),
+        F.sum(F.when(F.col("hot") == 1, F.col("seg_chars")).otherwise(0)).alias(
+            "chars_removed"
+        ),
+        F.countDistinct(F.when(F.col("hot") == 1, F.col("doc_id"))).alias(
+            "docs_touched"
+        ),
+    )
+    base = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # null-safe join: a NULL-source group's ledger row still carries its
+    # segment stats (plain equi-join would silently zero it on both engines)
+    return (
+        base.alias("b")
+        .join(
+            seg_stats.alias("s"),
+            F.col("b.source").eqNullSafe(F.col("s.source")),
+            "left",
+        )
+        .select(
+            F.col("b.source").alias("source"),
+            "n_docs",
+            F.coalesce("docs_touched", F.lit(0)).cast("long").alias("docs_touched"),
+            F.coalesce("segs_total", F.lit(0)).cast("long").alias("segs_total"),
+            F.coalesce("segs_removed", F.lit(0)).cast("long").alias("segs_removed"),
+            F.coalesce("chars_removed", F.lit(0)).cast("long").alias("chars_removed"),
+        )
+        .orderBy(F.asc_nulls_first("source"))
+    )

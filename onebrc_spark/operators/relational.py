@@ -641,3 +641,66 @@ def sort_global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_id")
     )
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+    ), g AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang, source
+    ), k AS (
+      SELECT greatest(n_total // 100, 5) AS k FROM tot
+    )
+    SELECT CASE WHEN n_docs >= k THEN lang ELSE '<other>' END AS lang,
+           CASE WHEN n_docs >= k THEN source ELSE '<other>' END AS source,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM g, k
+    GROUP BY 1, 2 ORDER BY lang, source
+    """,
+    survey_ref="DQ4 (minimum-cell-size suppression: k-anonymous release census)",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cell-size suppression — the publication guard every corpus
+    release applies before shipping per-group statistics: a (lang, source)
+    cell smaller than k identifies its members, so small cells collapse
+    into one '<other>' row (their counts still published in aggregate,
+    their identities suppressed). k is relative — max(1% of the release,
+    5) — the standard minimum-cell-size-as-fraction rule, and exact
+    integer on both engines (// and greatest), so the suppression set is
+    deterministic at every scale.
+
+    Shape: one groupBy on the cell key carrying (count, sum) longs, a
+    one-row total broadcast (the k threshold), and a re-aggregation of
+    the suppressed cells — group-cardinality-sized inputs everywhere
+    after the first aggregate; the text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    k = F.greatest(F.expr("n_total div 100"), F.lit(5))
+    publish = F.col("n_docs") >= k
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(publish, F.col("lang")).otherwise("<other>").alias("lang"),
+            F.when(publish, F.col("source")).otherwise("<other>").alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .orderBy("lang", "source")
+    )
+

@@ -406,3 +406,79 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT x AS w, CAST(count(*) AS BIGINT) AS freq
+      FROM documents,
+           unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                              y -> y <> '')) AS t(x)
+      GROUP BY x
+    ), pairs AS (
+      SELECT w, freq, substring(w, CAST(i AS INT), 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair,
+           CAST(sum(freq) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 30
+    """,
+    survey_ref="X4g (tokenizer induction: BPE merge-candidate pair census)",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistics — the first iteration of BPE training
+    (Sennrich et al. 2016) as a distributed job: count every adjacent
+    symbol pair across the corpus, weighted by word frequency; the top
+    pair is the first merge a BPE trainer would apply. Symbols start as
+    characters, so pairs are 2-char substrings; later iterations re-run
+    the same plan over re-segmented symbol arrays — identical shape.
+
+    Counting semantics match the reference BPE trainer: a pair occurring
+    k times inside one word contributes k x freq (overlaps included —
+    'aaa' yields 'aa' twice), and ties at the cut rank are broken by the
+    pair string, so the merge choice is deterministic on both engines.
+
+    Shape (100 TB): the classic two-stage wordcount. Stage 1 shuffles the
+    word VOCABULARY (not the corpus — map-side partial_count collapses
+    repeats before the exchange); stage 2 explodes each vocabulary entry
+    into len-1 pairs and shuffles (pair, long) where the pair key space is
+    bounded by |alphabet|^2 — tiny. Final top-30 is a TakeOrdered, no
+    global sort. No text column ever enters an exchange wider than the
+    vocabulary, and nothing touches the driver but 30 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        "w",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr("w", i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.countDistinct("w").cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(30)
+    )

@@ -175,13 +175,10 @@ _PRIORITY = [
     # the other 12 yielded their slots to (b2)'s changed-code rows, chosen
     # as the r1 rows whose operator family keeps another in-window
     # representative; all remain locally green at sf0.01 AND sf0.1)
-    "agg_count_distinct",
     "agg_rollup",
     "filter_predicates",
     "fn_strings",
     "setop_except",
-    "setop_intersect",
-    "setop_union_all",
     "sort_multi_key",
     # (d) VERDICT-named stale-SQL / code-changed rows
     "storage_csv_roundtrip",
@@ -201,13 +198,17 @@ _PRIORITY = [
     "window_running_frames",
     "storage_bucketed_join",
     # (f) NEW ops added late in round 6 — first driver rows beat evidence
-    # refreshes (fn_math and topk_limit yielded; both families keep
-    # in-window representatives and both are locally green at both SFs)
+    # refreshes (fn_math, topk_limit, setop_union_all and setop_intersect
+    # yielded; every displaced family keeps an in-window representative
+    # (setop_except stays) and all are locally green at both SFs)
     "text_repetition_profile",
     "evt_anomaly_mad",
     "dedup_overlap_containment",
     "ml_curation_pipeline",
     "storage_compaction",
+    "dq_k_anonymity",
+    "text_boilerplate_segments",
+    "text_bpe_merge_pairs",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
     # pre-ordered for the round-7 rotation). window_ranking and
@@ -217,6 +218,7 @@ _PRIORITY = [
     # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
     # round-6 empty-catalog touch-ups (populated-input results unchanged —
     # HAVING/coalesce/spine only bite on empty inputs; re-prove first in r7)
+    "agg_count_distinct",
     "fn_hash_digests",
     "fn_datetime",
     "agg_cube",
@@ -227,6 +229,8 @@ _PRIORITY = [
     "fn_regexp",
     "fn_math",
     "topk_limit",
+    "setop_union_all",
+    "setop_intersect",
     "agg_sum_count",
     "agg_histogram",
     "agg_min_by_max_by",

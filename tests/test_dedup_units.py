@@ -305,3 +305,35 @@ def test_overlap_containment_catches_doc_in_doc_that_jaccard_misses(spark):
     # 0.8 dedup threshold; this is exactly the pair class Jaccard misses.
     jaccard = r["shared"] / (r["n_a"] + r["n_b"] - r["shared"])
     assert jaccard < 0.2, jaccard
+
+
+def test_boilerplate_segments_df_counts_docs_not_occurrences(spark):
+    """Semantic contract of text_boilerplate_segments beyond oracle parity:
+    a segment repeated 6x WITHIN one document never flags (df counts
+    DISTINCT docs, CCNet semantics), a segment shared by 5 docs is removed
+    from all 5, and one shared by only 4 docs survives (tau = 5)."""
+    import tempfile
+
+    from onebrc_spark.operators.curation import text_boilerplate_segments
+
+    boiler = "b1 b2 b3 b4"
+    near = "c1 c2 c3 c4"
+    rows = (
+        # 5 docs sharing `boiler` as their first 4-token segment -> hot
+        [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d", "en", "src", 0) for i in range(5)]
+        # 4 docs sharing `near` -> df=4 < tau, survives
+        + [(10 + i, f"{near} v{i}a v{i}b v{i}c v{i}d", "en", "src", 0) for i in range(4)]
+        # 1 doc = the same segment 6x in a row -> df=1, never flags
+        + [(20, " ".join(["r1 r2 r3 r4"] * 6), "en", "src", 0)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = text_boilerplate_segments(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "src" and r["n_docs"] == 10
+    assert r["segs_total"] == 5 * 2 + 4 * 2 + 6, r
+    assert r["segs_removed"] == 5 and r["docs_touched"] == 5, r
+    assert r["chars_removed"] == 5 * len(boiler), r

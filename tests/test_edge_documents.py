@@ -38,6 +38,7 @@ DOC_ONLY = [
     "dedup_ngram_jaccard",
     "dedup_overlap_containment",
     "dedup_simhash",
+    "dq_k_anonymity",
     "fn_hash_digests",
     "fn_regexp",
     "ml_cluster_safe_split",
@@ -61,6 +62,8 @@ DOC_ONLY = [
     "mm_frame_sample",
     "mm_resize",
     "sort_global_dense_ids",
+    "text_boilerplate_segments",
+    "text_bpe_merge_pairs",
     "text_cooccurrence_lift",
     "text_fingerprint",
     "text_inverted_index",

@@ -720,3 +720,35 @@ def test_curation_pipeline_one_pass_two_shuffles(spark):
     assert len(re.findall(r"Exchange hashpartitioning", txt)) == 2, txt[:3000]
     assert "Join" not in txt, txt[:3000]
     assert txt.count("documents.parquet") == 1, txt[:3000]
+
+
+def test_boilerplate_segments_hot_set_broadcast_no_text_shuffle(spark):
+    """text_boilerplate_segments' scale claims: the df census combines
+    map-side (partial_count on the 8-byte hash key), the hot set joins
+    back as a BroadcastHashJoin, and nothing degenerates to a
+    BroadcastNestedLoopJoin / cartesian pairing."""
+    from onebrc_spark.operators.curation import text_boilerplate_segments
+
+    df = text_boilerplate_segments(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:3000]
+    assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
+    assert "CartesianProduct" not in txt, txt[:3000]
+    assert "partial_count" in txt, txt[:2000]
+
+
+def test_bpe_merge_pairs_two_shuffles_takeordered(spark):
+    """text_bpe_merge_pairs' scale claims: both aggregations combine
+    map-side (partial_count before the vocabulary exchange), the top-30 is
+    a TakeOrdered (no global sort), and only two exchanges exist — the
+    vocabulary and the |alphabet|^2-bounded pair table."""
+    import re
+
+    from onebrc_spark.operators.textops import text_bpe_merge_pairs
+
+    df = text_bpe_merge_pairs(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in txt, txt[:3000]
+    assert "partial_count" in txt, txt[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 2, txt[:3000]
+    assert "ReadSchema: struct<text:string>" in txt, txt[:3000]

@@ -802,3 +802,31 @@ def test_compaction_reduces_files(spark):
     expected = max(1, math.ceil(rows["compacted"]["n_rows"] / 262_144))
     assert n_comp == expected, (n_comp, expected)
     assert n_comp < n_frag
+
+
+def test_bpe_merge_pairs_overlaps_weights_and_tiebreak(spark):
+    """Semantic contract of text_bpe_merge_pairs beyond oracle parity,
+    matching the reference BPE trainer: overlapping occurrences all count
+    ('aaa' yields 'aa' twice), pair counts are weighted by word frequency
+    (not document frequency), single-char words contribute nothing, and
+    rank ties break on the pair string so the merge choice is stable."""
+    import tempfile
+
+    from onebrc_spark.operators.textops import text_bpe_merge_pairs
+
+    rows = [
+        (1, "aaa bc", "en", "s", 0),    # 'aa' x2 from one word
+        (2, "bc bc x", "en", "s", 0),   # 'bc' freq accumulates to 3
+        (3, "de fg", "en", "s", 0),     # tie at 1: 'de' < 'fg' lexicographically
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = text_bpe_merge_pairs(spark, d).collect()
+    by_pair = {r["pair"]: r for r in out}
+    assert by_pair["bc"]["pair_count"] == 3 and by_pair["bc"]["n_word_types"] == 1
+    assert by_pair["aa"]["pair_count"] == 2 and by_pair["aa"]["n_word_types"] == 1
+    assert "x" not in by_pair  # single-char word: no pair
+    # deterministic order: counts desc, then pair asc
+    assert [r["pair"] for r in out] == ["bc", "aa", "de", "fg"]
