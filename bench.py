@@ -75,6 +75,7 @@ HEADLINE = [
     # census on 8-byte keys + hot-set broadcast — text never shuffles),
     # and the BPE merge census (two-stage wordcount, TakeOrdered top-30).
     "text_boilerplate_segments",
+    "text_boilerplate_clean",
     "text_bpe_merge_pairs",
 ]
 

@@ -1014,6 +1014,15 @@ def ml_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Shared boilerplate-removal contract: non-overlapping _BOILER_W-token spans;
+# a span is boilerplate when its document frequency reaches _BOILER_TAU.
+# text_boilerplate_segments (the per-source ledger) and
+# text_boilerplate_clean (the per-document reconstruction) MUST agree on
+# these, or the ledger would audit a different cleaning than the one shipped.
+_BOILER_W = 4
+_BOILER_TAU = 5
+
+
 @query(
     "text_boilerplate_segments",
     oracle="""
@@ -1086,7 +1095,7 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable for a boilerplate detector, per the registry's sketch
     rulebook note on engine-internal keys).
     """
-    W, TAU = 4, 5
+    W, TAU = _BOILER_W, _BOILER_TAU
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -1157,4 +1166,114 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("chars_removed", F.lit(0)).cast("long").alias("chars_removed"),
         )
         .orderBy(F.asc_nulls_first("source"))
+    )
+
+
+@query(
+    "text_boilerplate_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ), doc_segs AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST((len(t)+3)//4 AS BIGINT)+1),
+                            i -> array_to_string(t[(i-1)*4+1 : i*4], ' '))
+               AS segs
+      FROM toks
+    ), df AS (
+      SELECT seg, count(DISTINCT doc_id) AS df
+      FROM doc_segs, unnest(segs) AS u(seg) GROUP BY seg
+    ), hot AS (
+      SELECT coalesce(list(seg), CAST([] AS VARCHAR[])) AS hot_set
+      FROM df WHERE df >= 5
+    )
+    SELECT d.doc_id,
+           CAST(len(segs) AS BIGINT) AS n_segs,
+           CAST(len(segs)
+                - len(list_filter(segs,
+                                  s -> NOT list_contains(h.hot_set, s)))
+                AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_filter(segs, s -> NOT list_contains(h.hot_set, s)),
+             ' '), '') AS cleaned_text
+    FROM doc_segs d, hot h
+    ORDER BY doc_id
+    """,
+    survey_ref="X4f (boilerplate removal: per-document cleaned-text reconstruction)",
+)
+def text_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped half of boilerplate removal: text_boilerplate_segments
+    publishes the per-source audit ledger; this op emits the CLEANED
+    CORPUS itself — every document with its hot (df >= _BOILER_TAU)
+    segments stripped and the survivors re-joined in original order.
+    Same segmenter, same threshold (shared _BOILER_W/_BOILER_TAU
+    constants), so the ledger exactly audits this cleaning.
+
+    Shape (100 TB): the cleaning pass shuffles no text — documents are
+    never exploded on the output path. The df census (the only
+    hashpartitioning exchange) shuffles 8-byte xxhash64 keys, already
+    deduped WITHIN each doc by a narrow array_distinct so a plain
+    map-side-combined count gives document frequency; the hot set folds
+    to ONE broadcast row carrying the boilerplate vocabulary hashes
+    (tiny by construction), and the clean pass is a narrow per-row
+    array filter: segment, drop hot, array_join — position order
+    preserved natively by filter(), no posexplode/re-sort/groupBy round
+    trip. The final ORDER BY doc_id is presentation-only (the driver
+    comparator is order-insensitive) — a shard writer drops it. Empty
+    docs survive as empty cleaned_text (the size()==0 guard dodges
+    Spark's descending sequence(1,0) trap; the oracle coalesces DuckDB's
+    array_to_string([]) = NULL to '' to match Spark's array_join([]) =
+    '' — a live cross-engine divergence the edge suite caught). DuckDB filters raw segment strings while Spark
+    filters 64-bit hashes — identical results absent an xxhash64
+    collision (none at test SFs; at corpus scale a collision drops one
+    innocent segment — the standard hashed-vocabulary trade, documented
+    in the ledger twin)."""
+    W, TAU = _BOILER_W, _BOILER_TAU
+    d = load_table(spark, sf_dir, "documents")
+    seg_arr = F.when(
+        F.size("t") == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.expr(f"(size(t) + {W - 1}) div {W}").cast("int")),
+            lambda i: F.array_join(
+                F.slice("t", (i - F.lit(1)) * W + F.lit(1), W), " "
+            ),
+        )
+    )
+    segged = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda x: x != "",
+        ).alias("t"),
+    ).select("doc_id", seg_arr.alias("segs"))
+    # df = docs containing the segment: dedup WITHIN each doc narrowly
+    # (array_distinct per row), then a plain count — one 8-byte-key
+    # exchange with map-side combine, no (h, doc_id) distinct shuffle.
+    hot = (
+        segged.select(
+            F.explode(
+                F.array_distinct(F.transform("segs", lambda s: F.xxhash64(s)))
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= TAU)
+        .agg(F.collect_set("h").alias("hot_set"))
+    )
+    kept = F.filter(
+        "segs", lambda s: ~F.array_contains(F.col("hot_set"), F.xxhash64(s))
+    )
+    return (
+        segged.crossJoin(F.broadcast(hot))
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_segs"),
+            (F.size("segs") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
     )

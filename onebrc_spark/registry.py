@@ -177,7 +177,6 @@ _PRIORITY = [
     # representative; all remain locally green at sf0.01 AND sf0.1)
     "agg_rollup",
     "filter_predicates",
-    "fn_strings",
     "setop_except",
     "sort_multi_key",
     # (d) VERDICT-named stale-SQL / code-changed rows
@@ -198,9 +197,10 @@ _PRIORITY = [
     "window_running_frames",
     "storage_bucketed_join",
     # (f) NEW ops added late in round 6 — first driver rows beat evidence
-    # refreshes (fn_math, topk_limit, setop_union_all and setop_intersect
-    # yielded; every displaced family keeps an in-window representative
-    # (setop_except stays) and all are locally green at both SFs)
+    # refreshes (fn_math, topk_limit, setop_union_all, setop_intersect and
+    # fn_strings yielded; every displaced family keeps an in-window
+    # representative (setop_except and five scalar-fn rows stay) and all
+    # are locally green at both SFs)
     "text_repetition_profile",
     "evt_anomaly_mad",
     "dedup_overlap_containment",
@@ -209,6 +209,7 @@ _PRIORITY = [
     "dq_k_anonymity",
     "text_boilerplate_segments",
     "text_bpe_merge_pairs",
+    "text_boilerplate_clean",
     # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
     # marker is outside the round-6 window; r2/r3 remainder oldest-first,
     # pre-ordered for the round-7 rotation). window_ranking and
@@ -231,6 +232,7 @@ _PRIORITY = [
     "topk_limit",
     "setop_union_all",
     "setop_intersect",
+    "fn_strings",
     "agg_sum_count",
     "agg_histogram",
     "agg_min_by_max_by",

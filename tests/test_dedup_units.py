@@ -337,3 +337,41 @@ def test_boilerplate_segments_df_counts_docs_not_occurrences(spark):
     assert r["segs_total"] == 5 * 2 + 4 * 2 + 6, r
     assert r["segs_removed"] == 5 and r["docs_touched"] == 5, r
     assert r["chars_removed"] == 5 * len(boiler), r
+
+
+def test_boilerplate_clean_preserves_order_and_matches_ledger(spark):
+    """Semantic contract of text_boilerplate_clean: hot segments vanish
+    from every document, surviving segments re-join in ORIGINAL position
+    order (including when the hot segment sits in the middle), unique
+    content is untouched, empty docs yield empty cleaned_text, and the
+    removal totals agree with the ledger twin (shared W/tau contract)."""
+    import tempfile
+
+    from onebrc_spark.operators.curation import (
+        text_boilerplate_clean,
+        text_boilerplate_segments,
+    )
+
+    boiler = "b1 b2 b3 b4"
+    rows = (
+        # hot segment in the MIDDLE: survivors must rejoin around the gap
+        [(i, f"u{i}a u{i}b u{i}c u{i}d {boiler} v{i}a v{i}b v{i}c v{i}d", "en", "src", 0)
+         for i in range(5)]
+        + [(10, "", "en", "src", 0)]
+        + [(11, "solo unique words here", "en", "src", 0)]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in text_boilerplate_clean(spark, d).collect()}
+        ledger = text_boilerplate_segments(spark, d).collect()[0]
+    for i in range(5):
+        r = out[i]
+        assert r["n_segs"] == 3 and r["n_removed"] == 1, r
+        assert r["cleaned_text"] == f"u{i}a u{i}b u{i}c u{i}d v{i}a v{i}b v{i}c v{i}d", r
+    assert out[10]["n_segs"] == 0 and out[10]["cleaned_text"] == ""
+    assert out[11]["n_removed"] == 0
+    assert out[11]["cleaned_text"] == "solo unique words here"
+    # the ledger audits exactly this cleaning
+    assert ledger["segs_removed"] == sum(r["n_removed"] for r in out.values())

@@ -62,6 +62,7 @@ DOC_ONLY = [
     "mm_frame_sample",
     "mm_resize",
     "sort_global_dense_ids",
+    "text_boilerplate_clean",
     "text_boilerplate_segments",
     "text_bpe_merge_pairs",
     "text_cooccurrence_lift",

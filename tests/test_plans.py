@@ -752,3 +752,21 @@ def test_bpe_merge_pairs_two_shuffles_takeordered(spark):
     assert "partial_count" in txt, txt[:3000]
     assert len(re.findall(r"Exchange hashpartitioning", txt)) == 2, txt[:3000]
     assert "ReadSchema: struct<text:string>" in txt, txt[:3000]
+
+
+def test_boilerplate_clean_one_key_exchange_no_text_shuffle(spark):
+    """text_boilerplate_clean's scale claims: exactly one hashpartitioning
+    exchange (the 8-byte df census — within-doc dedup happens narrowly via
+    array_distinct, so no (hash, doc_id) distinct shuffle), the census
+    combines map-side, the hot set arrives by broadcast, and the scan
+    reads only (doc_id, text)."""
+    import re
+
+    from onebrc_spark.operators.curation import text_boilerplate_clean
+
+    df = text_boilerplate_clean(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", txt)) == 1, txt[:3000]
+    assert "partial_count" in txt, txt[:3000]
+    assert "BroadcastExchange" in txt, txt[:3000]
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in txt, txt[:3000]

@@ -830,3 +830,60 @@ def test_bpe_merge_pairs_overlaps_weights_and_tiebreak(spark):
     assert "x" not in by_pair  # single-char word: no pair
     # deterministic order: counts desc, then pair asc
     assert [r["pair"] for r in out] == ["bc", "aa", "de", "fg"]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 7), min_size=0, max_size=13),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_boilerplate_clean_and_ledger_agree_vs_reference(spark, docs):
+    """On arbitrary small corpora (tiny vocabulary forces heavy segment
+    collisions across docs), text_boilerplate_clean must equal a pure-
+    Python reference cleaner (same W/tau contract), and the ledger twin's
+    per-source removal totals must audit exactly that cleaning."""
+    import tempfile
+
+    from onebrc_spark.operators.curation import (
+        _BOILER_TAU,
+        _BOILER_W,
+        text_boilerplate_clean,
+        text_boilerplate_segments,
+    )
+
+    texts = [" ".join(f"t{t}" for t in toks) for toks in docs]
+    rows = [(i, txt, "en", "s", len(txt)) for i, txt in enumerate(texts)]
+
+    def segs_of(txt):
+        toks = [t for t in txt.split(" ") if t]
+        return [
+            " ".join(toks[i : i + _BOILER_W])
+            for i in range(0, len(toks), _BOILER_W)
+        ]
+
+    df_count = {}
+    for txt in texts:
+        for s in set(segs_of(txt)):
+            df_count[s] = df_count.get(s, 0) + 1
+    hot = {s for s, c in df_count.items() if c >= _BOILER_TAU}
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in text_boilerplate_clean(spark, d).collect()}
+        ledger = text_boilerplate_segments(spark, d).collect()
+    assert len(out) == len(texts)
+    total_removed = 0
+    for i, txt in enumerate(texts):
+        segs = segs_of(txt)
+        kept = [s for s in segs if s not in hot]
+        r = out[i]
+        assert r["n_segs"] == len(segs), (txt, dict(r.asDict()))
+        assert r["n_removed"] == len(segs) - len(kept), (txt, dict(r.asDict()))
+        assert r["cleaned_text"] == " ".join(kept), (txt, dict(r.asDict()))
+        total_removed += len(segs) - len(kept)
+    assert sum(l["segs_removed"] for l in ledger) == total_removed
