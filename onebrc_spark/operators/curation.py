@@ -1023,6 +1023,46 @@ _BOILER_W = 4
 _BOILER_TAU = 5
 
 
+def _boiler_tokens(text_col) -> "Column":
+    """Whitespace tokens of a document, empty tokens dropped, NULL-safe."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), " "), lambda x: x != ""
+    )
+
+
+def _boiler_seg_array(t) -> "Column":
+    """Non-overlapping _BOILER_W-token spans of token array `t` — the ONE
+    segmenter shared by the ledger/clean twins (drift here would make the
+    ledger audit a different cleaning than the one shipped). The
+    size()==0 branch dodges Spark's DESCENDING sequence(1, 0) trap on
+    empty documents."""
+    W = _BOILER_W
+    n_segs = F.floor((F.size(t) + F.lit(W - 1)) / W).cast("int")
+    return F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * W + F.lit(1), W), " "),
+        )
+    )
+
+
+def _boiler_hot_hashes(segged) -> "DataFrame":
+    """Document-frequency census over a (…, segs array<string>) frame:
+    hashes are deduped WITHIN each doc by a narrow array_distinct, so df
+    is a plain map-side-combined count — ONE 8-byte-key exchange, never
+    an (h, doc_id) distinct shuffle. Returns hashes with df >= tau."""
+    return (
+        segged.select(
+            F.explode(
+                F.array_distinct(F.transform("segs", lambda s: F.xxhash64(s)))
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_TAU)
+    )
+
+
 @query(
     "text_boilerplate_segments",
     oracle="""
@@ -1095,45 +1135,21 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable for a boilerplate detector, per the registry's sketch
     rulebook note on engine-internal keys).
     """
-    W, TAU = _BOILER_W, _BOILER_TAU
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
+    segged = d.select(
         "doc_id",
         "source",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-            lambda x: x != "",
-        ).alias("t"),
+        _boiler_seg_array(_boiler_tokens(F.col("text"))).alias("segs"),
     )
-    # sequence(1, 0) would run DESCENDING — the size()>0 filter makes the
-    # bound safe; empty docs carry no segments on either engine.
-    segs = (
-        docs.filter(F.size("t") > 0)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.expr(f"(size(t) + {W - 1}) div {W}").cast("int")),
-                    lambda i: F.array_join(
-                        F.slice("t", (i - F.lit(1)) * W + F.lit(1), W), " "
-                    ),
-                )
-            ).alias("seg"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.xxhash64("seg").alias("h"),
-            F.length("seg").alias("seg_chars"),
-        )
+    segs = segged.select(
+        "doc_id", "source", F.explode("segs").alias("seg")
+    ).select(
+        "doc_id",
+        "source",
+        F.xxhash64("seg").alias("h"),
+        F.length("seg").alias("seg_chars"),
     )
-    hot = (
-        segs.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= TAU)
-        .select("h", F.lit(1).alias("hot"))
-    )
+    hot = _boiler_hot_hashes(segged).select("h", F.lit(1).alias("hot"))
     marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
         "hot", F.coalesce("hot", F.lit(0))
     )
@@ -1231,39 +1247,11 @@ def text_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision (none at test SFs; at corpus scale a collision drops one
     innocent segment — the standard hashed-vocabulary trade, documented
     in the ledger twin)."""
-    W, TAU = _BOILER_W, _BOILER_TAU
     d = load_table(spark, sf_dir, "documents")
-    seg_arr = F.when(
-        F.size("t") == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.expr(f"(size(t) + {W - 1}) div {W}").cast("int")),
-            lambda i: F.array_join(
-                F.slice("t", (i - F.lit(1)) * W + F.lit(1), W), " "
-            ),
-        )
-    )
     segged = d.select(
-        "doc_id",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-            lambda x: x != "",
-        ).alias("t"),
-    ).select("doc_id", seg_arr.alias("segs"))
-    # df = docs containing the segment: dedup WITHIN each doc narrowly
-    # (array_distinct per row), then a plain count — one 8-byte-key
-    # exchange with map-side combine, no (h, doc_id) distinct shuffle.
-    hot = (
-        segged.select(
-            F.explode(
-                F.array_distinct(F.transform("segs", lambda s: F.xxhash64(s)))
-            ).alias("h")
-        )
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= TAU)
-        .agg(F.collect_set("h").alias("hot_set"))
+        "doc_id", _boiler_seg_array(_boiler_tokens(F.col("text"))).alias("segs")
     )
+    hot = _boiler_hot_hashes(segged).agg(F.collect_set("h").alias("hot_set"))
     kept = F.filter(
         "segs", lambda s: ~F.array_contains(F.col("hot_set"), F.xxhash64(s))
     )
