@@ -1063,6 +1063,28 @@ def _boiler_hot_hashes(segged) -> "DataFrame":
     )
 
 
+def _boiler_occurrences(toked) -> "DataFrame":
+    """Per-occurrence (…, seg) stream from a frame carrying token column
+    `t`: the segmenter explodes DIRECTLY over the tokens, never through an
+    intermediate when()-wrapped array column — exploding that column
+    defeats Catalyst's size(transform(x)) = size(x) simplification, and
+    the inferred size(segs) > 0 generate-filter then pushes below the
+    project and re-inlines the WHOLE segmenter per row (measured 2.8× on
+    the ledger at sf0.1). The explicit size(t) > 0 filter keeps the
+    sequence bound ascending (sequence(1, 0) runs DESCENDING)."""
+    W = _BOILER_W
+    keep = [c for c in toked.columns if c != "t"]
+    return toked.filter(F.size("t") > 0).select(
+        *keep,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.expr(f"(size(t) + {W - 1}) div {W}").cast("int")),
+                lambda i: F.array_join(F.slice("t", (i - F.lit(1)) * W + F.lit(1), W), " "),
+            )
+        ).alias("seg"),
+    )
+
+
 @query(
     "text_boilerplate_segments",
     oracle="""
@@ -1136,20 +1158,25 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rulebook note on engine-internal keys).
     """
     d = load_table(spark, sf_dir, "documents")
-    segged = d.select(
-        "doc_id",
-        "source",
-        _boiler_seg_array(_boiler_tokens(F.col("text"))).alias("segs"),
-    )
-    segs = segged.select(
-        "doc_id", "source", F.explode("segs").alias("seg")
+    segs = _boiler_occurrences(
+        d.select("doc_id", "source", _boiler_tokens(F.col("text")).alias("t"))
     ).select(
         "doc_id",
         "source",
         F.xxhash64("seg").alias("h"),
         F.length("seg").alias("seg_chars"),
     )
-    hot = _boiler_hot_hashes(segged).select("h", F.lit(1).alias("hot"))
+    # census over the SAME occurrence stream the mark pass consumes: the
+    # twins' A/B test (see _boiler_occurrences) measured this 0.76 s vs
+    # 2.11 s for an array-column census at sf0.1 — the mark pass needs the
+    # per-occurrence stream anyway, so deriving the census from it reuses
+    # one Generate shape instead of paying the segmenter twice.
+    hot = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_TAU)
+        .select("h", F.lit(1).alias("hot"))
+    )
     marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
         "hot", F.coalesce("hot", F.lit(0))
     )
@@ -1248,9 +1275,11 @@ def text_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     innocent segment — the standard hashed-vocabulary trade, documented
     in the ledger twin)."""
     d = load_table(spark, sf_dir, "documents")
+    # two-step select: see the ledger twin — tokens must be a materialized
+    # attribute or the segmenter re-evaluates split+filter per reference
     segged = d.select(
-        "doc_id", _boiler_seg_array(_boiler_tokens(F.col("text"))).alias("segs")
-    )
+        "doc_id", _boiler_tokens(F.col("text")).alias("t")
+    ).select("doc_id", _boiler_seg_array(F.col("t")).alias("segs"))
     hot = _boiler_hot_hashes(segged).agg(F.collect_set("h").alias("hot_set"))
     kept = F.filter(
         "segs", lambda s: ~F.array_contains(F.col("hot_set"), F.xxhash64(s))
