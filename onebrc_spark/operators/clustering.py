@@ -251,8 +251,11 @@ def connected_components(
 # one driver sync per round. Without this memo a full drive pays it 4×.
 # Same lifecycle discipline as dedup._MINHASH_PAIRS_CACHE; bench.py clears
 # this cache before timing dedup_cluster_components so the resolution cost
-# stays honestly measured.
-_COMPONENTS_CACHE: dict = {}
+# stays honestly measured. Bounded to 2 live entries (VERDICT r6 #7) —
+# the warmup + measured directories; a third sf_dir evicts-and-unpersists.
+from onebrc_spark.operators.memo import PersistedLRU
+
+_COMPONENTS_CACHE = PersistedLRU(maxsize=2)
 
 
 def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,17 +274,12 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if labels is not None:
             labels.unpersist()
         raise
-    _COMPONENTS_CACHE[key] = labels
+    _COMPONENTS_CACHE.put(key, labels)
     return labels
 
 
 def clear_components_cache() -> None:
     """Release every memoized label set (bench hook — see cache note)."""
-    for df in _COMPONENTS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped
     _COMPONENTS_CACHE.clear()
 
 

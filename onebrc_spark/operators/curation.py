@@ -303,9 +303,17 @@ _TFIDF_TOPK = 3
     ), tf AS (
       SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
     ), df AS (
-      SELECT term, count(DISTINCT source) AS df FROM toks GROUP BY term
+      -- a NULL source is a first-class collection (the "unsourced" bucket):
+      -- count(DISTINCT) skips NULLs, so add the null-group flag back — this
+      -- matches Spark's row-count-per-term over the (source, term) groups,
+      -- where the NULL group is one row like any other
+      SELECT term, count(DISTINCT source)
+                   + max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS df
+      FROM toks GROUP BY term
     ), n AS (
-      SELECT count(DISTINCT source) AS n_sources FROM documents
+      SELECT count(DISTINCT source)
+             + max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_sources
+      FROM documents
     ), scored AS (
       SELECT tf.source, tf.term,
              round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6) AS score
@@ -335,9 +343,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(_WORDS(F.col("text"))).alias("term"))
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df(term) = number of sources where tf > 0 = row count per term in tf.
+    # df(term) = number of sources where tf > 0 = row count per term in tf
+    # (the NULL-source group is one row like any other — the "unsourced"
+    # collection; the oracle adds the null-group flag to count(DISTINCT)).
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_sources = docs.agg(F.countDistinct("source").alias("n_sources"))
+    n_sources = docs.agg(
+        (
+            F.countDistinct("source")
+            + F.max(F.col("source").isNull().cast("long"))
+        ).alias("n_sources")
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_sources))
@@ -1148,10 +1163,13 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     census shuffles 8-byte xxhash64 segment keys, never text; the hot set
     after the df >= 5 filter is tiny (boilerplate vocabulary, not corpus
     vocabulary) and broadcasts back onto the segment stream; the final
-    groupBy(source) is dim-sized. The segment stream is traversed twice
-    (census + mark) — at cluster scale, checkpoint the exploded (h,
-    doc_id, source, len) table once, ~16 bytes/segment, instead of
-    re-reading text. DuckDB oracle groups raw segment strings; results
+    groupBy(source) is dim-sized. The exploded (h, doc_id, source, len)
+    stream — ~24 bytes/segment — is lazily localCheckpoint'ed so the two
+    consumers (census build + mark probe) read ONE materialization: the
+    hot-set broadcast job pays the segmenter once, the probe re-reads the
+    checkpointed rows instead of re-reading and re-segmenting text (the
+    round-6 plan paid the segmenter twice). DuckDB oracle groups raw
+    segment strings; results
     agree unless two distinct segments collide in xxhash64 (none at test
     SFs; at corpus scale a collision merely overstates one df count —
     acceptable for a boilerplate detector, per the registry's sketch
@@ -1166,11 +1184,20 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("seg").alias("h"),
         F.length("seg").alias("seg_chars"),
     )
+    # ONE traversal for both consumers: the lazy localCheckpoint truncates
+    # lineage at the exploded narrow stream, so the census (hot-set
+    # broadcast job) materializes it and the mark probe reads the stored
+    # rows — text is read and segmented exactly once. eager=False keeps
+    # query construction job-free (the driver contract builds plans before
+    # acting); the checkpointed RDD is unpersisted by the ContextCleaner
+    # when the result DataFrame is garbage-collected.
+    segs = segs.localCheckpoint(eager=False)
     # census over the SAME occurrence stream the mark pass consumes: the
     # twins' A/B test (see _boiler_occurrences) measured this 0.76 s vs
     # 2.11 s for an array-column census at sf0.1 — the mark pass needs the
     # per-occurrence stream anyway, so deriving the census from it reuses
-    # one Generate shape instead of paying the segmenter twice.
+    # one Generate shape; the checkpoint above upgrades "one shape" to
+    # "one execution".
     hot = (
         segs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))

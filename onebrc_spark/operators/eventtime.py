@@ -582,3 +582,64 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+
+@query(
+    "evt_stateful_running_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ref="ST6 (arbitrary stateful operator — oracle over final state)",
+)
+def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 with a full DuckDB oracle (upgrading the last by-design
+    oracle-less §2 row): the arbitrary-stateful streaming pipeline
+    (per-user running (count, max) via applyInPandasWithState, the same
+    state machine `streaming/pipelines.py:stream_running_user_stats`
+    demos) is driven to completion over the finite parquet source, and
+    the FINAL state per key is recovered from the update-mode output —
+    n_events and max_value are both monotone under state folds, so the
+    final state is the per-key max over every emitted update row,
+    regardless of how the file source split micro-batches. The oracle is
+    the batch aggregate the folded state must equal: count(*)/max(value)
+    per user over non-NULL values (the NULL filter is applied symmetrically
+    — pandas .max() skips NaN, SQL max skips NULL, but a user with ONLY
+    NULL values would otherwise emit a sentinel row Spark-side and no row
+    oracle-side).
+
+    transformWithStateInPandas (the Spark 4 successor API) expresses the
+    identical processor — `stream_user_stats_tws` — and is equality-pinned
+    against this legacy-API twin's semantics in tests/test_stateful_
+    streaming.py; its execution needs google.protobuf, absent here.
+
+    Scale: state is two scalars per user in the state store (RocksDB in
+    production), partitioned by the grouping key; the one shuffle is the
+    groupBy(user_id) state partitioning. The memory-sink replay is the
+    test harness — a production job writes the update stream to a sink
+    and reads final state from the store via the state reader."""
+    from onebrc_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_completion,
+        stream_running_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    sink = run_to_completion(
+        stream_running_user_stats(stream),
+        "evt_stateful_running_stats_sink",
+        spark,
+        mode="update",
+    )
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,68 @@
+"""Bounded memo for persisted DataFrames (VERDICT r6 hygiene item #7).
+
+Two operator families memoize an expensive shared asset as a
+persisted-and-materialized DataFrame keyed by (applicationId, sf_dir):
+the verified MinHash near-dup pair set (dedup.py — four consumers) and
+the resolved connected-component labels (clustering.py — four consumers).
+An unbounded dict is correct for the single-sf_dir sessions the driver
+and tests run, but a session that walks many sf_dirs would accumulate one
+persisted DataFrame per directory for the application lifetime. This LRU
+makes the bound explicit: inserting a key beyond `maxsize` unpersists and
+drops the least-recently-used entry, so executor storage is provably
+O(maxsize) no matter how many directories a session touches.
+
+maxsize defaults to 2 because that is the legitimate working set: bench.py
+re-warms every plan at the warmup SF immediately before timing it at the
+measured SF, so the pair set for BOTH directories must stay live within
+one timed query (a 1-entry LRU would thrash exactly there — the warmup
+build would evict the measured asset the build entry just paid for).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+
+
+class PersistedLRU:
+    """LRU of persisted DataFrames; eviction unpersists."""
+
+    def __init__(self, maxsize: int = 2) -> None:
+        if maxsize < 1:
+            raise ValueError("maxsize must be >= 1")
+        self._maxsize = maxsize
+        self._data: OrderedDict[object, DataFrame] = OrderedDict()
+
+    def get(self, key: object) -> DataFrame | None:
+        df = self._data.get(key)
+        if df is not None:
+            self._data.move_to_end(key)
+        return df
+
+    def put(self, key: object, df: DataFrame) -> None:
+        if key in self._data:
+            self._data.move_to_end(key)
+            self._data[key] = df
+            return
+        while len(self._data) >= self._maxsize:
+            _, old = self._data.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._data[key] = df
+
+    def clear(self) -> None:
+        for df in self._data.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._data.clear()
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._data

@@ -94,6 +94,11 @@ def _fake_decode(
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    if payload is None:
+        # NULL payload (e.g. NULL source text): the item exists but nothing
+        # decodes — NULL metadata, so downstream SUM/MIN/MAX skip it exactly
+        # like the oracle's octet_length(encode(NULL)) = NULL arithmetic
+        return (None, None, None)
     checksum = 0
     if with_checksum:
         for b in payload:
@@ -246,6 +251,11 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             feats, counts, nbytes = [], [], []
             for payload in pdf["payload"]:
+                if payload is None:  # NULL payload → NULL feature row
+                    feats.append(None)
+                    counts.append(None)
+                    nbytes.append(None)
+                    continue
                 raw = bytes(payload)
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM)
@@ -316,10 +326,14 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             # vacuously true for an empty payload: a zero-length document
             # has a zero histogram (sum of squares 0, unnormalizable), and
             # the oracle's pinned TRUE must survive fixture regenerations
-            # that include empty texts (ADVICE r3)
-            ((F.col("n_bytes") == 0) | (F.abs(sumsq - F.lit(1.0)) < 1e-3)).alias(
-                "norm_ok"
-            ),
+            # that include empty texts (ADVICE r3); likewise NULL payloads
+            # (nothing to normalize), so a group of only NULL-text docs
+            # still bool_ands to TRUE, matching the oracle's pinned TRUE
+            (
+                F.col("n_bytes").isNull()
+                | (F.col("n_bytes") == 0)
+                | (F.abs(sumsq - F.lit(1.0)) < 1e-3)
+            ).alias("norm_ok"),
         )
         .groupBy("media_type")
         .agg(
@@ -355,6 +369,10 @@ def resize_media(media: DataFrame, target: int = _RESIZE_TARGET) -> DataFrame:
         for pdf in batches:
             out_payload, orig = [], []
             for payload in pdf["payload"]:
+                if payload is None:  # NULL payload → NULL resized row
+                    out_payload.append(None)
+                    orig.append(None)
+                    continue
                 b = bytes(payload)
                 stride = max(1, -(-len(b) // target))
                 out_payload.append(b[::stride])
@@ -600,6 +618,11 @@ def synthesize_containers(media: DataFrame) -> DataFrame:
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
+                if payload is None:  # NULL payload → NULL container
+                    out_id.append(mid)
+                    out_type.append(mtype)
+                    out_payload.append(None)
+                    continue
                 raw = bytes(payload)
                 n = len(raw)
                 if mtype == "audio":
@@ -715,6 +738,10 @@ def decode_containers(containers: DataFrame) -> DataFrame:
         for pdf in batches:
             dur, pix = [], []
             for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
+                if payload is None:  # NULL container → NULL decode metadata
+                    dur.append(None)
+                    pix.append(None)
+                    continue
                 buf = bytes(payload)
                 if mtype == "audio":
                     channels, rate, n_samples = decode_wav(buf)

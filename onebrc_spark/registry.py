@@ -118,184 +118,232 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 6): the correctness driver verifies the
-# FIRST 50 registry entries per round. All 179 queries have ≥1 driver-green
-# row across rounds (coverage gap closed in r5), so this round's window is
-# pure evidence-refresh, ordered by staleness and semantic change:
-# (a) the flagship + the four event-time rows, pinned every round;
-# (b) every query whose Spark code or oracle text changed in round 6:
-#     onebrc_report (the r5 red — oracle now ORDER BY station),
-#     agg_stats / agg_corr_covar (nullif-guarded + decimal-widened
-#     denominators), text_fingerprint (empty-doc NULL guard),
-#     sim_ann_ivf_trained (pinned-TRUE oracle replaced by measured
-#     recall_ppm);
-# (c) the 32 queries whose latest driver evidence is ROUND 1 — the round-5
-#     exact-ratio sweep touched nearly every module after their last driver
-#     row, so these are the longest code-vs-evidence gaps in the registry;
-# (d) VERDICT-named stale-SQL rows: storage_csv_roundtrip / evt_dedup_by_id
-#     (r2 evidence), cdc_merge_upsert / cdc_snapshot_diff (r3, sweep-changed
-#     SQL), join_asof + onebrc_generated (r4 evidence, r5 code changes).
-# Slot 51+ holds the r2/r3 remainder oldest-first, ready to rotate in next
-# round. Every query not in the window stays pinned locally by
+# Driver-coverage rotation (round 7): the correctness driver verifies the
+# FIRST 50 registry entries per round. Every query has ≥1 driver-green row
+# across rounds, so the window is staleness-driven (VERDICT r6 #2: rotate
+# the oldest-evidence third in): after the flagship pin and the nine rows
+# whose code or oracle changed this round, the window is exactly the
+# queries with the OLDEST driver evidence — all 28 round-1 rows and 12 of
+# the 16 remaining round-2 rows (window median last-green age drops from
+# ~3 rounds to 1). Slot 51+ holds the remainder strictly oldest-first
+# (each entry's last driver-green round annotated), pre-ordering the r8
+# rotation. Every query not in the window stays pinned locally by
 # tests/test_oracle_parity.py, which runs the same oracle comparison (plus
-# a driver-strict canonicalizer) over ALL queries.
+# a driver-strict canonicalizer) over ALL queries, and by the freeze gate
+# (sf0.01 per-commit, sf0.1 end-of-round).
 _PRIORITY = [
-    # (a) pinned every round
+    # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    "evt_tumbling_window",
-    "evt_sliding_window",
-    "evt_session_window",
-    "evt_watermark_late_drop",
-    # (b) round-6 semantic changes / NEW queries — need same-round proof
-    "onebrc_report",
-    "agg_stats",
-    "agg_corr_covar",
-    "text_fingerprint",
-    "sim_ann_ivf_trained",
-    "ml_domain_cap",
-    "ml_token_budget",
-    "ml_quality_upsample",
-    "sort_global_dense_ids",
-    # (b2) round-6 edge-hardening changes (ANSI-0/0 guards, lenient-JSON
-    # oracles, discrete percentile bands) — the other queries whose Spark
-    # expression or oracle text changed this round
-    "fn_json",
-    "fn_variant_json",
-    "fn_map_roundtrip",
-    "fn_try_arithmetic",
-    "fn_url_parse",
-    "agg_approx_percentile",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_admission",
-    "dedup_embedding_neardup",
-    "sim_knn_bruteforce",
-    "sim_semantic_prune",
-    # (c) round-1-evidence rows, oldest code-vs-evidence gap (20 of 32 —
-    # the other 12 yielded their slots to (b2)'s changed-code rows, chosen
-    # as the r1 rows whose operator family keeps another in-window
-    # representative; all remain locally green at sf0.01 AND sf0.1)
-    "agg_rollup",
-    "filter_predicates",
-    "setop_except",
-    "sort_multi_key",
-    # (d) VERDICT-named stale-SQL / code-changed rows
-    "storage_csv_roundtrip",
-    "evt_dedup_by_id",
-    "cdc_merge_upsert",
-    "cdc_snapshot_diff",
-    "join_asof",
-    "onebrc_generated",
-    # (e) edge-catalog hardening changes (NULL-semantics fixes late in
-    # round 6) — same-round proof; five (c) rows yielded their slots
-    # (agg_sum_count, agg_histogram, agg_min_by_max_by, join_full_outer,
-    # project_prune — each family keeps an in-window representative and
-    # all five are locally green at sf0.01 and sf0.1)
-    "agg_table_fingerprint",
-    "agg_equidepth_histogram",
-    "dq_key_skew_profile",
-    "window_running_frames",
-    "storage_bucketed_join",
-    # (f) NEW ops added late in round 6 — first driver rows beat evidence
-    # refreshes (fn_math, topk_limit, setop_union_all, setop_intersect and
-    # fn_strings yielded; every displaced family keeps an in-window
-    # representative (setop_except and five scalar-fn rows stay) and all
-    # are locally green at both SFs)
-    "text_repetition_profile",
-    "evt_anomaly_mad",
-    "dedup_overlap_containment",
-    "ml_curation_pipeline",
-    "storage_compaction",
-    "dq_k_anonymity",
+    # (b) round-7 semantic changes / NEW queries — same-round proof:
+    #     evt_stateful_running_stats (NEW — ST6 gains a full oracle),
+    #     text_boilerplate_segments (single-traversal localCheckpoint),
+    #     text_tfidf_top_terms (NULL-source df semantics, oracle+code),
+    #     mm_* kernels (NULL-payload propagation),
+    #     dedup_minhash_lsh / dedup_cluster_components (bounded LRU memos)
+    "evt_stateful_running_stats",
     "text_boilerplate_segments",
-    "text_bpe_merge_pairs",
-    "text_boilerplate_clean",
-    # ---- slot 51+ (driver verifies the FIRST 50 — everything below this
-    # marker is outside the round-6 window; r2/r3 remainder oldest-first,
-    # pre-ordered for the round-7 rotation). window_ranking and
-    # window_range_frame yielded their round-6 slots to the four NEW ops
-    # (first driver rows beat evidence refreshes; both are r1-stale but
-    # their family has fresher rows and both are locally green at sf0.01
-    # and sf0.1). The 12 r1 rows displaced by (b2) lead the remainder. ----
-    # round-6 empty-catalog touch-ups (populated-input results unchanged —
-    # HAVING/coalesce/spine only bite on empty inputs; re-prove first in r7)
+    "text_tfidf_top_terms",
+    "mm_decode_real",
+    "mm_decode_stats",
+    "mm_feature_extract",
+    "mm_resize",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    # (c) the 28 queries whose last driver evidence is ROUND 1 — the
+    #     oldest code-vs-evidence gaps in the registry (VERDICT r6 #2)
     "agg_count_distinct",
-    "fn_hash_digests",
-    "fn_datetime",
     "agg_cube",
     "agg_grouping_sets",
-    "dq_constraint_audit",
-    "sim_lsh_candidate_stats",
-    "storage_partitioned_pruning",
-    "fn_regexp",
-    "fn_math",
-    "topk_limit",
-    "setop_union_all",
-    "setop_intersect",
-    "fn_strings",
-    "agg_sum_count",
     "agg_histogram",
     "agg_min_by_max_by",
-    "join_full_outer",
-    "project_prune",
-    "window_ranking",
-    "window_range_frame",
-    "window_distribution",
-    "window_first_last_nth",
+    "agg_sum_count",
     "fn_array_basics",
     "fn_array_higher_order",
     "fn_bitwise",
     "fn_conditional",
+    "fn_datetime",
+    "fn_hash_digests",
+    "fn_math",
+    "fn_regexp",
+    "fn_strings",
     "join_cross",
+    "join_full_outer",
     "join_theta_nonequi",
+    "project_prune",
     "setop_except_all",
+    "setop_intersect",
     "setop_intersect_all",
-    "agg_collect_sorted_list",
+    "setop_union_all",
+    "topk_limit",
+    "window_distribution",
+    "window_first_last_nth",
+    "window_range_frame",
+    "window_ranking",
+    # (d) 12 of the 16 remaining ROUND-2-evidence rows (the other four
+    #     defer to slot 51+ — each family keeps an in-window
+    #     representative: dedup_exact_distinct via dedup_keep_first,
+    #     text_fuzzy_levenshtein via four text rows, storage_json_
+    #     roundtrip via storage_partitioned_pruning, agg_collect_
+    #     sorted_list via agg_salted_twophase)
     "agg_salted_twophase",
-    "dedup_exact_distinct",
     "dedup_keep_first",
     "filter_null_semantics",
     "join_salted_skew",
-    "mm_decode_stats",
-    "mm_resize",
     "sim_label_centroid",
     "sql_exists_correlated",
-    "storage_json_roundtrip",
-    "text_fuzzy_levenshtein",
+    "storage_partitioned_pruning",
     "text_ngram_tf",
     "text_quality_score",
     "text_token_count_bpe",
     "udf_grouped_agg_geomean",
     "unpivot_stack",
-    "agg_bitmap_distinct",
-    "agg_hll_sketch_merge",
-    "agg_partial_reaggregation",
-    "agg_rank_correlation",
-    "dq_observe_metrics",
-    "evt_gap_fill_lerp",
-    "evt_gap_fill_locf",
-    "evt_retention_cohorts",
-    "evt_transition_matrix",
-    "join_asof_forward",
-    "ml_contamination_ngram",
-    "ml_fixed_size_sample",
-    "ml_quantile_filter",
-    "ml_sequence_packing",
-    "ml_stratified_sample",
-    "mm_byte_stats_arrow",
-    "sql_lateral_topn",
-    "sql_tpch_q13_shape",
-    "sql_tpch_q18_shape",
-    "sql_tpch_q4_shape",
-    "src_python_datasource",
-    "storage_orc_roundtrip",
-    "storage_zorder_layout",
-    "text_inverted_index",
-    "text_pii_redaction",
-    "text_repetition_score",
-    "text_stopword_removal",
-    "text_tfidf_top_terms",
-    "udtf_chunk_documents",
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # by driver-evidence staleness, pre-ordered for the r8 rotation;
+    # every row stays pinned locally by tests/test_oracle_parity.py
+    # and the freeze gate at sf0.01/sf0.1. ----
+    "agg_collect_sorted_list",  # r2
+    "dedup_exact_distinct",  # r2
+    "storage_json_roundtrip",  # r2
+    "text_fuzzy_levenshtein",  # r2
+    "agg_bitmap_distinct",  # r3
+    "agg_hll_sketch_merge",  # r3
+    "agg_partial_reaggregation",  # r3
+    "agg_rank_correlation",  # r3
+    "dq_constraint_audit",  # r3
+    "dq_observe_metrics",  # r3
+    "evt_gap_fill_lerp",  # r3
+    "evt_gap_fill_locf",  # r3
+    "evt_retention_cohorts",  # r3
+    "evt_transition_matrix",  # r3
+    "join_asof_forward",  # r3
+    "ml_contamination_ngram",  # r3
+    "ml_fixed_size_sample",  # r3
+    "ml_quantile_filter",  # r3
+    "ml_sequence_packing",  # r3
+    "ml_stratified_sample",  # r3
+    "mm_byte_stats_arrow",  # r3
+    "sim_lsh_candidate_stats",  # r3
+    "sql_lateral_topn",  # r3
+    "sql_tpch_q13_shape",  # r3
+    "sql_tpch_q18_shape",  # r3
+    "sql_tpch_q4_shape",  # r3
+    "src_python_datasource",  # r3
+    "storage_orc_roundtrip",  # r3
+    "storage_zorder_layout",  # r3
+    "text_inverted_index",  # r3
+    "text_pii_redaction",  # r3
+    "text_repetition_score",  # r3
+    "text_stopword_removal",  # r3
+    "udtf_chunk_documents",  # r3
+    "agg_approx_count_distinct",  # r4
+    "agg_tpch_q1",  # r4
+    "dedup_cluster_survivors",  # r4
+    "dedup_exact",  # r4
+    "dedup_simhash",  # r4
+    "fn_collation_ci",  # r4
+    "join_broadcast_dims",  # r4
+    "join_inner_fact",  # r4
+    "join_range_interval",  # r4
+    "join_semi_anti",  # r4
+    "ml_cluster_safe_split",  # r4
+    "ml_deterministic_shard",  # r4
+    "mm_frame_sample",  # r4
+    "sim_ann_ivf",  # r4
+    "sim_ann_lsh",  # r4
+    "sim_ann_lsh_banded",  # r4
+    "sim_embedding_quantize",  # r4
+    "sql_tpch_q12_shape",  # r4
+    "sql_tpch_q16_shape",  # r4
+    "sql_tpch_q20_shape",  # r4
+    "sql_tpch_q21_shape",  # r4
+    "sql_tpch_q2_shape",  # r4
+    "text_token_stats",  # r4
+    "text_unigram_rarity",  # r4
+    "window_lag_lead",  # r4
+    "window_topn_per_group",  # r4
+    "agg_cms_heavy_hitters",  # r5
+    "cdc_scd2_history",  # r5
+    "dedup_cluster_best_survivor",  # r5
+    "dq_column_profile",  # r5
+    "dq_snapshot_drift",  # r5
+    "evt_funnel",  # r5
+    "fn_date_scaffold",  # r5
+    "join_left_outer",  # r5
+    "ml_hash_split",  # r5
+    "ml_source_mix",  # r5
+    "ml_temperature_mix",  # r5
+    "onebrc_permissive_quarantine",  # r5
+    "pivot_status_matrix",  # r5
+    "sim_ann_recall_audit",  # r5
+    "sql_agg_filter_clause",  # r5
+    "sql_recursive_cte",  # r5
+    "sql_tpch_q10_shape",  # r5
+    "sql_tpch_q11_shape",  # r5
+    "sql_tpch_q14_shape",  # r5
+    "sql_tpch_q15_shape",  # r5
+    "sql_tpch_q17_shape",  # r5
+    "sql_tpch_q19_shape",  # r5
+    "sql_tpch_q22_shape",  # r5
+    "sql_tpch_q3_shape",  # r5
+    "sql_tpch_q5_shape",  # r5
+    "sql_tpch_q6_shape",  # r5
+    "sql_tpch_q7_shape",  # r5
+    "sql_tpch_q8_shape",  # r5
+    "sql_tpch_q9_shape",  # r5
+    "sql_udf_declared",  # r5
+    "storage_schema_evolution",  # r5
+    "text_cooccurrence_lift",  # r5
+    "text_langid",  # r5
+    "text_source_overlap",  # r5
+    "udf_grouped_map_zscore",  # r5
+    "udf_scalar_sigmoid",  # r5
+    "agg_approx_percentile",  # r6
+    "agg_corr_covar",  # r6
+    "agg_equidepth_histogram",  # r6
+    "agg_rollup",  # r6
+    "agg_stats",  # r6
+    "agg_table_fingerprint",  # r6
+    "cdc_merge_upsert",  # r6
+    "cdc_snapshot_diff",  # r6
+    "dedup_embedding_neardup",  # r6
+    "dedup_incremental_admission",  # r6
+    "dedup_ngram_jaccard",  # r6
+    "dedup_overlap_containment",  # r6
+    "dq_k_anonymity",  # r6
+    "dq_key_skew_profile",  # r6
+    "evt_anomaly_mad",  # r6
+    "evt_dedup_by_id",  # r6
+    "evt_session_window",  # r6
+    "evt_sliding_window",  # r6
+    "evt_tumbling_window",  # r6
+    "evt_watermark_late_drop",  # r6
+    "filter_predicates",  # r6
+    "fn_json",  # r6
+    "fn_map_roundtrip",  # r6
+    "fn_try_arithmetic",  # r6
+    "fn_url_parse",  # r6
+    "fn_variant_json",  # r6
+    "join_asof",  # r6
+    "ml_curation_pipeline",  # r6
+    "ml_domain_cap",  # r6
+    "ml_quality_upsample",  # r6
+    "ml_token_budget",  # r6
+    "onebrc_generated",  # r6
+    "onebrc_report",  # r6
+    "setop_except",  # r6
+    "sim_ann_ivf_trained",  # r6
+    "sim_knn_bruteforce",  # r6
+    "sim_semantic_prune",  # r6
+    "sort_global_dense_ids",  # r6
+    "sort_multi_key",  # r6
+    "storage_bucketed_join",  # r6
+    "storage_compaction",  # r6
+    "storage_csv_roundtrip",  # r6
+    "text_boilerplate_clean",  # r6
+    "text_bpe_merge_pairs",  # r6
+    "text_fingerprint",  # r6
+    "text_repetition_profile",  # r6
+    "window_running_frames",  # r6
 ]
 
 

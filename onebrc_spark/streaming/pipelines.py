@@ -35,14 +35,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet footer and normalize_events_ts applies the matching conversion —
     so a testdata regeneration cannot desynchronize batch and streaming.
     """
-    # File streaming sources need a DIRECTORY; pathGlobFilter narrows the
-    # listing to the events table within the sf dir.
-    raw = (
-        spark.readStream.schema(catalog.events_read_schema(sf_dir))
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # File streaming sources need a DIRECTORY. Two fixture layouts exist:
+    # the driver's testdata ships events.parquet as a single FILE inside
+    # the sf dir (stream the sf dir, pathGlobFilter picks the file), while
+    # Spark-written fixtures (the adversarial edge suites) make it a
+    # DIRECTORY of part files (stream that directory — a glob filter on
+    # the PARENT can never match leaf files under a subdirectory name).
+    import os
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(catalog.events_read_schema(sf_dir)).option(
+        "maxFilesPerTrigger", 1
     )
+    if os.path.isdir(ev_path):
+        raw = reader.parquet(ev_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return catalog.normalize_events_ts(raw, sf_dir)
 
 
@@ -556,7 +564,15 @@ def stream_token_budget_admit(docs: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         cum = state.get[0] if state.exists else 0
         out: dict[str, list] = {"source": [], "doc_id": [], "n_tokens": [], "cum_tokens": []}
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        chunks = list(pdfs)
+        if not chunks:
+            # a timed-out key arrives with NO data; safe today only because
+            # NoTimeout never times out — guard so adding a state timeout
+            # later cannot crash the query on pd.concat([]) (ADVICE r6)
+            state.update((cum,))
+            yield pd.DataFrame(out)
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         for doc_id, n in zip(batch["doc_id"], batch["n_tokens"]):
             cum += int(n)
             if cum <= _TOKEN_BUDGET:

@@ -11,10 +11,12 @@ oracle still ordered by line). This script makes the freeze mechanical:
 
 The gate runs the full local parity suite (every registered query vs its
 DuckDB oracle, driver-strict canonicalizer) plus the schema/ordering lints,
-and on success appends a `parity_green` record with the onebrc_spark/ tree
-hash to PROGRESS.jsonl. The pre-commit hook (scripts/hooks/pre-commit,
+and on success appends a `parity_green` record with the hash of the STAGED
+index state of onebrc_spark/ + __spark_entry__.py to PROGRESS.jsonl (round
+7, ADVICE r6: the hash binds to exactly what a commit would record — stage
+first, then run the gate). The pre-commit hook (scripts/hooks/pre-commit,
 installed by scripts/install_hooks.sh) refuses any commit whose staged diff
-touches onebrc_spark/ while the tree hash has no matching green record —
+touches onebrc_spark/ while the staged hash has no matching green record —
 so query semantics can never again change unverified, least of all in the
 end-of-round snapshot.
 """
@@ -45,21 +47,54 @@ GATE_TESTS = [
 
 
 def tree_hash() -> str:
-    """Content hash of every tracked file under onebrc_spark/ plus the
-    entry module — the exact surface whose semantics the gate protects."""
+    """Content hash of the STAGED (index) state of onebrc_spark/ plus the
+    entry module — the exact bytes a commit would record (ADVICE r6: the
+    old working-tree hash let `git add -p` commit a tree that was never
+    verified, and untracked scratch files spuriously invalidated a
+    verified one). Workflow: `git add` the semantic edits FIRST, then run
+    the gate — the green record binds to exactly what gets committed; any
+    later index change (partial staging, new edits) changes the hash and
+    the pre-commit hook blocks until a fresh green run."""
+    out = subprocess.run(
+        ["git", "ls-files", "-s", "--", "onebrc_spark", "__spark_entry__.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    # each line: "<mode> <blob-sha> <stage>\t<path>" — the blob sha IS the
+    # content hash, so hashing the sorted listing binds mode+content+path
     h = hashlib.sha256()
-    files = sorted(
-        p
-        for pat in ("onebrc_spark/**/*.py", "__spark_entry__.py")
-        for p in REPO.glob(pat)
-        if p.is_file()
-    )
-    for p in files:
-        h.update(str(p.relative_to(REPO)).encode())
-        h.update(b"\0")
-        h.update(p.read_bytes())
+    for line in sorted(out.splitlines()):
+        h.update(line.encode())
         h.update(b"\0")
     return h.hexdigest()[:16]
+
+
+def _warn_if_unstaged() -> None:
+    """The gate verifies the INDEX: unstaged working-tree edits under the
+    protected surface are NOT covered by the green record — say so loudly."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", "--", "onebrc_spark", "__spark_entry__.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    untracked = subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard", "--",
+         "onebrc_spark", "__spark_entry__.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    stray = "\n  ".join(filter(None, [diff, untracked]))
+    if stray:
+        print(
+            "freeze_check: WARNING — unstaged/untracked changes under the "
+            "protected surface are NOT covered by this record (stage them "
+            f"first):\n  {stray}",
+            file=sys.stderr,
+        )
 
 
 def last_green() -> str | None:
@@ -81,6 +116,7 @@ def last_green() -> str | None:
 
 
 def main() -> int:
+    _warn_if_unstaged()
     current = tree_hash()
     if "--check" in sys.argv:
         if last_green() == current:

@@ -103,6 +103,13 @@ _EDGE_DOCS = [
     (16, "the the the and and of of of to to", "en", "stopword"),
     (17, "email a@b.co phone 555-123-4567 ssn 123-45-6789", "en", "pii"),
     (18, "mixed CASE Words AND lower case words", "en", "case"),
+    # NULL rows (round-7 advice): round 6 added NULL-specific code paths
+    # (eqNullSafe ledger join, NULL-text md5/tokenization, asc_nulls_first)
+    # that no suite executed — these rows make them differentially tested.
+    (19, None, "en", "nulltext"),
+    (20, "plain text with null language", None, "nullmeta"),
+    (21, "plain text with null source", "en", None),
+    (22, None, None, None),
 ]
 
 
@@ -110,7 +117,10 @@ _EDGE_DOCS = [
 def edge_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_docs")
     docs = spark.createDataFrame(
-        [(i, t, lang, src, len(t)) for (i, t, lang, src) in _EDGE_DOCS],
+        [
+            (i, t, lang, src, len(t) if t is not None else None)
+            for (i, t, lang, src) in _EDGE_DOCS
+        ],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     )
     docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
@@ -217,6 +227,7 @@ EVT_ONLY = [
     "evt_retention_cohorts",
     "evt_session_window",
     "evt_sliding_window",
+    "evt_stateful_running_stats",
     "evt_transition_matrix",
     "evt_tumbling_window",
     "evt_watermark_late_drop",

@@ -726,7 +726,12 @@ def test_boilerplate_segments_hot_set_broadcast_no_text_shuffle(spark):
     """text_boilerplate_segments' scale claims: the df census combines
     map-side (partial_count on the 8-byte hash key), the hot set joins
     back as a BroadcastHashJoin, and nothing degenerates to a
-    BroadcastNestedLoopJoin / cartesian pairing."""
+    BroadcastNestedLoopJoin / cartesian pairing. Round 7: the exploded
+    segment stream is localCheckpoint'ed, so the segmenter executes ONCE —
+    both consumers (census + mark) scan the checkpointed RDD (two
+    ExistingRDD references, zero Generate in the visible plan), and the
+    only remaining parquet read is the dim-sized per-source n_docs census
+    (prunes to the `source` column)."""
     from onebrc_spark.operators.curation import text_boilerplate_segments
 
     df = text_boilerplate_segments(spark, SMOKE_SF_DIR)
@@ -735,6 +740,11 @@ def test_boilerplate_segments_hot_set_broadcast_no_text_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
     assert "CartesianProduct" not in txt, txt[:3000]
     assert "partial_count" in txt, txt[:2000]
+    # single-materialization pin: re-inlining the segmenter per consumer
+    # (the round-6 shape) would resurface Generate and a second text scan
+    assert txt.count("ExistingRDD") == 2, txt[:3000]
+    assert "Generate" not in txt, txt[:3000]
+    assert txt.count("documents.parquet") == 1, txt[:3000]
 
 
 def test_bpe_merge_pairs_two_shuffles_takeordered(spark):

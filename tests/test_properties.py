@@ -887,3 +887,55 @@ def test_boilerplate_clean_and_ledger_agree_vs_reference(spark, docs):
         assert r["cleaned_text"] == " ".join(kept), (txt, dict(r.asDict()))
         total_removed += len(segs) - len(kept)
     assert sum(l["segs_removed"] for l in ledger) == total_removed
+
+
+def test_ivf_argmax_tie_margin_is_diagnosable(spark):
+    """ADVICE r6: sim_ann_ivf_trained's oracle replays the 3-iteration
+    Lloyd fit assuming Spark's F.aggregate cosine fold and DuckDB's SQL
+    fold produce bit-identical doubles — a near-tie argmax flipped by a
+    last-ulp difference would cascade through later iterations and fail
+    the hash with no diagnosable cause. This pin measures the actual
+    margin: at EVERY point in the centroid trajectory (seed c0 through
+    fitted c3), for every vector, the top-2 cosine gap (assignment
+    stability) and the 2nd-vs-3rd gap (probe-2 selection stability) must
+    clear 1e-8 — ~1e8 ulps above fold-order noise (measured corpus minima:
+    1.9e-7). Exact ties are only legal at the -2.0 zero-norm sentinel,
+    where both engines break ties to the first cell by construction. A
+    fixture regeneration that lands on a near-tie fails HERE, by name,
+    instead of as a wholesale hash mismatch."""
+    from onebrc_spark.operators.similarity import _IVF_K, _centroids, cosine, kmeans_fit
+    from onebrc_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    seed = [[float(v) for v in c] for c in _centroids()[:_IVF_K]]
+    trajectory = [seed] + [kmeans_fit(e, iters=i) for i in (1, 2, 3)]
+    for it, cents in enumerate(trajectory):
+        cs = F.array(
+            *[
+                F.coalesce(
+                    cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                    F.lit(-2.0),
+                )
+                for c in cents
+            ]
+        )
+        s = F.array_sort(cs)
+        t1, t2, t3 = F.element_at(s, -1), F.element_at(s, -2), F.element_at(s, -3)
+        row = e.select(
+            F.min(F.when(t1 != t2, t1 - t2)).alias("g12"),
+            F.min(F.when(t2 != t3, t2 - t3)).alias("g23"),
+            F.sum(F.when((t1 == t2) & (t1 != -2.0), 1).otherwise(0)).alias(
+                "nonsentinel_ties"
+            ),
+        ).collect()[0]
+        assert row["nonsentinel_ties"] == 0, (
+            f"iteration {it}: {row['nonsentinel_ties']} exact non-sentinel "
+            f"argmax ties — cross-engine tie-break is undefined for these"
+        )
+        for label, gap in (("top1-top2", row["g12"]), ("top2-top3", row["g23"])):
+            assert gap is None or gap > 1e-8, (
+                f"iteration {it}: {label} cosine margin {gap} is within "
+                f"float-fold noise — the IVF oracle replay is no longer "
+                f"deterministic; regenerate fixtures or quantize the argmax"
+            )
