@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Two-point scale run for the LLM-pipeline family (VERDICT r6 #4).
+
+The flagship has measured 1e9/2e9-row linearity; the text/dedup family's
+100 TB story rested on plan shapes + sf0.1 timings only. This script makes
+it a measurement: build a 10x documents corpus, time the four headline
+LLM-pipeline operators at 1x and 10x, and report rows/s plus the
+super-linearity ratio (time_10x / (10 * time_1x)) — ≤1.3 is the pass bar
+(reference analogue: the 1BRC generator invocation `README.MD:19` is the
+same two-point protocol at 1e9 scale).
+
+Corpus construction (content-addressed, deterministic): 10 replicas of the
+sf0.1 documents table. Replica 0 is verbatim; replica i>0 remaps
+doc_id += i * 100_000_000 and applies a PER-REPLICA TOKEN BIJECTION
+(every token gets the suffix "~i"). A bijection on the token vocabulary
+preserves every within-replica structure EXACTLY — shingle-set Jaccard,
+boilerplate document frequencies, BPE pair ranks — while making every
+cross-replica shingle distinct, so the verified near-dup pair set and the
+hot boilerplate vocabulary each scale exactly 10x. That is the honest
+linearity fixture: 10x rows carrying 10x work, no cross-replica pair
+explosion (naive replication would make every doc a 10-way near-dup and
+grow pairs 45x — a superlinear WORKLOAD, not a scaling measurement).
+
+Timing protocol per (query, scale): one untimed run (codegen warm), two
+timed runs, min. dedup_minhash_lsh clears the pair memo before every run
+(the cold-build accounting of bench.py's build entry);
+dedup_cluster_components clears only the label memo and consumes the warm
+pair set (marginal-cost accounting, also bench.py's).
+
+Usage: python scripts/docs_scale_run.py [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from onebrc_spark import registry  # noqa: E402
+from onebrc_spark.operators.clustering import clear_components_cache  # noqa: E402
+from onebrc_spark.operators.dedup import clear_pair_cache  # noqa: E402
+from onebrc_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "text_boilerplate_segments",
+    "text_bpe_merge_pairs",
+    "dedup_cluster_components",
+]
+SCALE_ROOT = Path("/tmp/onebrc_docs_scale")
+REPLICAS = 10
+_ID_STRIDE = 100_000_000
+
+
+def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
+    """Write sf1x (verbatim copy) and sf10x (token-bijection replicas),
+    both through the same Spark writer so file layout scales with data
+    (≈6 MiB/file at both points — split-count parity per byte)."""
+    docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
+    one = SCALE_ROOT / "sf1x"
+    ten = SCALE_ROOT / "sf10x"
+    if not (one / "documents.parquet" / "_SUCCESS").exists():
+        docs.repartition(2).write.mode("overwrite").parquet(
+            str(one / "documents.parquet")
+        )
+    if not (ten / "documents.parquet" / "_SUCCESS").exists():
+        parts = []
+        for i in range(REPLICAS):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _ID_STRIDE))
+            if i > 0:
+                # token bijection: suffix every non-empty token with "~i"
+                # (empty tokens from doubled spaces stay empty, preserving
+                # tokenizer-edge behavior replica-for-replica)
+                d = d.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.when(t == "", t).otherwise(
+                                F.concat(t, F.lit(f"~{i}"))
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
+                if "n_chars" in docs.columns:
+                    d = d.withColumn("n_chars", F.length("text"))
+            parts.append(d)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(20).write.mode("overwrite").parquet(
+            str(ten / "documents.parquet")
+        )
+    return str(one), str(ten)
+
+
+def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    fn = registry.load_all()[name].fn
+
+    def clears():
+        if name == "dedup_minhash_lsh":
+            clear_pair_cache()
+            clear_components_cache()
+        elif name == "dedup_cluster_components":
+            clear_components_cache()
+
+    clears()
+    n = fn(spark, sf_dir).count()  # untimed codegen warm
+    runs = []
+    for _ in range(2):
+        clears()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3), n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark("onebrc_docs_scale")
+    spark.range(1).count()
+    one, ten = build_corpora(spark, args.base)
+
+    def census(d):
+        r = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+            .collect()[0]
+        )
+        return r["n"], int(r["chars"])
+
+    n1, c1 = census(one)
+    n10, c10 = census(ten)
+    # the "~i" suffixes inflate CHARS beyond 10x (tokens stay exactly 10x);
+    # char-dominated kernels (BPE pair census, segment hashing) are judged
+    # on the char-normalized ratio, token-dominated ones on the doc ratio
+    char_ratio = c10 / c1
+    print(
+        f"# corpora: 1x={n1} docs/{c1} chars, 10x={n10} docs/{c10} chars "
+        f"(char ratio {char_ratio:.2f}x, token/doc ratio {n10 / n1:.0f}x)",
+        file=sys.stderr,
+    )
+
+    results = {}
+    for name in QUERIES:
+        t1, rows1 = time_query(spark, name, one)
+        t10, rows10 = time_query(spark, name, ten)
+        if name in ("dedup_minhash_lsh", "dedup_cluster_components"):
+            # the token bijection preserves within-replica near-dup
+            # structure EXACTLY and forbids cross-replica pairs, so the
+            # verified pair set / labeled node set must be exactly 10x
+            assert rows10 == REPLICAS * rows1, (
+                f"{name}: expected exactly {REPLICAS}x result rows "
+                f"({REPLICAS * rows1}), got {rows10} — fixture bijection broken"
+            )
+        results[name] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "result_rows_1x": rows1,
+            "result_rows_10x": rows10,
+            "docs_per_sec_10x": round(n10 / t10),
+            "superlinearity_docs": round(t10 / ((n10 / n1) * t1), 3),
+            "superlinearity_chars": round(t10 / (char_ratio * t1), 3),
+        }
+        print(f"# {name}: 1x {t1}s ({rows1} rows) | 10x {t10}s ({rows10} rows) "
+              f"| superlinearity docs {results[name]['superlinearity_docs']}x "
+              f"chars {results[name]['superlinearity_chars']}x",
+              file=sys.stderr, flush=True)
+
+    doc = {
+        "base": args.base,
+        "docs_1x": n1,
+        "docs_10x": n10,
+        "chars_1x": c1,
+        "chars_10x": c10,
+        "queries": results,
+    }
+    out = REPO / "SCALE_DOCS.json"
+    out.write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

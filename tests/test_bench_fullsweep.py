@@ -1,0 +1,81 @@
+"""Consumer of the per-round full-registry timing sweep (VERDICT r6 #3).
+
+scripts/bench_fullsweep.py writes BENCH_r{N}_fullsweep.json once per round.
+This test (a) validates the newest artifact's structure and coverage, and
+(b) when two sweeps exist, flags any query whose NOISE-NORMALIZED ratio
+between them exceeds 1.5x — the constant-factor-regression tripwire the
+shuffle-count census structurally cannot provide. Normalization: the median
+raw ratio over common queries is the shared-host factor (bench.py's
+estimator; three same-tree r6 measurements spread 9.4-22.1 s raw, so raw
+cross-round ratios are meaningless on this box).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _sweeps() -> list[Path]:
+    return sorted(
+        REPO.glob("BENCH_r*_fullsweep.json"),
+        key=lambda p: int(re.search(r"_r(\d+)_", p.name).group(1)),
+    )
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def test_fullsweep_artifact_covers_registry():
+    sweeps = _sweeps()
+    assert sweeps, (
+        "no BENCH_r{N}_fullsweep.json at the repo root — run "
+        "scripts/bench_fullsweep.py --round <N> once this round"
+    )
+    doc = json.loads(sweeps[-1].read_text())
+    from onebrc_spark import registry
+
+    timed = {k for k, v in doc["queries"].items() if v}
+    errored = sorted(k for k, v in doc["queries"].items() if not v)
+    assert not errored, f"{sweeps[-1].name}: queries errored in sweep: {errored}"
+    missing = sorted(set(registry.load_all()) - set(doc["queries"]))
+    # new queries registered AFTER the sweep ran are fine mid-round; more
+    # than a handful means the sweep is stale — rerun it
+    assert len(missing) <= 5, (
+        f"{sweeps[-1].name} is stale — {len(missing)} registered queries "
+        f"unswept: {missing}"
+    )
+    assert doc["calibration"]["spark_probe_sec"] > 0
+    assert len(doc["calibration"]["samples"]) >= 3
+
+
+def test_fullsweep_no_normalized_regressions():
+    sweeps = _sweeps()
+    if len(sweeps) < 2:
+        pytest.skip("first sweep artifact — nothing to compare against yet")
+    prev = json.loads(sweeps[-2].read_text())["queries"]
+    curr = json.loads(sweeps[-1].read_text())["queries"]
+    ratios = {
+        k: curr[k] / prev[k]
+        for k in set(prev) & set(curr)
+        if prev.get(k) and curr.get(k) and prev[k] >= 0.05  # sub-50ms = timer noise
+    }
+    assert ratios, "no comparable queries between the two newest sweeps"
+    host = _median(list(ratios.values()))
+    flagged = {
+        k: (round(r, 2), round(r / host, 2))
+        for k, r in sorted(ratios.items())
+        if r / host > 1.5
+    }
+    assert not flagged, (
+        f"normalized >1.5x regressions vs {sweeps[-2].name} "
+        f"(host factor {host:.2f}x): {flagged}"
+    )
