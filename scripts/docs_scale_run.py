@@ -160,12 +160,18 @@ def main() -> None:
         t1, rows1 = time_query(spark, name, one)
         t10, rows10 = time_query(spark, name, ten)
         if name in ("dedup_minhash_lsh", "dedup_cluster_components"):
-            # the token bijection preserves within-replica near-dup
-            # structure EXACTLY and forbids cross-replica pairs, so the
-            # verified pair set / labeled node set must be exactly 10x
-            assert rows10 == REPLICAS * rows1, (
-                f"{name}: expected exactly {REPLICAS}x result rows "
-                f"({REPLICAS * rows1}), got {rows10} — fixture bijection broken"
+            # the token bijection preserves exact-Jaccard structure per
+            # replica and forbids cross-replica pairs, so the TRUE pair set
+            # is exactly 10x — but banded LSH recall on borderline pairs
+            # (0.7 <= J < ~0.9) depends on the shingle HASH space, which the
+            # suffixes change per replica (measured: 2555/2560 = -0.2%).
+            # 5% tolerance separates that from a broken fixture (cross-
+            # replica pairs would overshoot, a wrong bijection undershoots
+            # by whole replicas).
+            drift = abs(rows10 - REPLICAS * rows1) / (REPLICAS * rows1)
+            assert drift < 0.05, (
+                f"{name}: result rows {rows10} vs ~{REPLICAS * rows1} "
+                f"expected ({drift:.1%} drift) — fixture bijection broken"
             )
         results[name] = {
             "sec_1x": t1,
