@@ -653,3 +653,97 @@ def ml_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- X11h: size-balanced shard packing (serpentine / snake-draft) -----------
+
+_BINPACK_SHARDS = 8
+
+
+@query(
+    "ml_shard_binpack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sized
+    ), assigned AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN (r // {_BINPACK_SHARDS}) % 2 = 0
+                       THEN r % {_BINPACK_SHARDS}
+                       ELSE {_BINPACK_SHARDS} - 1 - (r % {_BINPACK_SHARDS})
+                  END AS INTEGER) AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    survey_ref="X11h (size-balanced shard packing for data-parallel training)",
+)
+def ml_shard_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment — the manifest step before
+    data-parallel training: K workers each stream one shard, so shard
+    TOKEN totals (not doc counts) must balance or the largest shard sets
+    every epoch's wall clock. Greedy first-fit-decreasing is inherently
+    sequential; the distributed-friendly equivalent is the snake draft:
+    rank docs by (n_tokens DESC, doc_id), then assign rank r to shard
+    r%K on even passes and K-1-(r%K) on odd passes. Serpentine ordering
+    cancels the within-pass size gradient (plain round-robin hands shard
+    0 the largest doc of EVERY pass), giving max/min shard-token spreads
+    within a fraction of one document of optimal for heavy-tailed sizes —
+    while staying a pure function of the corpus: deterministic under any
+    partitioning, no driver loop, no global-sort bottleneck.
+
+    The global rank uses relational.global_row_number (range-partition →
+    broadcast offsets → per-partition row_number — sort_global_dense_ids'
+    two-phase machinery, shared), so nothing funnels through one
+    partition; the serpentine is a narrow arithmetic map on the rank and
+    the census is a K-row aggregate. Output: per-shard manifest row
+    (docs, token total, largest doc, first doc id) — all exact integers.
+    At 100 TB this is exactly how shard manifests for a 1000-worker run
+    get stamped; the doc→shard map itself is the pre-census `assigned`
+    frame, written alongside.
+    """
+    from onebrc_spark.operators.relational import global_row_number
+
+    K = _BINPACK_SHARDS
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                     lambda t: t != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked = global_row_number(
+        spark, sized, [F.desc("n_tokens"), F.asc("doc_id")], col_name="rn"
+    ).withColumn("r", F.col("rn") - 1)
+    assigned = ranked.withColumn(
+        "shard",
+        F.when(
+            (F.col("r") / K).cast("long") % 2 == 0, F.col("r") % K
+        )
+        .otherwise(K - 1 - F.col("r") % K)
+        .cast("int"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from onebrc_spark.registry import query
 from onebrc_spark.sources.catalog import load_table
@@ -573,6 +574,44 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GID_PARTITIONS = 8
 
 
+def global_row_number(
+    spark: SparkSession,
+    df: DataFrame,
+    order: list,
+    num_partitions: int = _GID_PARTITIONS,
+    col_name: str = "global_rank",
+) -> DataFrame:
+    """df + a globally dense 1-based rank column over `order`, computed in
+    the scale-safe two-phase form (range-partition → per-partition counts →
+    broadcast offsets → within-partition row_number) — see
+    sort_global_dense_ids' docstring for the full determinism analysis
+    (the localCheckpoint pins ONE range placement for both the count and
+    rank jobs; RangePartitioner's sample seed changes per job otherwise).
+    `order` must be a total order or ranks are placement-dependent."""
+    t = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("_gid_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        t.groupBy("_gid_pid").count().collect(), key=lambda r: r["_gid_pid"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_gid_pid"], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offsets, "_gid_pid INT, _gid_off LONG")
+    w = Window.partitionBy("_gid_pid").orderBy(*order)
+    return (
+        t.join(F.broadcast(off_df), "_gid_pid")
+        .withColumn(
+            col_name,
+            (F.row_number().over(w) + F.col("_gid_off")).cast("long"),
+        )
+        .drop("_gid_pid", "_gid_off")
+    )
+
+
 @query(
     "sort_global_dense_ids",
     oracle="""
@@ -616,29 +655,9 @@ def sort_global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     how training-example ids / shard manifests get stamped."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     order = [F.desc("n_chars"), F.asc("doc_id")]
-    t = (
-        d.repartitionByRange(_GID_PARTITIONS, *order)
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = sorted(
-        t.groupBy("pid").count().collect(), key=lambda r: r["pid"]
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["pid"], acc))
-        acc += r["count"]
-    off_df = spark.createDataFrame(offsets, "pid INT, off LONG")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("pid").orderBy(*order)
     return (
-        t.join(F.broadcast(off_df), "pid")
-        .select(
-            (F.row_number().over(w) + F.col("off")).cast("long").alias("global_id"),
-            "doc_id",
-            "n_chars",
-        )
+        global_row_number(spark, d, order, col_name="global_id")
+        .select("global_id", "doc_id", "n_chars")
         .orderBy("global_id")
     )
 

@@ -121,11 +121,11 @@ _REGISTRY: dict[str, Query] = {}
 # Driver-coverage rotation (round 7): the correctness driver verifies the
 # FIRST 50 registry entries per round. Every query has ≥1 driver-green row
 # across rounds, so the window is staleness-driven (VERDICT r6 #2: rotate
-# the oldest-evidence third in): after the flagship pin and the nine rows
-# whose code or oracle changed this round, the window is exactly the
-# queries with the OLDEST driver evidence — all 28 round-1 rows and 12 of
-# the 16 remaining round-2 rows (window median last-green age drops from
-# ~3 rounds to 1). Slot 51+ holds the remainder strictly oldest-first
+# the oldest-evidence third in): after the flagship pin and the eleven
+# rows that are NEW or whose code/oracle changed this round, the window is
+# exactly the queries with the OLDEST driver evidence — all 28 round-1
+# rows and 10 of the 16 remaining round-2 rows (window median last-green
+# age drops from ~3 rounds to 1). Slot 51+ holds the remainder oldest-first
 # (each entry's last driver-green round annotated), pre-ordering the r8
 # rotation. Every query not in the window stays pinned locally by
 # tests/test_oracle_parity.py, which runs the same oracle comparison (plus
@@ -136,11 +136,16 @@ _PRIORITY = [
     "onebrc_flagship",
     # (b) round-7 semantic changes / NEW queries — same-round proof:
     #     evt_stateful_running_stats (NEW — ST6 gains a full oracle),
+    #     ml_shard_binpack (NEW — size-balanced serpentine sharding),
+    #     sort_global_dense_ids (refactored onto the shared
+    #     global_row_number helper the new op consumes),
     #     text_boilerplate_segments (single-traversal localCheckpoint),
     #     text_tfidf_top_terms (NULL-source df semantics, oracle+code),
     #     mm_* kernels (NULL-payload propagation),
     #     dedup_minhash_lsh / dedup_cluster_components (bounded LRU memos)
     "evt_stateful_running_stats",
+    "ml_shard_binpack",
+    "sort_global_dense_ids",
     "text_boilerplate_segments",
     "text_tfidf_top_terms",
     "mm_decode_real",
@@ -185,7 +190,6 @@ _PRIORITY = [
     #     text_fuzzy_levenshtein via four text rows, storage_json_
     #     roundtrip via storage_partitioned_pruning, agg_collect_
     #     sorted_list via agg_salted_twophase)
-    "agg_salted_twophase",
     "dedup_keep_first",
     "filter_null_semantics",
     "join_salted_skew",
@@ -193,7 +197,6 @@ _PRIORITY = [
     "sql_exists_correlated",
     "storage_partitioned_pruning",
     "text_ngram_tf",
-    "text_quality_score",
     "text_token_count_bpe",
     "udf_grouped_agg_geomean",
     "unpivot_stack",
@@ -201,6 +204,11 @@ _PRIORITY = [
     # by driver-evidence staleness, pre-ordered for the r8 rotation;
     # every row stays pinned locally by tests/test_oracle_parity.py
     # and the freeze gate at sf0.01/sf0.1. ----
+    # displaced by the two round-7 NEW/changed rows (families keep
+    # in-window representatives: agg via six r1 agg rows, text via
+    # text_ngram_tf + text_token_count_bpe); both locally green
+    "agg_salted_twophase",  # r2
+    "text_quality_score",  # r2
     "agg_collect_sorted_list",  # r2
     "dedup_exact_distinct",  # r2
     "storage_json_roundtrip",  # r2
@@ -334,7 +342,6 @@ _PRIORITY = [
     "sim_ann_ivf_trained",  # r6
     "sim_knn_bruteforce",  # r6
     "sim_semantic_prune",  # r6
-    "sort_global_dense_ids",  # r6
     "sort_multi_key",  # r6
     "storage_bucketed_join",  # r6
     "storage_compaction",  # r6

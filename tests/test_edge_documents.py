@@ -51,6 +51,7 @@ DOC_ONLY = [
     "ml_quality_upsample",
     "ml_quantile_filter",
     "ml_sequence_packing",
+    "ml_shard_binpack",
     "ml_source_mix",
     "ml_stratified_sample",
     "ml_temperature_mix",

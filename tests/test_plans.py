@@ -780,3 +780,18 @@ def test_boilerplate_clean_one_key_exchange_no_text_shuffle(spark):
     assert "partial_count" in txt, txt[:3000]
     assert "BroadcastExchange" in txt, txt[:3000]
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in txt, txt[:3000]
+
+
+def test_shard_binpack_no_single_partition_rank(spark):
+    """ml_shard_binpack's scale claim: the global size rank uses the
+    two-phase form (range repartition + broadcast offset join), so the
+    plan must carry NO single-partition exchange and NO un-partitioned
+    window (the WindowExec everything-to-one-partition trap), and the
+    offsets must arrive by broadcast."""
+    from onebrc_spark.operators.mlprep import ml_shard_binpack
+
+    df = ml_shard_binpack(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "Exchange SinglePartition" not in txt, txt[:3000]
+    assert "BroadcastHashJoin" in txt, txt[:3000]
+    assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]

@@ -939,3 +939,40 @@ def test_ivf_argmax_tie_margin_is_diagnosable(spark):
                 f"float-fold noise — the IVF oracle replay is no longer "
                 f"deterministic; regenerate fixtures or quantize the argmax"
             )
+
+
+def test_shard_binpack_serpentine_semantics(spark):
+    """Snake-draft contract on a hand-built corpus: (a) every doc lands in
+    exactly one shard and token totals are conserved; (b) the serpentine
+    reversal happens (rank K lands in shard K-1, not shard 0 — plain
+    round-robin would fail this); (c) shard token totals balance to
+    within one largest document for a heavy-tailed size distribution."""
+    import tempfile
+
+    from onebrc_spark.operators.mlprep import _BINPACK_SHARDS, ml_shard_binpack
+
+    K = _BINPACK_SHARDS
+    # doc i has i tokens (heavy tail via quadratic spacing for a few)
+    sizes = {i: i for i in range(1, 41)}
+    sizes[100] = 400  # one giant doc
+    rows = [(i, " ".join(["w"] * n), "en", "s", len(" ".join(["w"] * n)))
+            for i, n in sizes.items()]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        got = {r["shard"]: r for r in ml_shard_binpack(spark, d).collect()}
+    assert sum(r["n_docs"] for r in got.values()) == len(rows)
+    assert sum(r["shard_tokens"] for r in got.values()) == sum(sizes.values())
+    # rank 1 (the 400-token giant) → shard 0; ranks 2..K fill 1..K-1; rank
+    # K+1 (serpentine reversal) must return to shard K-1, NOT shard 0
+    ordered = sorted(sizes.values(), reverse=True)
+    assert got[0]["max_doc_tokens"] == ordered[0]
+    assert got[K - 1]["max_doc_tokens"] == ordered[K - 1], (
+        "pass 2 must start at the LAST shard (serpentine), matching the "
+        "oracle's snake-draft arithmetic"
+    )
+    toks = [r["shard_tokens"] for r in got.values()]
+    assert max(toks) - min(toks) <= ordered[0], (
+        f"shard token spread {max(toks) - min(toks)} exceeds one largest doc"
+    )
