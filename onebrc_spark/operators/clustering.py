@@ -554,3 +554,100 @@ def dedup_cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- X8c: centrality over the near-dup graph (canonical-doc PageRank) --------
+
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pr_iter_sql(prev: str, nxt: str) -> str:
+    """One power iteration as a DuckDB CTE over the bidirectional edge
+    table: each node sends floor(rank/degree) to every neighbor, receivers
+    fold the exact-integer sum with damping 0.85 (integer form:
+    (sum*85)//100 + 0.15e9). Every step is BIGINT arithmetic, so the
+    replay is bit-identical to Spark under any partitioning."""
+    return f"""
+    {nxt} AS (
+      SELECT e.dst AS id,
+             CAST((sum(r.r // d.degree) * 85) // 100 + 150000000 AS BIGINT) AS r
+      FROM bidir e
+      JOIN {prev} r ON r.id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "dedup_graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({minhash_pairs_sql()}),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY src
+    ), r0 AS (
+      SELECT src AS id, CAST(1000000000 AS BIGINT) AS r FROM deg
+    ),{",".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+    SELECT r.id AS doc_id, d.degree, r.r AS rank_ppb
+    FROM r{_PR_ITERS} r JOIN deg d ON d.src = r.id
+    ORDER BY rank_ppb DESC, doc_id LIMIT {_PR_TOPK}
+    """,
+    survey_ref="X8c (near-dup graph centrality: canonical-doc PageRank)",
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup graph — the centrality signal
+    for CANONICAL-document selection: within a duplicate cluster, the doc
+    most linked to other near-dups is the best canonical survivor (the
+    graph-native alternative to X8b's quality-score argmax; rank also
+    surfaces template hubs that connected components alone cannot —
+    a boilerplate page near-dup to 50 others ranks far above a one-off
+    pair). {_PR_ITERS} power iterations, damping 0.85, over the memoized
+    pair asset (the same shared edge set the cluster family consumes).
+
+    Cross-engine determinism by construction: ranks live in exact-integer
+    ppb (init 1e9/node), each node sends floor(rank/degree) per edge, and
+    damping is the integer form (sum*85)//100 + 0.15e9 — BIGINT arithmetic
+    at every step, so partial-sum order cannot flip a bit and DuckDB
+    replays the {_PR_ITERS} unrolled iterations bit-identically (the
+    IVF-fit oracle pattern, minus even the fixed-order float fold).
+    Headroom: the folded sum is bounded by max_degree * 1e9 * 85 —
+    safe in BIGINT for any node under ~1e8 near-dup neighbors, far past
+    any real duplicate-cluster fan-out.
+
+    Shape (100 TB): each iteration is one shuffle of the edge table on the
+    rank key plus a map-side-combinable integer sum — the standard
+    power-iteration shape (iterations few and fixed, no driver loop at
+    all, unlike CC's convergence probe); the top-{_PR_TOPK} leaves as a
+    TakeOrdered. Edges derive from the memoized verified pair set, so a
+    full drive pays the LSH build once across the whole graph family."""
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bidir = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    deg = bidir.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).localCheckpoint(eager=False)
+    # (src, dst, degree-of-sender), checkpointed ONCE: three iterations
+    # plus the final join all read the stored 24-byte rows instead of
+    # re-deriving edges+degrees per iteration (the lineage otherwise grows
+    # a full edge-table subtree per power step — same discipline as CC's
+    # per-round truncation and the boilerplate census)
+    ed = bidir.join(deg, "src").localCheckpoint(eager=False)
+    r = deg.select(F.col("src").alias("id"), F.lit(10**9).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        r = (
+            ed.join(r, ed["src"] == r["id"])
+            .select(F.col("dst").alias("id"), F.expr("r div degree").alias("c"))
+            .groupBy("id")
+            .agg(F.expr("(sum(c) * 85) div 100 + 150000000").cast("long").alias("r"))
+        )
+    return (
+        r.join(deg, r["id"] == deg["src"])
+        .select(F.col("id").alias("doc_id"), "degree", F.col("r").alias("rank_ppb"))
+        .orderBy(F.desc("rank_ppb"), F.asc("doc_id"))
+        .limit(_PR_TOPK)
+    )

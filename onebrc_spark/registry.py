@@ -121,10 +121,10 @@ _REGISTRY: dict[str, Query] = {}
 # Driver-coverage rotation (round 7): the correctness driver verifies the
 # FIRST 50 registry entries per round. Every query has ≥1 driver-green row
 # across rounds, so the window is staleness-driven (VERDICT r6 #2: rotate
-# the oldest-evidence third in): after the flagship pin and the eleven
+# the oldest-evidence third in): after the flagship pin and the twelve
 # rows that are NEW or whose code/oracle changed this round, the window is
 # exactly the queries with the OLDEST driver evidence — all 28 round-1
-# rows and 10 of the 16 remaining round-2 rows (window median last-green
+# rows and 9 of the 16 remaining round-2 rows (window median last-green
 # age drops from ~3 rounds to 1). Slot 51+ holds the remainder oldest-first
 # (each entry's last driver-green round annotated), pre-ordering the r8
 # rotation. Every query not in the window stays pinned locally by
@@ -137,6 +137,8 @@ _PRIORITY = [
     # (b) round-7 semantic changes / NEW queries — same-round proof:
     #     evt_stateful_running_stats (NEW — ST6 gains a full oracle),
     #     ml_shard_binpack (NEW — size-balanced serpentine sharding),
+    #     dedup_graph_pagerank (NEW — exact-integer centrality over the
+    #     near-dup graph),
     #     sort_global_dense_ids (refactored onto the shared
     #     global_row_number helper the new op consumes),
     #     text_boilerplate_segments (single-traversal localCheckpoint),
@@ -145,6 +147,7 @@ _PRIORITY = [
     #     dedup_minhash_lsh / dedup_cluster_components (bounded LRU memos)
     "evt_stateful_running_stats",
     "ml_shard_binpack",
+    "dedup_graph_pagerank",
     "sort_global_dense_ids",
     "text_boilerplate_segments",
     "text_tfidf_top_terms",
@@ -192,7 +195,6 @@ _PRIORITY = [
     #     sorted_list via agg_salted_twophase)
     "dedup_keep_first",
     "filter_null_semantics",
-    "join_salted_skew",
     "sim_label_centroid",
     "sql_exists_correlated",
     "storage_partitioned_pruning",
@@ -208,6 +210,7 @@ _PRIORITY = [
     # in-window representatives: agg via six r1 agg rows, text via
     # text_ngram_tf + text_token_count_bpe); both locally green
     "agg_salted_twophase",  # r2
+    "join_salted_skew",  # r2
     "text_quality_score",  # r2
     "agg_collect_sorted_list",  # r2
     "dedup_exact_distinct",  # r2

@@ -32,6 +32,7 @@ DOC_ONLY = [
     "dedup_cluster_survivors",
     "dedup_exact",
     "dedup_exact_distinct",
+    "dedup_graph_pagerank",
     "dedup_incremental_admission",
     "dedup_keep_first",
     "dedup_minhash_lsh",

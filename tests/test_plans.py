@@ -795,3 +795,20 @@ def test_shard_binpack_no_single_partition_rank(spark):
     assert "Exchange SinglePartition" not in txt, txt[:3000]
     assert "BroadcastHashJoin" in txt, txt[:3000]
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
+
+
+def test_graph_pagerank_takeordered_no_cartesian(spark):
+    """dedup_graph_pagerank's scale claims: the top-K leaves as a
+    TakeOrdered (no global sort), the integer rank sums combine map-side,
+    nothing degenerates to a cartesian pairing, and the edge+degree table
+    is checkpointed ONCE for all power iterations (ExistingRDD present —
+    re-deriving edges per iteration would grow a full edge subtree per
+    step)."""
+    from onebrc_spark.operators.clustering import dedup_graph_pagerank
+
+    df = dedup_graph_pagerank(spark, SMOKE_SF_DIR)
+    txt = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in txt, txt[:3000]
+    assert "partial_sum" in txt, txt[:3000]
+    assert "CartesianProduct" not in txt, txt[:3000]
+    assert "ExistingRDD" in txt, txt[:3000]
