@@ -77,6 +77,12 @@ HEADLINE = [
     "text_boilerplate_segments",
     "text_boilerplate_clean",
     "text_bpe_merge_pairs",
+    # round-7 surface: the two-phase global-rank shard manifest and the
+    # exact-integer power iteration over the warm near-dup pair asset
+    # (pair-cache consumer — must follow the build entry, like the
+    # cluster-components row).
+    "ml_shard_binpack",
+    "dedup_graph_pagerank",
 ]
 
 
@@ -225,13 +231,21 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
     regressions = []
     for name, ratio in sorted(ratios.items()):
         norm = ratio / median_ratio
-        flag = "  <-- REGRESSION (normalized)" if norm > 1.3 else ""
+        # flag needs BOTH signals: normalized >1.3 AND raw >1.15. The
+        # global median over-corrects sub-second fixed-cost-dominated
+        # queries (their times don't scale with host load the way
+        # data-bound queries do — observed: an untouched 0.3 s query read
+        # raw 1.10x / normalized 1.36x purely because the rest of the set
+        # ran 0.81x); a real regression moves the raw ratio too.
+        flag = (
+            "  <-- REGRESSION (normalized)" if norm > 1.3 and ratio > 1.15 else ""
+        )
         print(
             f"# delta vs {ref_path.name}: {name} {ref[name]:.3f}s -> "
             f"{times[name]:.3f}s (raw {ratio:.2f}x, normalized {norm:.2f}x){flag}",
             file=sys.stderr,
         )
-        if norm > 1.3:
+        if norm > 1.3 and ratio > 1.15:
             regressions.append(name)
     if abs(median_ratio - 1.0) > 0.05:
         print(
@@ -268,7 +282,11 @@ def _minhash_pairs_build(spark, sf_dir):
 # keep the shared pair-set memo warm (their timed cost is marginal work on
 # the asset the build entry just paid for).
 _EXTRA_TIMED = {"dedup_minhash_pairs_build": _minhash_pairs_build}
-_KEEP_PAIR_CACHE = {"dedup_minhash_lsh", "dedup_cluster_components"}
+_KEEP_PAIR_CACHE = {
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_graph_pagerank",
+}
 
 
 def main() -> None:
