@@ -621,7 +621,14 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     production), partitioned by the grouping key; the one shuffle is the
     groupBy(user_id) state partitioning. The memory-sink replay is the
     test harness — a production job writes the update stream to a sink
-    and reads final state from the store via the state reader."""
+    and reads final state from the store via the state reader.
+
+    Build-time execution caveat: constructing this DataFrame RUNS the
+    streaming job to completion (start → processAllAvailable → stop) —
+    there is no lazy handle to a finished stream's output. This is the
+    storage-op precedent (gen_plan_census's NOTE: those execute their
+    /tmp writes at build time too); plan-census/lint sweeps pay ~2 s
+    here, attributed to plan construction by design."""
     from onebrc_spark.streaming.pipelines import (
         read_events_stream,
         run_to_completion,

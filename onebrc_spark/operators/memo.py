@@ -42,6 +42,15 @@ class PersistedLRU:
 
     def put(self, key: object, df: DataFrame) -> None:
         if key in self._data:
+            # same-key replace must release the displaced DataFrame, or it
+            # stays persisted outside any cache forever — the exact leak
+            # class this memo exists to prevent
+            old = self._data[key]
+            if old is not df:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # session already stopped
             self._data.move_to_end(key)
             self._data[key] = df
             return

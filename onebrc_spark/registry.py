@@ -187,12 +187,14 @@ _PRIORITY = [
     "window_first_last_nth",
     "window_range_frame",
     "window_ranking",
-    # (d) 12 of the 16 remaining ROUND-2-evidence rows (the other four
+    # (d) 9 of the 16 remaining ROUND-2-evidence rows (the other seven
     #     defer to slot 51+ — each family keeps an in-window
     #     representative: dedup_exact_distinct via dedup_keep_first,
-    #     text_fuzzy_levenshtein via four text rows, storage_json_
-    #     roundtrip via storage_partitioned_pruning, agg_collect_
-    #     sorted_list via agg_salted_twophase)
+    #     text_fuzzy_levenshtein and text_quality_score via text_ngram_tf
+    #     + text_token_count_bpe, storage_json_roundtrip via
+    #     storage_partitioned_pruning, agg_collect_sorted_list and
+    #     agg_salted_twophase via the six r1 agg rows, join_salted_skew
+    #     via the three r1 join rows)
     "dedup_keep_first",
     "filter_null_semantics",
     "sim_label_centroid",
@@ -206,9 +208,8 @@ _PRIORITY = [
     # by driver-evidence staleness, pre-ordered for the r8 rotation;
     # every row stays pinned locally by tests/test_oracle_parity.py
     # and the freeze gate at sf0.01/sf0.1. ----
-    # displaced by the two round-7 NEW/changed rows (families keep
-    # in-window representatives: agg via six r1 agg rows, text via
-    # text_ngram_tf + text_token_count_bpe); both locally green
+    # displaced by the three round-7 NEW rows (families keep in-window
+    # representatives — see the (d) note above); all locally green
     "agg_salted_twophase",  # r2
     "join_salted_skew",  # r2
     "text_quality_score",  # r2

@@ -44,7 +44,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
-    from bench import run_calibration  # noqa: E402 (repo-root module)
+    from bench import _median, run_calibration  # noqa: E402 (repo-root module)
 
     spark = get_spark("onebrc_fullsweep")
     spark.range(1).count()
@@ -83,8 +83,8 @@ def main() -> None:
         "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "calibration": {
             "samples": cal,
-            "spark_probe_sec": sorted(s["spark_probe_sec"] for s in cal)[len(cal) // 2],
-            "cpu_spin_sec": sorted(s["cpu_spin_sec"] for s in cal)[len(cal) // 2],
+            "spark_probe_sec": _median([s["spark_probe_sec"] for s in cal]),
+            "cpu_spin_sec": _median([s["cpu_spin_sec"] for s in cal]),
         },
     }
     out = REPO / f"BENCH_r{args.round:02d}_fullsweep.json"

@@ -59,6 +59,20 @@ REPLICAS = 10
 _ID_STRIDE = 100_000_000
 
 
+def _base_fingerprint(base_sf_dir: str) -> str:
+    """Identity of the base fixture the corpora derive from: path plus
+    (size, mtime) of every file under documents.parquet — a testdata
+    regeneration changes it, forcing a corpus rebuild (stale-cache guard:
+    SCALE_DOCS.json must never measure data that no longer exists)."""
+    base = Path(base_sf_dir) / "documents.parquet"
+    parts = [str(base)]
+    files = sorted(base.rglob("*")) if base.is_dir() else [base]
+    for p in files:
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
     """Write sf1x (verbatim copy) and sf10x (token-bijection replicas),
     both through the same Spark writer so file layout scales with data
@@ -66,6 +80,16 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
     docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
     one = SCALE_ROOT / "sf1x"
     ten = SCALE_ROOT / "sf10x"
+    marker = SCALE_ROOT / "BASE_FINGERPRINT"
+    fp = _base_fingerprint(base_sf_dir)
+    if marker.exists() and marker.read_text() != fp:
+        import shutil
+
+        print("# base fixture changed — rebuilding scale corpora", file=sys.stderr)
+        shutil.rmtree(one, ignore_errors=True)
+        shutil.rmtree(ten, ignore_errors=True)
+    SCALE_ROOT.mkdir(parents=True, exist_ok=True)
+    marker.write_text(fp)
     if not (one / "documents.parquet" / "_SUCCESS").exists():
         docs.repartition(2).write.mode("overwrite").parquet(
             str(one / "documents.parquet")

@@ -71,9 +71,13 @@ def tree_hash() -> str:
     return h.hexdigest()[:16]
 
 
-def _warn_if_unstaged() -> None:
-    """The gate verifies the INDEX: unstaged working-tree edits under the
-    protected surface are NOT covered by the green record — say so loudly."""
+def _unstaged_changes() -> str:
+    """Unstaged / untracked paths under the protected surface. The gate's
+    pytest run executes the WORKING TREE while the green record binds to
+    the INDEX — any difference between them means the verified bytes and
+    the recorded bytes diverge, so record mode must refuse to proceed
+    (a warning would reopen the git-add-p hole in mirror image: staged A,
+    edited-to B, tests pass on B, green recorded for A)."""
     diff = subprocess.run(
         ["git", "diff", "--name-only", "--", "onebrc_spark", "__spark_entry__.py"],
         cwd=REPO,
@@ -87,14 +91,7 @@ def _warn_if_unstaged() -> None:
         capture_output=True,
         text=True,
     ).stdout.strip()
-    stray = "\n  ".join(filter(None, [diff, untracked]))
-    if stray:
-        print(
-            "freeze_check: WARNING — unstaged/untracked changes under the "
-            "protected surface are NOT covered by this record (stage them "
-            f"first):\n  {stray}",
-            file=sys.stderr,
-        )
+    return "\n  ".join(filter(None, [diff, untracked]))
 
 
 def last_green() -> str | None:
@@ -116,7 +113,6 @@ def last_green() -> str | None:
 
 
 def main() -> int:
-    _warn_if_unstaged()
     current = tree_hash()
     if "--check" in sys.argv:
         if last_green() == current:
@@ -126,6 +122,17 @@ def main() -> int:
             f"freeze_check: tree {current} has NO green parity record — "
             "run `python scripts/freeze_check.py` before committing "
             "onebrc_spark/ changes",
+            file=sys.stderr,
+        )
+        return 1
+
+    stray = _unstaged_changes()
+    if stray:
+        print(
+            "freeze_check: REFUSING to run — unstaged/untracked changes "
+            "under the protected surface mean the tests would verify the "
+            "working tree while the green record binds to the index. "
+            f"`git add` these first:\n  {stray}",
             file=sys.stderr,
         )
         return 1

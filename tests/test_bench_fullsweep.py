@@ -43,7 +43,6 @@ def test_fullsweep_artifact_covers_registry():
     doc = json.loads(sweeps[-1].read_text())
     from onebrc_spark import registry
 
-    timed = {k for k, v in doc["queries"].items() if v}
     errored = sorted(k for k, v in doc["queries"].items() if not v)
     assert not errored, f"{sweeps[-1].name}: queries errored in sweep: {errored}"
     missing = sorted(set(registry.load_all()) - set(doc["queries"]))
