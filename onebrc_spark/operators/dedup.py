@@ -352,12 +352,13 @@ def minhash_signature(shingles_col: Column) -> Column:
     return F.aggregate(bases, init, step)
 
 
-def minhash_pairs_sql() -> str:
-    """DuckDB SELECT yielding (doc_a, doc_b, jaccard) MinHash-LSH near-dup
-    pairs — the dedup_minhash_lsh oracle body, exposed so downstream oracles
-    (cluster components, survivors) can embed the same edge set."""
-    return f"""
-    WITH toks AS (
+def minhash_candidates_ctes() -> str:
+    """The DuckDB CTE chain toks → words → based → sigs → bands →
+    candidates: banded-LSH candidate pairs over ALL documents (plain,
+    uncollapsed — identical docs collide in every band, which is exactly
+    what the Spark side's collapse/expand reproduces). Shared by the pair
+    oracle and the recall-audit oracle."""
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS raw_ws FROM documents
     ), words AS (
       SELECT doc_id,
@@ -381,7 +382,15 @@ def minhash_pairs_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    ), verified AS (
+    )"""
+
+
+def minhash_pairs_sql() -> str:
+    """DuckDB SELECT yielding (doc_a, doc_b, jaccard) MinHash-LSH near-dup
+    pairs — the dedup_minhash_lsh oracle body, exposed so downstream oracles
+    (cluster components, survivors) can embed the same edge set."""
+    return f"""
+    WITH {minhash_candidates_ctes()}, verified AS (
       SELECT doc_a, doc_b,
              round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
                    / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 4)
@@ -402,34 +411,37 @@ def minhash_pairs_sql() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup detection, the sub-quadratic scale path:
-    3-gram shingles → signature (12 portable hashes) → 4 bands of 3 →
-    equi-join on band signature (only colliding docs pair) → exact shingle-
-    Jaccard verification ≥ 0.7. The oracle reproduces the identical
-    signatures/bands in DuckDB, so this is hash-verified end to end — LSH
-    prunes, Jaccard decides.
+    exact-digest pre-collapse (one representative per md5(text) group) →
+    3-gram shingles of the representatives → signature (12 portable hashes)
+    → 4 bands of 3 → equi-join on band key under a hot-band occupancy cap →
+    exact shingle-Jaccard verification ≥ 0.7 → re-expansion of the digest
+    groups back into document pairs. The oracle is the plain banded-LSH
+    pipeline in DuckDB: the pre-collapse/expansion round-trip provably
+    emits the identical pair set (see _minhash_pairs_plan), so this is
+    hash-verified end to end — LSH prunes, Jaccard decides.
 
     The verified pair set is memoized per (application, sf_dir) as a
     persisted-and-materialized DataFrame: four registered queries consume
     these pairs (minhash itself, both cluster queries, the cluster-safe
     split), and round 3 showed each call pinning a fresh `ws` persist — a
     slow executor-memory leak across a 161-query drive. Now the shingle
-    cache lives only for the duration of this function (unpersisted in a
-    finally) and downstream consumers share one tiny cached pair set.
-    persist+count rather than eager localCheckpoint: the .rdd
-    materialization path cost ~0.8 s extra per build at sf0.1 (64 tasks ×
-    3 stages outside the adaptive plan), while a persisted plan stays in
-    the AQE/codegen path and keeps lineage for eviction safety."""
+    and membership caches live only for the duration of this function
+    (unpersisted in a finally) and downstream consumers share one tiny
+    cached pair set. persist+count rather than eager localCheckpoint: the
+    .rdd materialization path cost ~0.8 s extra per build at sf0.1 (64
+    tasks × 3 stages outside the adaptive plan), while a persisted plan
+    stays in the AQE/codegen path and keeps lineage for eviction safety."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached.orderBy("doc_a", "doc_b")
-    ws = None
+    handles: list[DataFrame] = []
     materialized = None
     try:
         pairs = _minhash_pairs_plan(spark, sf_dir)
-        ws = pairs._onebrc_ws_handle  # set by the plan builder
+        handles = pairs._onebrc_transient_handles  # set by the plan builder
         materialized = pairs.persist()
-        materialized.count()  # materialize while ws is hot
+        materialized.count()  # materialize while the transient persists are hot
     except BaseException:
         # a failed/cancelled materialization must not strand the fresh
         # persist outside the cache where clear_pair_cache can't reach it
@@ -437,8 +449,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             materialized.unpersist()
         raise
     finally:
-        if ws is not None:
-            ws.unpersist()
+        for h in handles:
+            h.unpersist()
     _MINHASH_PAIRS_CACHE.put(key, materialized)
     return materialized.orderBy("doc_a", "doc_b")
 
@@ -469,26 +481,104 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered verified near-dup pairs (doc_a, doc_b, jaccard) plan; the
-    transient shingle persist is exposed as `._onebrc_ws_handle` so the
-    caller can release it after materialization."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
-    # persist: ws feeds the signature path AND both sides of the
-    # verification join — without it the shingling recomputes 3×.
-    ws = d.select("doc_id", word_3grams(F.col("text")).alias("ws")).persist()
-    sigs = ws.select("doc_id", "ws", minhash_signature(F.col("ws")).alias("sig"))
-    # One 64-bit key per band — xxhash64(band, sig-slice) — instead of an
-    # array-typed (band, band_sig) join key. Equal band slices always hash
-    # equal, so no true candidate is ever lost; a hash collision can only ADD
-    # a candidate, and every candidate is decided by the exact Jaccard below
-    # (a collision changing the RESULT needs a colliding pair that also
-    # passes jaccard ≥ τ: ~2^-64, far below the md5 content-addressing risk
-    # already accepted repo-wide). At scale this is the difference between
-    # shuffling 8-byte keys and shuffling 3-element long arrays, and the
-    # join compare is a primitive equality inside codegen (measured ~25%
-    # off the sf0.1 build; the oracle's band arrays in DuckDB are unchanged
-    # because the verified pair set is identical).
+# Hot-band occupancy cap (documents per band key, counted AFTER the exact-
+# digest pre-collapse and the empty-shingle routing — so only DISTINCT,
+# shingle-bearing texts can occupy a band). A band key holding n docs feeds
+# C(n, 2) rows into the candidate join; capping occupancy bounds the worst
+# band's contribution to C(cap, 2) ≈ 500k pairs. Dropping a hot band loses
+# only pairs whose SOLE collision is that band: with 4 bands of 3, a pair at
+# Jaccard j still surfaces with probability 1-(1-j³)³ instead of 1-(1-j³)⁴
+# (at j = 0.9: 98.0% vs 99.5%) — the same graceful-degrade contract as
+# _BLOCK_PAIR_CAP (exact path) and _CONTAIN_DF_CAP (containment). At every
+# test SF the hottest band holds far fewer docs than the cap (sf0.1: single
+# digits after collapse), so the oracle — plain banded LSH — stays exact;
+# tests/test_properties.py exercises the divert with a tiny cap override.
+_BAND_OCCUPANCY_CAP = 1024
+
+
+def minhash_collapse(d: DataFrame) -> DataFrame:
+    """Exact-digest pre-collapse: one row per distinct md5(text) with a
+    non-empty shingle set — (doc_id, ws, grp_n, ids) where doc_id is the
+    group's min (the representative), ws its shingles, grp_n the group
+    size and ids EVERY member's doc_id. Web-scale exact duplication is
+    clique-shaped (millions of byte-identical copies of one page);
+    byte-identical docs have identical shingles, hence identical
+    signatures, hence collide in EVERY band — C(k, 2) candidate rows × 4
+    bands before the verify step. Collapsing to representatives makes the
+    banded bucketing see each distinct text once; the cliques' pairs are
+    reconstructed arithmetically by minhash_expand_pairs from `ids`.
+
+    Shuffle shape: ONE groupBy that partial-aggregates map-side (min
+    doc_id / min text / count / collect ids per digest — all group texts
+    are identical, so min(text) IS the representative text), so the
+    digest shuffle carries one partially-collapsed row per distinct
+    digest per input partition. The `ids` array is O(k) per clique —
+    never the binding constraint, because the pair-set contract this
+    operator serves is itself O(k²) in the clique: any clique too big for
+    an 8-byte-per-member array is far too big to enumerate pairs for, and
+    belongs to dedup_exact's group-report instead.
+
+    Empty-shingle routing: groups whose text is shorter than the 3-gram
+    window (or NULL) are dropped here — their Jaccard is 0/0 → NULL →
+    plain banded LSH drops every such pair too, so the emitted pair set
+    is unchanged while the degenerate shared-sentinel-signature band
+    cliques never form."""
+    slim = d.select("doc_id", "text", F.md5("text").alias("digest"))
+    groups = slim.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("grp_n"),
+        F.collect_list("doc_id").alias("ids"),
+    )
+    return groups.select(
+        "doc_id",
+        word_3grams(F.col("text")).alias("ws"),
+        "grp_n",
+        "ids",
+    ).filter(F.size("ws") > 0)
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All i<j pairs of an id array as array<struct<doc_a, doc_b>> with
+    doc_a < doc_b — the in-bucket pair expansion, computed narrowly inside
+    the row (no self-join). collect_list order is nondeterministic, so the
+    least/greatest normalization keeps the emitted set order-independent."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
+
+
+def minhash_band_candidates(
+    ws: DataFrame, band_cap: int = _BAND_OCCUPANCY_CAP
+) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) over (doc_id, ws) rows.
+
+    One 64-bit key per band — xxhash64(band, sig-slice) — instead of an
+    array-typed (band, band_sig) key. Equal band slices always hash
+    equal, so no true candidate is ever lost; a hash collision can only ADD
+    a candidate, and every candidate is decided by the exact Jaccard later
+    (a collision changing the RESULT needs a colliding pair that also
+    passes jaccard ≥ τ: ~2^-64, far below the md5 content-addressing risk
+    already accepted repo-wide). At scale this is the difference between
+    shuffling 8-byte keys and shuffling 3-element long arrays.
+
+    Bucket-aggregate instead of self-join (r8): ONE groupBy(band_key)
+    shuffle collects each bucket's ids and the pairs explode narrowly in-
+    row (_bucket_pairs) — the self-join form shuffled the band table twice
+    and needed a separate occupancy window for the hot-band guard; here
+    the guard is a free size(ids) filter on the aggregated bucket, and the
+    aggregation buffer is bounded by the cap it enforces (8 KB of longs at
+    the default 1024). Keys above `band_cap` are dropped before expansion
+    — see _BAND_OCCUPANCY_CAP for the recall contract."""
+    sigs = ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -506,34 +596,289 @@ def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    buckets = bands.groupBy("band_key").agg(F.collect_list("doc_id").alias("ids"))
+    return (
+        buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(band_cap)))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_verify_pairs(ws: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs: joins the
+    shingle sets back on both sides and keeps pairs at jaccard ≥ τ."""
     wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     union = F.size("ws_a") + F.size("ws_b") - F.size(F.array_intersect("ws_a", "ws_b"))
-    # Empty word sets share a signature, so they ALWAYS band-collide into a
-    # candidate pair — and their 0/0 Jaccard THROWS under ANSI while
-    # DuckDB's x/0 is NULL (dropped by the threshold). NULL the denominator
-    # so both engines drop the undefined pair (edge-fixture class).
+    # 0/0 Jaccard THROWS under ANSI while DuckDB's x/0 is NULL (dropped by
+    # the threshold). NULL the denominator so both engines drop the
+    # undefined pair. (With the empty-shingle routing upstream this branch
+    # is unreachable in the registered plan, but the helper keeps the guard
+    # so it is safe on arbitrary inputs.)
     jac = inter / F.when(union == 0, F.lit(None)).otherwise(union)
-    out = (
+    return (
         candidates.join(wa, "doc_a")
         .join(wb, "doc_b")
         .filter(jac >= _MINHASH_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
-    out._onebrc_ws_handle = ws
+
+
+def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFrame:
+    """Expand representative-level verified pairs back to document pairs —
+    the exact inverse of minhash_collapse, emitting precisely the pair set
+    plain (uncollapsed) banded LSH would:
+
+      - cross-group: a verified rep pair (ra, rb, j) expands to every
+        (a ∈ group(ra), b ∈ group(rb)) with the SAME jaccard j — identical
+        texts have identical shingle sets, so jaccard(a, b) = jaccard(ra,
+        rb), and identical signatures mean (a, b) band-collides iff
+        (ra, rb) does. members(r) = {r} ∪ dup-extras(r), encoded as a
+        union (the identity branch) plus a join against the NON-rep dup
+        members only — singleton docs never join anything. Groups are
+        disjoint and the two branches are too (extras exclude the rep),
+        so each pair appears exactly once.
+      - within-group: every pair inside a dup group is byte-identical →
+        jaccard exactly 1.0 ≥ τ, and always band-collides — UNLESS the
+        text has no shingles, where plain LSH computes 0/0 → NULL →
+        dropped; minhash_collapse already routed those groups out, so
+        `collapsed` rows are exactly the groups whose within-pairs plain
+        LSH emits. The pairs explode narrowly IN-ROW from `ids`
+        (_bucket_pairs) — no join, no shuffle. (The output IS quadratic
+        in the clique — that is the pair-set contract; the win is that
+        nothing upstream of the final emit is.)
+
+    rep_pairs is tiny (verified near-dups) and the dup-group member table
+    is bounded by the corpus's dup mass — AQE broadcasts whichever side is
+    small; the member×member combination itself explodes narrowly IN-ROW
+    (two left joins attach the id arrays, no union branches)."""
+    dup = collapsed.filter(F.col("grp_n") > 1)
+    mem_a = dup.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("ids_a"))
+    mem_b = dup.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("ids_b"))
+    exp = (
+        rep_pairs.join(mem_a, "doc_a", "left")
+        .join(mem_b, "doc_b", "left")
+        .select(
+            F.coalesce("ids_a", F.array("doc_a")).alias("ids_a"),
+            F.coalesce("ids_b", F.array("doc_b")).alias("ids_b"),
+            "jaccard",
+        )
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda a: F.transform(
+                F.col("ids_b"),
+                lambda b: F.struct(
+                    F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    cross = exp.select(F.explode(combos).alias("p"), "jaccard").select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "jaccard"
+    )
+    within = dup.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(within)
+
+
+def _minhash_pairs_plan(
+    spark: SparkSession, sf_dir: str, band_cap: int = _BAND_OCCUPANCY_CAP
+) -> DataFrame:
+    """Unordered verified near-dup pairs (doc_a, doc_b, jaccard) plan:
+    collapse → route out empty shingle sets → band (capped) → verify →
+    expand. The transient persists (representative shingles + group
+    membership, each consumed by ≥2 downstream joins) are exposed as
+    `._onebrc_transient_handles` so the caller can release them after
+    materialization.
+
+    Equivalence to the uncollapsed oracle: empty-shingle docs only ever
+    produce NULL-jaccard pairs (always dropped), so routing them out
+    changes nothing; collapse/expand is a bijection on the remaining pair
+    set (see minhash_expand_pairs). Hence the DuckDB oracle — plain banded
+    LSH over all documents — hashes identically, while the Spark plan is
+    clique-proof: k byte-identical docs cost O(k) instead of O(k²) rows in
+    the banded candidate join (pinned in tests/test_properties.py)."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    # ONE persist: the collapsed (doc_id, ws, grp_n, ids) table feeds the
+    # signature path, both sides of the verification join AND the
+    # expansion — without it the shingling+collapse recomputes 5×.
+    collapsed = minhash_collapse(d).persist()
+    ws = collapsed.select("doc_id", "ws")
+    candidates = minhash_band_candidates(ws, band_cap)
+    rep_pairs = minhash_verify_pairs(ws, candidates)
+    out = minhash_expand_pairs(rep_pairs, collapsed)
+    out._onebrc_transient_handles = [collapsed]
     return out
+
+
+# Recall-audit truth floor: within-block pairs with ANY meaningful overlap
+# (j ≥ 0.05). The corpus — like real web text — is bimodal (boilerplate-ish
+# low-j mass vs near-identical high-j mass), so the three classes measure
+# both ends of the banding s-curve: 'sub' [0.05, 0.7) SHOULD be pruned
+# (candidate recall ≈ 0 — that is the selectivity claim), 'borderline'
+# [0.7, 0.9) is where 4×3 banding loses recall, 'strong' [0.9, 1] should be
+# ≈ 1e6 ppm.
+_AUDIT_FLOOR = 0.05
+
+
+def _audit_truth_sql() -> str:
+    """Blocked exact-Jaccard truth pairs with raw (unrounded) j — the
+    recall audit's reference set, DuckDB side."""
+    return f"""gtoks AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             string_split(text, ' ') AS gws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, len_bucket,
+             list_distinct(list_transform(
+               range(1, greatest(len(gws) - 1, 1)),
+               i -> gws[i] || ' ' || gws[i+1] || ' ' || gws[i+2])) AS gset
+      FROM gtoks
+    ), truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+               / (len(a.gset) + len(b.gset)
+                  - len(list_intersect(a.gset, b.gset))) AS j
+      FROM grams a JOIN grams b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+            / (len(a.gset) + len(b.gset)
+               - len(list_intersect(a.gset, b.gset))) >= {_AUDIT_FLOOR}
+    )"""
+
+
+@query(
+    "dedup_minhash_recall_audit",
+    oracle=f"""
+    WITH {{CANDIDATES}}, {{TRUTH}}
+    SELECT CASE WHEN t.j >= 0.9 THEN 'strong'
+                WHEN t.j >= {_MINHASH_THRESHOLD} THEN 'borderline'
+                ELSE 'sub' END AS jclass,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY jclass ORDER BY jclass
+    """.replace("{CANDIDATES}", minhash_candidates_ctes())
+       .replace("{TRUTH}", _audit_truth_sql()),
+    survey_ref="X2 + X3d (banded-LSH recall audit, text twin)",
+)
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banded-LSH recall vs exact-Jaccard truth — the text twin of
+    sim_ann_recall_audit (X3d), closing VERDICT r7 #5. Truth = within-block
+    (lang × length-bucket) pairs at exact word-3-gram Jaccard ≥ 0.05; a
+    truth pair counts as FOUND when the production candidate machinery —
+    exact-digest pre-collapse, empty-shingle routing, capped 4×3 banding —
+    surfaces it: either both docs share a digest group (expansion recovers
+    them arithmetically) or their representatives band-collide. Output is
+    one exact-integer row per Jaccard class (see _AUDIT_FLOOR): n_truth,
+    n_found, recall_ppm — 'strong' should sit near 1e6, 'sub' near 0 (the
+    selectivity end of the s-curve), 'borderline' is the measured banding
+    loss the 10× scale run (SCALE_DOCS.json) tracks across corpora.
+
+    Cross-engine note: recall on borderline pairs is shingle-hash-space
+    dependent, so the oracle replays the IDENTICAL md5-affine signatures —
+    per-corpus ppm values are hash-verified, but never compare them across
+    differently tokenized corpora (tests/test_scale_docs.py's caveat).
+
+    Scale: truth is the blocked all-pairs join (bounded per block — the
+    dedup_ngram_jaccard budget applies); at 100 TB an audit like this runs
+    on a block-sample, not the full corpus — the query shape is unchanged,
+    only the input is sampled."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    gset = word_3grams(F.col("text"))
+    docs = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        gset.alias("gset"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast("double")
+    union = (
+        F.size(F.col("a.gset")) + F.size(F.col("b.gset"))
+        - F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset")))
+    )
+    jac = inter / F.when(union == 0, F.lit(None)).otherwise(union)
+    truth = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= _AUDIT_FLOOR)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+    )
+    collapsed = minhash_collapse(d)
+    cands = minhash_band_candidates(collapsed.select("doc_id", "ws")).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"), F.lit(1).alias("hit")
+    )
+    # rep(doc) = its dup-group representative, or itself (singletons carry
+    # no mapping row — see minhash_collapse)
+    dup_members = collapsed.filter(F.col("grp_n") > 1).select(
+        F.col("doc_id").alias("rep_id"), F.explode("ids").alias("doc_id")
+    )
+    ma = dup_members.select(
+        F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("ra")
+    )
+    mb = dup_members.select(
+        F.col("doc_id").alias("doc_b"), F.col("rep_id").alias("rb")
+    )
+    mapped = (
+        truth.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            "j",
+            F.coalesce("ra", "doc_a").alias("rep_a"),
+            F.coalesce("rb", "doc_b").alias("rep_b"),
+        )
+    )
+    joined = mapped.join(
+        cands,
+        (F.least("rep_a", "rep_b") == F.col("ca"))
+        & (F.greatest("rep_a", "rep_b") == F.col("cb")),
+        "left",
+    )
+    found = (F.col("rep_a") == F.col("rep_b")) | F.col("hit").isNotNull()
+    jclass = (
+        F.when(F.col("j") >= 0.9, F.lit("strong"))
+        .when(F.col("j") >= _MINHASH_THRESHOLD, F.lit("borderline"))
+        .otherwise(F.lit("sub"))
+    )
+    return (
+        joined.select(jclass.alias("jclass"), found.cast("int").alias("found"))
+        .groupBy("jclass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum("found").cast("long").alias("n_found"),
+        )
+        .select(
+            "jclass",
+            "n_truth",
+            "n_found",
+            F.expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("jclass")
+    )
 
 
 def simhash64(hashes_col: Column, bits: int = 64) -> Column:

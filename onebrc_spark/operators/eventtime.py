@@ -635,10 +635,17 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_running_user_stats,
     )
 
+    import hashlib
+
     stream = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    # Sink name suffixed per sf_dir (ADVICE r7): a second build in the same
+    # session against a DIFFERENT directory must not replace the temp view
+    # a previously returned DataFrame was resolved against; same-dir
+    # rebuilds replace a view with identical content, which is benign.
     sink = run_to_completion(
         stream_running_user_stats(stream),
-        "evt_stateful_running_stats_sink",
+        "evt_stateful_running_stats_sink_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
         spark,
         mode="update",
     )

@@ -647,6 +647,44 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top2_cells(cs: Column) -> Column:
+    """Indices of the two largest entries of a score array as a struct
+    (b_c, b_i, s_c, s_i), ties resolving to the LOWEST index first — the
+    row_number()-over-(score DESC, cell ASC) rn=1/rn=2 semantics the IVF
+    oracles replay. One fold referencing `cs` exactly once: the naive
+    array_position(cs, array_max(cs)) + masked-second form references it
+    six times, and project collapse re-inlines the full 8×dim-64 cosine
+    tree into every reference (the minhash_signature codegen-blowup
+    class). Indices are 1-based longs, 0 for an empty array."""
+    pairs = F.zip_with(
+        cs,
+        F.sequence(F.lit(1), F.size(cs)),
+        lambda c, i: F.struct(c.alias("c"), i.cast("long").alias("i")),
+    )
+    init = F.struct(
+        F.lit(-1e300).alias("b_c"),
+        F.lit(0).cast("long").alias("b_i"),
+        F.lit(-1e300).alias("s_c"),
+        F.lit(0).cast("long").alias("s_i"),
+    )
+
+    def step(acc: Column, p: Column) -> Column:
+        best = p["c"] > acc["b_c"]  # strict: ties keep the earlier index
+        sec = (~best) & (p["c"] > acc["s_c"])
+        return F.struct(
+            F.when(best, p["c"]).otherwise(acc["b_c"]).alias("b_c"),
+            F.when(best, p["i"]).otherwise(acc["b_i"]).alias("b_i"),
+            F.when(best, acc["b_c"])
+            .otherwise(F.when(sec, p["c"]).otherwise(acc["s_c"]))
+            .alias("s_c"),
+            F.when(best, acc["b_i"])
+            .otherwise(F.when(sec, p["i"]).otherwise(acc["s_i"]))
+            .alias("s_i"),
+        )
+
+    return F.aggregate(pairs, init, step)
+
+
 def kmeans_fit(
     e: DataFrame, k: int = _IVF_K, iters: int = 3
 ) -> list[list[float]]:
@@ -696,9 +734,10 @@ def kmeans_fit(
                 for c in cents
             ]
         )
-        assigned = e.select(
-            "embedding", F.array_position(cs, F.array_max(cs)).alias("cell")
-        )
+        # single-fold argmax: array_position(cs, array_max(cs)) references
+        # the 8-cosine tree twice; the fold references it once (see
+        # _top2_cells — identical first-maximal tie semantics)
+        assigned = e.select("embedding", _top2_cells(cs)["b_i"].alias("cell"))
         rows = (
             assigned.select(
                 "cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
@@ -717,13 +756,14 @@ def kmeans_fit(
     return cents
 
 
-def _kmeans_iter_sql(prev: str, nxt: str) -> str:
-    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector to
-    its argmax-cosine cell against the `prev` centroid table (tie → first
-    maximal cell, same as Spark's array_position-of-max), re-estimate
+def _kmeans_iter_sql(prev: str, nxt: str, src: str = "embeddings") -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector of
+    `src` to its argmax-cosine cell against the `prev` centroid table (tie →
+    first maximal cell, same as Spark's array_position-of-max), re-estimate
     per-cell coordinate means on exact floor(x·1e9+0.5) integers, and keep
     the previous centroid for empty cells — a literal SQL replay of
-    kmeans_fit's one distributed pass."""
+    kmeans_fit's one distributed pass. `src` is the fit corpus: the full
+    embeddings table, or the hash-sample CTE of the sampled-fit twin."""
     return f"""
     {nxt}_assign AS (
       SELECT vec_id, embedding, cell FROM (
@@ -734,7 +774,7 @@ def _kmeans_iter_sql(prev: str, nxt: str) -> str:
                             DESC,
                           c.cell ASC
                ) AS rn
-        FROM embeddings e CROSS JOIN {prev} c
+        FROM {src} e CROSS JOIN {prev} c
       ) WHERE rn = 1
     ),
     {nxt}_sums AS (
@@ -760,22 +800,35 @@ def _kmeans_iter_sql(prev: str, nxt: str) -> str:
     )"""
 
 
-def _ivf_trained_sql() -> str:
+def _ivf_trained_sql(fit_src: str | None = None) -> str:
     """Full SQL twin of sim_ann_ivf_trained: replay the 3-iteration k-means
     fit (possible because every fit step is either exact integer math or a
     fixed-order IEEE expression — see kmeans_fit's determinism note), then
-    probe-2 retrieval, exact truth, and the per-query recall audit."""
+    probe-2 retrieval, exact truth, and the per-query recall audit.
+    fit_src: None fits on the full embeddings table; "sample" fits on the
+    content-addressed top-{_IVF_FIT_SAMPLE} hash-sample (the sampled-fit
+    twin's oracle — retrieval/truth/audit still run on the full corpus)."""
     c0_rows = ",\n        ".join(
         "({cell}, list_transform([{vals}], v -> CAST(v AS DOUBLE)))".format(
             cell=j + 1, vals=", ".join(str(v) for v in c)
         )
         for j, c in enumerate(_centroids())
     )
+    src = "embeddings" if fit_src is None else "fitsample"
+    sample_cte = (
+        ""
+        if fit_src is None
+        else f"""fitsample AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_FIT_SAMPLE}
+    ),"""
+    )
     iters = ",".join(
-        _kmeans_iter_sql(f"c{i}", f"c{i + 1}") for i in range(3)
+        _kmeans_iter_sql(f"c{i}", f"c{i + 1}", src=src) for i in range(3)
     )
     return f"""
-    WITH c0 AS (
+    WITH {sample_cte}c0 AS (
       SELECT * FROM (VALUES
         {c0_rows}
       ) AS t(cell, cvec)
@@ -852,39 +905,11 @@ def _ivf_trained_sql() -> str:
     """
 
 
-@query(
-    "sim_ann_ivf_trained",
-    oracle=_ivf_trained_sql(),
-    survey_ref="X3 (IVF with k-means-trained coarse quantizer, probe-2)",
-)
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer and multi-probe search:
-    3 Lloyd iterations fit the centroid table, each query probes its TWO
-    nearest cells (the production lever for IVF recall — probe-1 recall@5
-    is 0.26-0.42 on this corpus, probe-2 is 0.42-0.58), top-5 within the
-    probed cells.
-
-    Oracle strategy (round 6 — VERDICT item 5, replacing the pinned-TRUE
-    booleans that were the registry's weakest oracle): the fitted
-    centroids are data-dependent, but the fit itself is a PURE FUNCTION
-    of the data — every step is exact integer math (floor(x·1e9+0.5)
-    coordinate sums) or a fixed-order IEEE expression (the cosine fold) —
-    so the DuckDB oracle REPLAYS the whole 3-iteration Lloyd fit as
-    unrolled SQL CTEs (_kmeans_iter_sql), then the probe-2 retrieval,
-    the exact brute-force truth, and the audit. Output is per-query
-    exact integers, every column value-bearing and hash-verified:
-      n_cand      candidates in the two probed cells (independent
-                  occupancy census, minus the query itself),
-      n_ret       rows the IVF retrieval returned (contract:
-                  n_ret = min(k, n_cand) — the old ivf_complete boolean,
-                  now checkable per-row by the driver),
-      n_true      exact top-k truth size,
-      n_found     |ivf ∩ exact|,
-      recall_ppm  exact-integer recall@5 (X3d's idiom).
-    Determinism and inertia descent of the fit are pinned in
-    tests/test_properties.py."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    cents = kmeans_fit(e)
+def _ivf_probe2_audit(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Probe-2 IVF retrieval + exact truth + per-query recall audit against
+    a fitted centroid table — the shared back half of sim_ann_ivf_trained
+    and sim_ann_ivf_sampled (which differ only in the corpus the quantizer
+    was FIT on; retrieval always runs on the full corpus)."""
     # coalesce(cos, -2) totalizes the argmax for zero-norm vectors (same
     # sentinel as kmeans_fit — matches the oracle's row_number tie-break:
     # cell 1, then cell 2).
@@ -897,25 +922,29 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cents
         ]
     )
-    # Probe cells chosen POSITIONALLY: array_remove(cs, max) drops ALL
-    # values equal to the max, so an exact cosine tie between the two
-    # nearest centroids skipped the true second cell (ADVICE r3). Masking
-    # the argmax INDEX (cosine ≥ -1, and the NULL-coalesce sentinel is -2,
-    # both > the -3 mask) makes ties resolve deterministically to the
-    # first maximal cell, then the first of the remaining maxima — for a
-    # degenerate all-(-2) row that's cell 1 then cell 2, exactly the
-    # oracle's rn=1/rn=2.
-    best_idx = F.array_position(cs, F.array_max(cs))
-    masked = F.transform(
-        cs,
-        lambda x, i: F.when(i + 1 == best_idx, F.lit(-3.0)).otherwise(x),
-    )
+    # Probe cells via ONE fold (r8): the previous array_position-of-max +
+    # masked-second-position form referenced the `cs` expression six times,
+    # and Catalyst's project collapse re-inlined all 8 dim-64 cosine folds
+    # into every reference — the minhash_signature codegen-blowup class,
+    # ~6× the expression tree for identical output. _top2_cells keeps the
+    # same tie semantics (first maximal cell, then first of the remaining
+    # maxima — for a degenerate all-(-2) row that's cell 1 then cell 2,
+    # exactly the oracle's rn=1/rn=2) while referencing cs twice total.
+    t2 = _top2_cells(cs)
     celled = e.select(
         "vec_id",
         "embedding",
-        best_idx.alias("cell"),
-        F.array_position(masked, F.array_max(masked)).alias("cell2"),
+        t2["b_i"].alias("cell"),
+        t2["s_i"].alias("cell2"),
     )
+    # The cell assignment is consumed by THREE plan branches (the query
+    # set, the probe join, the occupancy census) — without a barrier each
+    # branch re-evaluates every cosine over the whole corpus (3× scans,
+    # and 3× the giant codegen). localCheckpoint materializes the
+    # assignment once; that is exactly what an IVF *index build* is — the
+    # persisted cell table the retrieval side reads. Build-time execution
+    # is the storage-op precedent (see evt_stateful_running_stats's note).
+    celled = celled.localCheckpoint(eager=True)
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -1007,6 +1036,94 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=_ivf_trained_sql(),
+    survey_ref="X3 (IVF with k-means-trained coarse quantizer, probe-2)",
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer and multi-probe search:
+    3 Lloyd iterations fit the centroid table, each query probes its TWO
+    nearest cells (the production lever for IVF recall — probe-1 recall@5
+    is 0.26-0.42 on this corpus, probe-2 is 0.42-0.58), top-5 within the
+    probed cells.
+
+    Oracle strategy (round 6 — VERDICT item 5, replacing the pinned-TRUE
+    booleans that were the registry's weakest oracle): the fitted
+    centroids are data-dependent, but the fit itself is a PURE FUNCTION
+    of the data — every step is exact integer math (floor(x·1e9+0.5)
+    coordinate sums) or a fixed-order IEEE expression (the cosine fold) —
+    so the DuckDB oracle REPLAYS the whole 3-iteration Lloyd fit as
+    unrolled SQL CTEs (_kmeans_iter_sql), then the probe-2 retrieval,
+    the exact brute-force truth, and the audit. Output is per-query
+    exact integers, every column value-bearing and hash-verified:
+      n_cand      candidates in the two probed cells (independent
+                  occupancy census, minus the query itself),
+      n_ret       rows the IVF retrieval returned (contract:
+                  n_ret = min(k, n_cand) — the old ivf_complete boolean,
+                  now checkable per-row by the driver),
+      n_true      exact top-k truth size,
+      n_found     |ivf ∩ exact|,
+      recall_ppm  exact-integer recall@5 (X3d's idiom).
+    Determinism and inertia descent of the fit are pinned in
+    tests/test_properties.py.
+
+    This full-corpus fit is the EXACTNESS reference; the production-shaped
+    fit is sim_ann_ivf_sampled (VERDICT r7 #2) — at 100 TB, 3 Lloyd passes
+    over the whole corpus are 3 full shuffles spent fitting a k×dim model
+    a fixed-size sample estimates just as well."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    return _ivf_probe2_audit(e, kmeans_fit(e))
+
+
+# Fit-sample size for the sampled-fit IVF twin: fixed m, content-addressed
+# (md5 top-m — the ml_fixed_size_sample idiom), so the fit input is the
+# same m vectors every run, on every engine, under any partitioning: the
+# sampled fit stays a pure function of the data and the DuckDB oracle can
+# replay it. k-means needs O(k·dim) effective samples; m=128 on k=8 cells
+# is 16 per cell — and at 100 TB m stays 128 (or any fixed budget): the
+# top-m heap is the ONLY thing that grows work (per-partition heaps, a
+# P·m-row driver merge, no corpus shuffle at all).
+_IVF_FIT_SAMPLE = 128
+
+
+@query(
+    "sim_ann_ivf_sampled",
+    oracle=_ivf_trained_sql(fit_src="sample"),
+    survey_ref="X3 (IVF quantizer fit on a content-addressed hash-sample)",
+)
+def sim_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivf_trained's production twin: the SAME 3-iteration Lloyd
+    fit, run on a fixed-size content-addressed hash-sample (top-128 by
+    md5('ivf:' || vec_id) — deterministic, engine-portable, exactly-m) of
+    the corpus instead of the whole corpus; probe-2 retrieval, exact truth
+    and the recall audit still run on the FULL corpus, so the output
+    columns measure what sampling the fit actually costs in recall.
+
+    This closes the round-7 scale gap: the full fit posexplodes every
+    embedding 3× (the 12.5 s fullsweep outlier at sf0.01; 3 full-corpus
+    shuffles at 100 TB), while the sampled fit's corpus-sized work is ONE
+    TakeOrderedAndProject — per-partition m-heaps, a P·m-row driver merge,
+    no shuffle — after which each Lloyd pass touches m=128 rows. The
+    oracle replays the identical sample (same md5 ordering) and the
+    identical fit, so the trained-then-retrieved output is hash-verified
+    end to end, same columns as sim_ann_ivf_trained."""
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    h = F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    sample = (
+        e.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_FIT_SAMPLE)
+        .select("vec_id", "embedding")
+        .persist()  # 3 Lloyd passes read it; released right after the fit
+    )
+    try:
+        cents = kmeans_fit(sample)
+    finally:
+        sample.unpersist()
+    return _ivf_probe2_audit(e, cents)
 
 
 # --- X3b: embedding quantization (int8) -------------------------------------

@@ -134,20 +134,174 @@ _REGISTRY: dict[str, Query] = {}
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-7 semantic changes / NEW queries — same-round proof:
-    #     evt_stateful_running_stats (NEW — ST6 gains a full oracle),
-    #     ml_shard_binpack (NEW — size-balanced serpentine sharding),
-    #     dedup_graph_pagerank (NEW — exact-integer centrality over the
-    #     near-dup graph),
-    #     sort_global_dense_ids (refactored onto the shared
-    #     global_row_number helper the new op consumes),
-    #     text_boilerplate_segments (single-traversal localCheckpoint),
-    #     text_tfidf_top_terms (NULL-source df semantics, oracle+code),
-    #     mm_* kernels (NULL-payload propagation),
-    #     dedup_minhash_lsh / dedup_cluster_components (bounded LRU memos)
+    # (b) round-8 semantic changes / NEW queries — same-round proof:
+    #     dedup_minhash_lsh (exact-digest pre-collapse + hot-band cap,
+    #     VERDICT r7 #1) and every consumer of its memoized pair set
+    #     (cluster components/survivors/best-survivor, leakage-safe split,
+    #     pagerank), dedup_minhash_recall_audit (NEW — X3d text twin),
+    #     sim_ann_ivf_sampled (NEW — hash-sampled quantizer fit, VERDICT
+    #     r7 #2), sim_ann_ivf_trained (single-fold top-2 argmax +
+    #     checkpointed cell assignment), evt_stateful_running_stats
+    #     (per-sf_dir sink naming, ADVICE r7)
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
+    "sim_ann_ivf_sampled",
+    "sim_ann_ivf_trained",
     "evt_stateful_running_stats",
-    "ml_shard_binpack",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "dedup_cluster_best_survivor",
+    "ml_cluster_safe_split",
     "dedup_graph_pagerank",
+    # (c) the 37 queries whose last driver evidence was round ≤3 — this
+    #     rotation retires the final pre-r4 evidence debt (VERDICT r7 #4),
+    #     plus the two stalest r4 rows to fill the window to 50
+    "agg_salted_twophase",
+    "join_salted_skew",
+    "text_quality_score",
+    "agg_collect_sorted_list",
+    "dedup_exact_distinct",
+    "storage_json_roundtrip",
+    "text_fuzzy_levenshtein",
+    "agg_bitmap_distinct",
+    "agg_hll_sketch_merge",
+    "agg_partial_reaggregation",
+    "agg_rank_correlation",
+    "dq_constraint_audit",
+    "dq_observe_metrics",
+    "evt_gap_fill_lerp",
+    "evt_gap_fill_locf",
+    "evt_retention_cohorts",
+    "evt_transition_matrix",
+    "join_asof_forward",
+    "ml_contamination_ngram",
+    "ml_fixed_size_sample",
+    "ml_quantile_filter",
+    "ml_sequence_packing",
+    "ml_stratified_sample",
+    "mm_byte_stats_arrow",
+    "sim_lsh_candidate_stats",
+    "sql_lateral_topn",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q18_shape",
+    "sql_tpch_q4_shape",
+    "src_python_datasource",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
+    "text_inverted_index",
+    "text_pii_redaction",
+    "text_repetition_score",
+    "text_stopword_removal",
+    "udtf_chunk_documents",
+    "agg_approx_count_distinct",
+    "agg_tpch_q1",
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # stalest-first for future rotations (r4 → r5 → r6 → the r7 window);
+    # every row stays pinned locally by tests/test_oracle_parity.py
+    # and the freeze gate at sf0.01/sf0.1. ----
+    "dedup_exact",
+    "dedup_simhash",
+    "fn_collation_ci",
+    "join_broadcast_dims",
+    "join_inner_fact",
+    "join_range_interval",
+    "join_semi_anti",
+    "ml_deterministic_shard",
+    "mm_frame_sample",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_ann_lsh_banded",
+    "sim_embedding_quantize",
+    "sql_tpch_q12_shape",
+    "sql_tpch_q16_shape",
+    "sql_tpch_q20_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q2_shape",
+    "text_token_stats",
+    "text_unigram_rarity",
+    "window_lag_lead",
+    "window_topn_per_group",
+    "agg_cms_heavy_hitters",
+    "cdc_scd2_history",
+    "dq_column_profile",
+    "dq_snapshot_drift",
+    "evt_funnel",
+    "fn_date_scaffold",
+    "join_left_outer",
+    "ml_hash_split",
+    "ml_source_mix",
+    "ml_temperature_mix",
+    "onebrc_permissive_quarantine",
+    "pivot_status_matrix",
+    "sim_ann_recall_audit",
+    "sql_agg_filter_clause",
+    "sql_recursive_cte",
+    "sql_tpch_q10_shape",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q14_shape",
+    "sql_tpch_q15_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q22_shape",
+    "sql_tpch_q3_shape",
+    "sql_tpch_q5_shape",
+    "sql_tpch_q6_shape",
+    "sql_tpch_q7_shape",
+    "sql_tpch_q8_shape",
+    "sql_tpch_q9_shape",
+    "sql_udf_declared",
+    "storage_schema_evolution",
+    "text_cooccurrence_lift",
+    "text_langid",
+    "text_source_overlap",
+    "udf_grouped_map_zscore",
+    "udf_scalar_sigmoid",
+    "agg_approx_percentile",
+    "agg_corr_covar",
+    "agg_equidepth_histogram",
+    "agg_rollup",
+    "agg_stats",
+    "agg_table_fingerprint",
+    "cdc_merge_upsert",
+    "cdc_snapshot_diff",
+    "dedup_embedding_neardup",
+    "dedup_incremental_admission",
+    "dedup_ngram_jaccard",
+    "dedup_overlap_containment",
+    "dq_k_anonymity",
+    "dq_key_skew_profile",
+    "evt_anomaly_mad",
+    "evt_dedup_by_id",
+    "evt_session_window",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    "evt_watermark_late_drop",
+    "filter_predicates",
+    "fn_json",
+    "fn_map_roundtrip",
+    "fn_try_arithmetic",
+    "fn_url_parse",
+    "fn_variant_json",
+    "join_asof",
+    "ml_curation_pipeline",
+    "ml_domain_cap",
+    "ml_quality_upsample",
+    "ml_token_budget",
+    "onebrc_generated",
+    "onebrc_report",
+    "setop_except",
+    "sim_knn_bruteforce",
+    "sim_semantic_prune",
+    "sort_multi_key",
+    "storage_bucketed_join",
+    "storage_compaction",
+    "storage_csv_roundtrip",
+    "text_boilerplate_clean",
+    "text_bpe_merge_pairs",
+    "text_fingerprint",
+    "text_repetition_profile",
+    "window_running_frames",
+    "ml_shard_binpack",
     "sort_global_dense_ids",
     "text_boilerplate_segments",
     "text_tfidf_top_terms",
@@ -155,10 +309,6 @@ _PRIORITY = [
     "mm_decode_stats",
     "mm_feature_extract",
     "mm_resize",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    # (c) the 28 queries whose last driver evidence is ROUND 1 — the
-    #     oldest code-vs-evidence gaps in the registry (VERDICT r6 #2)
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -187,14 +337,6 @@ _PRIORITY = [
     "window_first_last_nth",
     "window_range_frame",
     "window_ranking",
-    # (d) 9 of the 16 remaining ROUND-2-evidence rows (the other seven
-    #     defer to slot 51+ — each family keeps an in-window
-    #     representative: dedup_exact_distinct via dedup_keep_first,
-    #     text_fuzzy_levenshtein and text_quality_score via text_ngram_tf
-    #     + text_token_count_bpe, storage_json_roundtrip via
-    #     storage_partitioned_pruning, agg_collect_sorted_list and
-    #     agg_salted_twophase via the six r1 agg rows, join_salted_skew
-    #     via the three r1 join rows)
     "dedup_keep_first",
     "filter_null_semantics",
     "sim_label_centroid",
@@ -204,157 +346,6 @@ _PRIORITY = [
     "text_token_count_bpe",
     "udf_grouped_agg_geomean",
     "unpivot_stack",
-    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
-    # by driver-evidence staleness, pre-ordered for the r8 rotation;
-    # every row stays pinned locally by tests/test_oracle_parity.py
-    # and the freeze gate at sf0.01/sf0.1. ----
-    # displaced by the three round-7 NEW rows (families keep in-window
-    # representatives — see the (d) note above); all locally green
-    "agg_salted_twophase",  # r2
-    "join_salted_skew",  # r2
-    "text_quality_score",  # r2
-    "agg_collect_sorted_list",  # r2
-    "dedup_exact_distinct",  # r2
-    "storage_json_roundtrip",  # r2
-    "text_fuzzy_levenshtein",  # r2
-    "agg_bitmap_distinct",  # r3
-    "agg_hll_sketch_merge",  # r3
-    "agg_partial_reaggregation",  # r3
-    "agg_rank_correlation",  # r3
-    "dq_constraint_audit",  # r3
-    "dq_observe_metrics",  # r3
-    "evt_gap_fill_lerp",  # r3
-    "evt_gap_fill_locf",  # r3
-    "evt_retention_cohorts",  # r3
-    "evt_transition_matrix",  # r3
-    "join_asof_forward",  # r3
-    "ml_contamination_ngram",  # r3
-    "ml_fixed_size_sample",  # r3
-    "ml_quantile_filter",  # r3
-    "ml_sequence_packing",  # r3
-    "ml_stratified_sample",  # r3
-    "mm_byte_stats_arrow",  # r3
-    "sim_lsh_candidate_stats",  # r3
-    "sql_lateral_topn",  # r3
-    "sql_tpch_q13_shape",  # r3
-    "sql_tpch_q18_shape",  # r3
-    "sql_tpch_q4_shape",  # r3
-    "src_python_datasource",  # r3
-    "storage_orc_roundtrip",  # r3
-    "storage_zorder_layout",  # r3
-    "text_inverted_index",  # r3
-    "text_pii_redaction",  # r3
-    "text_repetition_score",  # r3
-    "text_stopword_removal",  # r3
-    "udtf_chunk_documents",  # r3
-    "agg_approx_count_distinct",  # r4
-    "agg_tpch_q1",  # r4
-    "dedup_cluster_survivors",  # r4
-    "dedup_exact",  # r4
-    "dedup_simhash",  # r4
-    "fn_collation_ci",  # r4
-    "join_broadcast_dims",  # r4
-    "join_inner_fact",  # r4
-    "join_range_interval",  # r4
-    "join_semi_anti",  # r4
-    "ml_cluster_safe_split",  # r4
-    "ml_deterministic_shard",  # r4
-    "mm_frame_sample",  # r4
-    "sim_ann_ivf",  # r4
-    "sim_ann_lsh",  # r4
-    "sim_ann_lsh_banded",  # r4
-    "sim_embedding_quantize",  # r4
-    "sql_tpch_q12_shape",  # r4
-    "sql_tpch_q16_shape",  # r4
-    "sql_tpch_q20_shape",  # r4
-    "sql_tpch_q21_shape",  # r4
-    "sql_tpch_q2_shape",  # r4
-    "text_token_stats",  # r4
-    "text_unigram_rarity",  # r4
-    "window_lag_lead",  # r4
-    "window_topn_per_group",  # r4
-    "agg_cms_heavy_hitters",  # r5
-    "cdc_scd2_history",  # r5
-    "dedup_cluster_best_survivor",  # r5
-    "dq_column_profile",  # r5
-    "dq_snapshot_drift",  # r5
-    "evt_funnel",  # r5
-    "fn_date_scaffold",  # r5
-    "join_left_outer",  # r5
-    "ml_hash_split",  # r5
-    "ml_source_mix",  # r5
-    "ml_temperature_mix",  # r5
-    "onebrc_permissive_quarantine",  # r5
-    "pivot_status_matrix",  # r5
-    "sim_ann_recall_audit",  # r5
-    "sql_agg_filter_clause",  # r5
-    "sql_recursive_cte",  # r5
-    "sql_tpch_q10_shape",  # r5
-    "sql_tpch_q11_shape",  # r5
-    "sql_tpch_q14_shape",  # r5
-    "sql_tpch_q15_shape",  # r5
-    "sql_tpch_q17_shape",  # r5
-    "sql_tpch_q19_shape",  # r5
-    "sql_tpch_q22_shape",  # r5
-    "sql_tpch_q3_shape",  # r5
-    "sql_tpch_q5_shape",  # r5
-    "sql_tpch_q6_shape",  # r5
-    "sql_tpch_q7_shape",  # r5
-    "sql_tpch_q8_shape",  # r5
-    "sql_tpch_q9_shape",  # r5
-    "sql_udf_declared",  # r5
-    "storage_schema_evolution",  # r5
-    "text_cooccurrence_lift",  # r5
-    "text_langid",  # r5
-    "text_source_overlap",  # r5
-    "udf_grouped_map_zscore",  # r5
-    "udf_scalar_sigmoid",  # r5
-    "agg_approx_percentile",  # r6
-    "agg_corr_covar",  # r6
-    "agg_equidepth_histogram",  # r6
-    "agg_rollup",  # r6
-    "agg_stats",  # r6
-    "agg_table_fingerprint",  # r6
-    "cdc_merge_upsert",  # r6
-    "cdc_snapshot_diff",  # r6
-    "dedup_embedding_neardup",  # r6
-    "dedup_incremental_admission",  # r6
-    "dedup_ngram_jaccard",  # r6
-    "dedup_overlap_containment",  # r6
-    "dq_k_anonymity",  # r6
-    "dq_key_skew_profile",  # r6
-    "evt_anomaly_mad",  # r6
-    "evt_dedup_by_id",  # r6
-    "evt_session_window",  # r6
-    "evt_sliding_window",  # r6
-    "evt_tumbling_window",  # r6
-    "evt_watermark_late_drop",  # r6
-    "filter_predicates",  # r6
-    "fn_json",  # r6
-    "fn_map_roundtrip",  # r6
-    "fn_try_arithmetic",  # r6
-    "fn_url_parse",  # r6
-    "fn_variant_json",  # r6
-    "join_asof",  # r6
-    "ml_curation_pipeline",  # r6
-    "ml_domain_cap",  # r6
-    "ml_quality_upsample",  # r6
-    "ml_token_budget",  # r6
-    "onebrc_generated",  # r6
-    "onebrc_report",  # r6
-    "setop_except",  # r6
-    "sim_ann_ivf_trained",  # r6
-    "sim_knn_bruteforce",  # r6
-    "sim_semantic_prune",  # r6
-    "sort_multi_key",  # r6
-    "storage_bucketed_join",  # r6
-    "storage_compaction",  # r6
-    "storage_csv_roundtrip",  # r6
-    "text_boilerplate_clean",  # r6
-    "text_bpe_merge_pairs",  # r6
-    "text_fingerprint",  # r6
-    "text_repetition_profile",  # r6
-    "window_running_frames",  # r6
 ]
 
 

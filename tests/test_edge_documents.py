@@ -36,6 +36,7 @@ DOC_ONLY = [
     "dedup_incremental_admission",
     "dedup_keep_first",
     "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
     "dedup_ngram_jaccard",
     "dedup_overlap_containment",
     "dedup_simhash",
@@ -155,6 +156,7 @@ EMB_ONLY = [
     "fn_array_basics",
     "fn_array_higher_order",
     "sim_ann_ivf",
+    "sim_ann_ivf_sampled",
     "sim_ann_ivf_trained",
     "sim_ann_lsh",
     "sim_ann_lsh_banded",

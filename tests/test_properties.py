@@ -976,3 +976,106 @@ def test_shard_binpack_serpentine_semantics(spark):
     assert max(toks) - min(toks) <= ordered[0], (
         f"shard token spread {max(toks) - min(toks)} exceeds one largest doc"
     )
+
+
+def _docs_df(spark, rows):
+    """documents-shaped frame from (doc_id, text) pairs."""
+    full = [(i, t, "en", "s", len(t)) for i, t in rows]
+    return spark.createDataFrame(
+        full, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+
+
+def _minhash_compose(docs, band_cap=None):
+    """Run the collapse → route → band → verify → expand composition the
+    registered dedup_minhash_lsh plan uses, on an in-memory frame."""
+    from onebrc_spark.operators.dedup import (
+        _BAND_OCCUPANCY_CAP,
+        minhash_band_candidates,
+        minhash_collapse,
+        minhash_expand_pairs,
+        minhash_verify_pairs,
+    )
+
+    collapsed = minhash_collapse(docs)
+    ws = collapsed.select("doc_id", "ws")
+    cands = minhash_band_candidates(ws, band_cap or _BAND_OCCUPANCY_CAP)
+    rep_pairs = minhash_verify_pairs(ws, cands)
+    return cands, minhash_expand_pairs(rep_pairs, collapsed)
+
+
+def _true_jaccard(ta: str, tb: str) -> float | None:
+    def g3(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = g3(ta), g3(tb)
+    return None if not (a | b) else len(a & b) / len(a | b)
+
+
+def test_minhash_clique_precollapse_linear_candidates(spark):
+    """The 100 TB scale contract of the MinHash band join (VERDICT r7 #1):
+    k byte-identical documents — clique-shaped duplication, the dominant
+    shape of web-scale exact dup — must cost O(k), not O(k²), in the banded
+    candidate join. The exact-digest pre-collapse sends ONE representative
+    per distinct text into banding; the clique's C(k, 2) pairs come back
+    arithmetically via expansion. Zero-shingle docs (shorter than the
+    3-gram window) are routed out entirely: their Jaccard is 0/0 → dropped
+    by plain LSH too, so the pair SET is unchanged (oracle-exact)."""
+    from onebrc_spark.operators.dedup import minhash_band_candidates, word_3grams
+
+    clique_text = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, clique_text) for i in range(40)]
+    rows += [(100, near_a), (101, near_b)]
+    rows += [(200 + i, f"distinct text number {i} with unique word{i} tokens here")
+             for i in range(5)]
+    # zero-shingle docs: two byte-identical two-word docs + one empty
+    rows += [(300, "a b"), (301, "a b"), (302, "")]
+    docs = _docs_df(spark, rows)
+
+    cands, pairs = _minhash_compose(docs)
+    n_cands = cands.count()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+
+    # (a) collapsed candidate join sees no clique-internal pair: candidates
+    # are rep-level, and there are only 8 reps with shingles
+    assert n_cands <= 8 * 7 / 2, n_cands
+    # uncollapsed banding on the same corpus would carry the full clique
+    ws_all = docs.select("doc_id", word_3grams(F.col("text")).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    assert minhash_band_candidates(ws_all).count() >= 40 * 39 / 2
+    # (b) the clique's pairs are all present at exactly 1.0
+    clique = {(i, j) for i in range(40) for j in range(i + 1, 40)}
+    assert clique <= set(got), sorted(clique - set(got))[:5]
+    assert all(got[p] == 1.0 for p in clique)
+    # (c) every emitted pair is a TRUE near-dup (LSH prunes, Jaccard decides)
+    text_of = dict(rows)
+    for (a, b), j in got.items():
+        tj = _true_jaccard(text_of[a], text_of[b])
+        assert tj is not None and tj >= 0.7, (a, b, j, tj)
+        assert abs(j - round(tj, 4)) < 1e-9
+    # (d) zero-shingle docs never pair — including the byte-identical
+    # "a b" twins, whose 0/0 Jaccard plain LSH drops as NULL
+    assert not any(a >= 300 or b >= 300 for a, b in got)
+
+
+def test_minhash_hot_band_cap_diverts(spark):
+    """The hot-band occupancy guard's divert contract: with band_cap=1
+    every band key shared by ≥2 representatives is dropped, so NO banded
+    candidates survive — yet the exact-duplicate pairs still arrive via
+    the digest-group expansion, which is independent of banding. This is
+    the graceful-degrade split: banding finds NEAR dups (capped, recall
+    documented at _BAND_OCCUPANCY_CAP), exact dups never depend on it."""
+    clique_text = "one two three four five six seven eight nine ten eleven"
+    rows = [(i, clique_text) for i in range(10)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda")]
+    docs = _docs_df(spark, rows)
+
+    cands, pairs = _minhash_compose(docs, band_cap=1)
+    assert cands.count() == 0
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(i, j) for i in range(10) for j in range(i + 1, 10)}

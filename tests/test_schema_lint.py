@@ -79,6 +79,8 @@ _ORDER_KEY_EXEMPT = {
     # test_properties.py::test_ivf_argmax_tie_margin_is_diagnosable and
     # full-fit oracle parity.
     ("sim_ann_ivf_trained", "pos"),
+    # same replayed driver-side fit, on the hash-sampled corpus
+    ("sim_ann_ivf_sampled", "pos"),
 }
 
 # Oracles allowed to build UNORDERED lists: must be order-FREE by use.
