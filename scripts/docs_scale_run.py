@@ -82,14 +82,22 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
     ten = SCALE_ROOT / "sf10x"
     marker = SCALE_ROOT / "BASE_FINGERPRINT"
     fp = _base_fingerprint(base_sf_dir)
-    if marker.exists() and marker.read_text() != fp:
+    # A marker that is absent-or-stale while corpora exist means the data's
+    # provenance is unknown (older script version, partial cleanup) —
+    # rebuild rather than stamp stale data with the new fingerprint; the
+    # marker is written only AFTER both corpora carry _SUCCESS (ADVICE r7).
+    if marker.exists():
+        stale = marker.read_text() != fp
+    else:
+        stale = one.exists() or ten.exists()
+    if stale:
         import shutil
 
-        print("# base fixture changed — rebuilding scale corpora", file=sys.stderr)
+        print("# base fixture changed or marker missing — rebuilding scale "
+              "corpora", file=sys.stderr)
         shutil.rmtree(one, ignore_errors=True)
         shutil.rmtree(ten, ignore_errors=True)
     SCALE_ROOT.mkdir(parents=True, exist_ok=True)
-    marker.write_text(fp)
     if not (one / "documents.parquet" / "_SUCCESS").exists():
         docs.repartition(2).write.mode("overwrite").parquet(
             str(one / "documents.parquet")
@@ -123,6 +131,9 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
         full.repartition(20).write.mode("overwrite").parquet(
             str(ten / "documents.parquet")
         )
+    assert (one / "documents.parquet" / "_SUCCESS").exists()
+    assert (ten / "documents.parquet" / "_SUCCESS").exists()
+    marker.write_text(fp)
     return str(one), str(ten)
 
 

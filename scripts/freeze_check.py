@@ -78,11 +78,15 @@ def _unstaged_changes() -> str:
     the recorded bytes diverge, so record mode must refuse to proceed
     (a warning would reopen the git-add-p hole in mirror image: staged A,
     edited-to B, tests pass on B, green recorded for A)."""
+    # check=True (ADVICE r7): a failed git probe must refuse to record —
+    # returning empty on error would silently reopen the verify-vs-record
+    # gap this function exists to close (fail-open in mirror image).
     diff = subprocess.run(
         ["git", "diff", "--name-only", "--", "onebrc_spark", "__spark_entry__.py"],
         cwd=REPO,
         capture_output=True,
         text=True,
+        check=True,
     ).stdout.strip()
     untracked = subprocess.run(
         ["git", "ls-files", "--others", "--exclude-standard", "--",
@@ -90,6 +94,7 @@ def _unstaged_changes() -> str:
         cwd=REPO,
         capture_output=True,
         text=True,
+        check=True,
     ).stdout.strip()
     return "\n  ".join(filter(None, [diff, untracked]))
 

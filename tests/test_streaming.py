@@ -444,3 +444,92 @@ def test_stream_token_budget_matches_batch_operator(spark):
         if r["n_kept"] > 0
     }
     assert got == want
+
+
+def test_stream_scd2_checkpoint_restart_resumes(spark, tmp_path):
+    """Kill the SCD2 maintainer MID-STREAM and restart it from its
+    checkpointLocation (VERDICT r7 #6): the crash is injected AFTER batch
+    1's merge ran but BEFORE its checkpoint commit — the worst at-least-
+    once window — so the restarted query must (a) replay batch 1 through
+    the idempotent merge without minting versions, (b) pick up the still-
+    unseen file, and (c) land exactly the batch operator's history."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from onebrc_spark.operators.cdc import cdc_scd2_history
+    from onebrc_spark.streaming.pipelines import (
+        scd2_merge_batch,
+        stream_scd2_maintain,
+    )
+
+    o = load_table(spark, SMOKE_SF_DIR, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # ts-range slices (the CDC delivery contract: per key, batches arrive
+    # in ts order and equal-ts records share a batch), one FILE per slice
+    # with ascending mtimes so the file source streams them in order.
+    slices = [
+        changes.filter(F.year("ts") <= 1996),
+        changes.filter((F.year("ts") >= 1997) & (F.year("ts") <= 1999)),
+        changes.filter(F.year("ts") >= 2000),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, s in enumerate(slices):
+        stage = tmp_path / f"stage{i}"
+        s.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dest = src / f"slice{i}.parquet"
+        part.rename(dest)
+        os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    def read_src():
+        return (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    target = str(tmp_path / "scd2_restart")
+    armed = {"crash": True}
+
+    def crash_after_merge(df, epoch):
+        scd2_merge_batch(df, target)
+        if epoch >= 1 and armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash: merge applied, commit lost")
+
+    q = (
+        read_src()
+        .writeStream.outputMode("append")
+        .foreachBatch(crash_after_merge)
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # restart the production maintainer on the SAME target (its checkpoint
+    # convention is target + "_ckpt", i.e. the one the crashed run used)
+    stream_scd2_maintain(read_src(), target)
+
+    got = _scd2_rows(
+        spark.read.parquet(target).select(
+            "key",
+            "version",
+            "status",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+            "is_current",
+        )
+    )
+    want = _scd2_rows(
+        cdc_scd2_history(spark, SMOKE_SF_DIR).withColumnRenamed("custkey", "key")
+    )
+    assert got == want
