@@ -101,7 +101,7 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lines AS (
       SELECT station,
              format('{}={:.1f}/{:.1f}/{:.1f}', station, mn, mean, mx) AS line
-      FROM agg
+      FROM agg WHERE mn IS NOT NULL
     )
     SELECT '{' || coalesce(string_agg(line, ', ' ORDER BY station), '') || '}' AS report
     FROM lines
@@ -110,11 +110,18 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def onebrc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morling-canonical `{k=min/mean/max, ...}` single-line report
-    (thebracket.rs:169-187, rangnargrootkeorkamp.rs:330-353)."""
+    (thebracket.rs:169-187, rangnargrootkeorkamp.rs:330-353).
+
+    A station whose every measurement is NULL (reachable since the
+    non-finite→NULL ingestion boundary) has no stats to report and is
+    dropped on BOTH sides — min IS NULL ⇔ zero non-null measurements;
+    without the symmetric filter Spark formats a sentinel line while
+    DuckDB's format() returns NULL and string_agg silently skips it (the
+    NaN-fixture divergence, same family as the ST6 NULL-only-user note)."""
     from onebrc_spark.sources.onebrc import format_report
 
     agg = onebrc_aggregate(load_table(spark, sf_dir, "events"), "user_id", "value")
-    return format_report(agg)
+    return format_report(agg.filter(F.col("min").isNotNull()))
 
 
 def _generated_oracle() -> str:

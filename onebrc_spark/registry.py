@@ -66,12 +66,25 @@ Registration rules (SURVEY §7.4 definition-of-done):
   - every oracle must be NON-VACUOUS at sf0.01: result rows exist, outer/
     anti joins produce unmatched rows, thresholds are calibrated to the
     corpus (sweep: 0-row results, all-NULL columns, constant columns);
+  - non-finite doubles (NaN, ±Inf) in the events.value measurement column
+    are NULL from the engine's point of view — normalized at ingestion on
+    BOTH sides (catalog.finite_or_null Spark-side; _normalize_events_refs
+    rewrites every oracle's events scan). Raw NaN reaching the repo-wide
+    exact-integer quantization idiom THROWS in both engines (ANSI
+    CAST_OVERFLOW / DuckDB OutOfRange), and the non-throwing paths disagree
+    three ways (SQL sorts NaN greatest, pandas kernels skip it, the driver
+    comparator can't equate NaN cells). Corollary: a group whose every
+    value is NULL aggregates to NULL stats in both engines, but FORMATTED
+    outputs diverge (DuckDB format() → NULL → string_agg skips the line;
+    Spark renders a sentinel) — filter all-NULL groups symmetrically
+    (onebrc_report's min IS NOT NULL; ST6's value IS NOT NULL);
   - oracle=None marks a genuinely non-SQL-expressible op (driver then runs a
     rows-only check).
 """
 
 from __future__ import annotations
 
+import re
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -349,13 +362,53 @@ _PRIORITY = [
 ]
 
 
+# Non-finite measurement boundary (the NaN/Inf divergence class): the Spark
+# catalog maps NaN/±Inf in events.value to NULL at ingestion
+# (sources/catalog.py finite_or_null — one NaN record must degrade to a
+# missing value, not CAST_OVERFLOW-kill a 100 TB job). The oracles must see
+# the IDENTICAL boundary, so every `FROM/JOIN events` reference in an oracle
+# is rewritten at registration to scan through the same normalization —
+# DuckDB's `SELECT * REPLACE` keeps the rewrite schema-stable. On NaN-free
+# data the CASE is the identity, so every existing oracle hash is unchanged;
+# the NaN/Inf fixture rows in tests/test_edge_documents.py pin the class.
+_EVENTS_NORM_SCAN = (
+    "(SELECT * REPLACE (CASE WHEN isnan(value) OR isinf(value) THEN NULL "
+    "ELSE value END AS value) FROM events)"
+)
+# words that can follow `events` without being an alias (observed grammar of
+# the registry's oracles; extend if a new clause keyword appears after a
+# bare events scan)
+_SQL_NONALIAS = {
+    "group", "where", "order", "window", "on", "join", "left", "right",
+    "inner", "cross", "full", "union", "limit", "having", "qualify",
+    "using", "when", "and", "or", "as",
+}
+_EVENTS_REF = re.compile(r"\b(FROM|JOIN)(\s+)events\b(\s+([A-Za-z_]\w*))?")
+
+
+def _normalize_events_refs(sql: str) -> str:
+    """Rewrite every `FROM/JOIN events [alias]` to scan the non-finite-
+    normalized subquery, preserving an explicit alias when present and
+    aliasing back to `events` otherwise."""
+
+    def repl(m: re.Match) -> str:
+        kw, ws, alias = m.group(1), m.group(2), m.group(4)
+        if alias and alias.lower() not in _SQL_NONALIAS:
+            return f"{kw}{ws}{_EVENTS_NORM_SCAN} {alias}"
+        tail = m.group(3) or ""
+        return f"{kw}{ws}{_EVENTS_NORM_SCAN} events{tail}"
+
+    return _EVENTS_REF.sub(repl, sql)
+
+
 def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register fn as queries()[name] with its oracle twin."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle, survey_ref)
+        normalized = _normalize_events_refs(oracle) if oracle else oracle
+        _REGISTRY[name] = Query(name, fn, normalized, survey_ref)
         return fn
 
     return deco

@@ -15,7 +15,7 @@ import functools
 import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -136,7 +136,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
     raw = spark.read.schema(_read_schema(sf_dir, name)).parquet(f"{sf_dir}/{name}.parquet")
-    return normalize_ts(raw, sf_dir, name)
+    df = normalize_ts(raw, sf_dir, name)
+    if name == "events":
+        df = df.withColumn("value", finite_or_null(F.col("value")))
+    return df
+
+
+def finite_or_null(c: Column) -> Column:
+    """Non-finite measurement boundary: NaN and ±Inf map to NULL at
+    ingestion — the engine's documented policy for garbage numerics in the
+    `events.value` measurement column (the P5 PERMISSIVE-quarantine
+    precedent applied to a value column: one NaN record must degrade to a
+    missing value, not kill a 100 TB job). Without this, every exact-
+    integer quantization — round(value·K) cast to BIGINT, the repo-wide
+    float-determinism idiom — THROWS under ANSI (CAST_OVERFLOW: NaN) in
+    Spark and OutOfRange in DuckDB, and the engines that don't throw
+    disagree (SQL sorts NaN greatest, pandas kernels skip it). NULL is the
+    one semantics all three runtimes already share. The DuckDB oracles see
+    the identical boundary via registry._normalize_events_refs; pinned by
+    the NaN/Inf rows in tests/test_edge_documents.py's events fixture."""
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -51,7 +51,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = reader.parquet(ev_path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return catalog.normalize_events_ts(raw, sf_dir)
+    # same non-finite→NULL measurement boundary as the batch catalog
+    # (catalog.finite_or_null) so batch/stream twins see identical values
+    return catalog.normalize_events_ts(raw, sf_dir).withColumn(
+        "value", catalog.finite_or_null(F.col("value"))
+    )
 
 
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:

@@ -230,6 +230,32 @@ def main() -> None:
         "chars_10x": c10,
         "queries": results,
     }
+
+    # Banded-recall structure at both scales, measured by the REGISTERED
+    # audit query (VERDICT r7 #5) instead of inferred from pair counts:
+    # per Jaccard class, truth pairs / banding-recovered pairs / exact-
+    # integer ppm. The class to watch is 'borderline' (0.7 <= J < 0.9) —
+    # its recall is shingle-hash-space dependent, so 1x vs 10x (different
+    # token vocabularies per replica) bounds the hash-space sensitivity the
+    # bijection narrative used to assert from 2555-vs-2560 row counts.
+    # Values only, not timed linearity: the audit's truth side is blocked
+    # all-pairs (quadratic per block; replicas share block keys), which at
+    # 100 TB runs on a block-sample by design — see the query docstring.
+    audit = registry.load_all()["dedup_minhash_recall_audit"].fn
+
+    def audit_rows(d):
+        return {
+            r["jclass"]: {
+                "n_truth": r["n_truth"],
+                "n_found": r["n_found"],
+                "recall_ppm": r["recall_ppm"],
+            }
+            for r in audit(spark, d).collect()
+        }
+
+    doc["recall_audit"] = {"1x": audit_rows(one), "10x": audit_rows(ten)}
+    print(f"# recall_audit: {json.dumps(doc['recall_audit'])}", file=sys.stderr)
+
     out = REPO / "SCALE_DOCS.json"
     out.write_text(json.dumps(doc, indent=1) + "\n")
     print(f"wrote {out}")

@@ -283,6 +283,15 @@ _EDGE_EVENTS = [
     # user 6: out-of-order arrival (event_id vs ts inverted), late row
     (15, "2024-03-01 00:03:00", 6, "signup", 4.44, '{"k": 10}'),
     (14, "2024-03-01 00:09:00", 6, "purchase", 5.55, '{"k": 11}'),
+    # user 7: NaN double values — the engine-ordering divergence class
+    # (Spark and DuckDB sort/aggregate NaN as greatest; pandas kernels
+    # SKIP NaN in .max()/.mean() unless told otherwise). One NaN among
+    # normals, plus a NaN-only user 8.
+    (18, "2024-03-01 00:01:00", 7, "click", float("nan"), '{"k": 14}'),
+    (19, "2024-03-01 00:02:00", 7, "click", 3.25, '{"k": 15}'),
+    (20, "2024-03-01 00:01:30", 8, "view", float("nan"), '{"k": 16}'),
+    (21, "2024-03-01 00:02:30", 8, "view", float("inf"), '{"k": 17}'),
+    (22, "2024-03-01 00:03:30", 7, "view", float("-inf"), '{"k": 18}'),
     # users 9 and 10: straddle the numeric/lexicographic boundary — any
     # per-station collapse ordered by key STRING ("10" < "9") instead of
     # key VALUE (9 < 10) becomes observable (the round-5 onebrc_report

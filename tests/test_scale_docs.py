@@ -45,3 +45,30 @@ def test_scale_docs_superlinearity_within_bar():
         f"pair-set drift {drift:.1%} — the replica bijection no longer "
         f"preserves near-dup structure"
     )
+
+
+def test_scale_docs_recall_audit_structure():
+    """The banded-recall story at both scales, from the REGISTERED audit
+    query (dedup_minhash_recall_audit): 'strong' (J >= 0.9) pairs must
+    essentially all band-collide, 'sub' (J < 0.7) pairs must essentially
+    all be pruned — the two ends of the 4x3 s-curve. 'borderline' recall
+    is shingle-hash-space dependent (the per-replica token bijection
+    changes it), so it is BOUNDED (>= 600k ppm, i.e. at most one miss in
+    the small borderline class), never pinned exactly — the
+    oracle-divergence rulebook's cross-corpus-recall caveat."""
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    ra = doc["recall_audit"]
+    for scale in ("1x", "10x"):
+        classes = ra[scale]
+        for cls, v in classes.items():
+            assert 0 <= v["n_found"] <= v["n_truth"], (scale, cls, v)
+        assert classes["strong"]["recall_ppm"] >= 990_000, (scale, classes)
+        if "sub" in classes:
+            assert classes["sub"]["recall_ppm"] <= 300_000, (scale, classes)
+        if "borderline" in classes:
+            assert classes["borderline"]["recall_ppm"] >= 600_000, (
+                scale,
+                classes,
+            )
+    # truth structure scales with the bijection: strong pairs exactly 10x
+    assert ra["10x"]["strong"]["n_truth"] == 10 * ra["1x"]["strong"]["n_truth"]
