@@ -70,5 +70,10 @@ def test_scale_docs_recall_audit_structure():
                 scale,
                 classes,
             )
-    # truth structure scales with the bijection: strong pairs exactly 10x
-    assert ra["10x"]["strong"]["n_truth"] == 10 * ra["1x"]["strong"]["n_truth"]
+    # Truth structure scales with the bijection APPROXIMATELY: the token
+    # suffixes preserve Jaccard exactly but inflate n_chars, and the truth
+    # join blocks on n_chars // 100 — so some within-replica pairs shift
+    # length-buckets and drop out of the BLOCKED truth (measured: strong
+    # 713 vs 740 at 10x). Bound the drift instead of pinning 10x.
+    s1, s10 = ra["1x"]["strong"]["n_truth"], ra["10x"]["strong"]["n_truth"]
+    assert abs(s10 - 10 * s1) / (10 * s1) < 0.10, (s1, s10)
