@@ -43,6 +43,10 @@ GATE_TESTS = [
     # registry-wide shuffle-regression tripwire (~45 s; builds every
     # query — storage ops execute their /tmp writes at build time)
     "tests/test_plan_census.py",
+    # constant-factor regression tripwire over the two newest fullsweep
+    # artifacts (promoted round 8 after the r7↔r8 pair showed zero false
+    # positives; ~1 s — pure JSON comparison, no Spark)
+    "tests/test_bench_fullsweep.py",
 ]
 
 
