@@ -563,7 +563,7 @@ def _centroids() -> list[list[int]]:
 def _cell_scores(emb: Column) -> Column:
     """Array of cosine(emb, centroid_j) for all K centroids."""
     return F.array(
-        *[cosine(emb, F.array(*[F.lit(float(v)) for v in c])) for c in _centroids()]
+        *[cosine(emb, F.lit([float(v) for v in c])) for c in _centroids()]
     )
 
 
@@ -725,10 +725,15 @@ def kmeans_fit(
         # cosines are all NULL (cosine()'s ANSI guard), which would give it
         # a NULL cell here but cell 1 in the oracle's row_number replay —
         # the sentinel sends it to the first cell in BOTH engines.
+        # F.lit(list) (r8): each centroid is ONE ArrayType literal node —
+        # the F.array(*[F.lit(v) ...]) form built 64 scalar nodes per
+        # centroid and Catalyst analysis of the resulting tree dominated
+        # each iteration's driver time (values are bit-identical; the
+        # evaluated array is the same either way).
         cs = F.array(
             *[
                 F.coalesce(
-                    cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                    cosine(F.col("embedding"), F.lit([float(v) for v in c])),
                     F.lit(-2.0),
                 )
                 for c in cents
@@ -916,7 +921,7 @@ def _ivf_probe2_audit(e: DataFrame, cents: list[list[float]]) -> DataFrame:
     cs = F.array(
         *[
             F.coalesce(
-                cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])),
+                cosine(F.col("embedding"), F.lit([float(v) for v in c])),
                 F.lit(-2.0),
             )
             for c in cents
