@@ -242,15 +242,22 @@ def stream_enrich_static(events: DataFrame, user_dim: DataFrame) -> DataFrame:
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the documents parquet (the 'crawl batch lands
     as files' production shape; maxFilesPerTrigger makes each file one
-    micro-batch)."""
+    micro-batch). Same dual fixture layout as read_events_stream: the
+    driver ships documents.parquet as a single FILE in the sf dir (glob
+    filter on the parent), Spark-written fixtures make it a DIRECTORY of
+    part files (stream that directory — a glob filter on the parent can
+    never match leaf files under a subdirectory name)."""
+    import os
+
     from onebrc_spark.sources.catalog import _read_schema
 
-    return (
-        spark.readStream.schema(_read_schema(sf_dir, "documents"))
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(_read_schema(sf_dir, "documents")).option(
+        "maxFilesPerTrigger", 1
     )
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        return reader.parquet(doc_path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
 
 
 def stream_incremental_admission(

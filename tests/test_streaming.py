@@ -533,3 +533,94 @@ def test_stream_scd2_checkpoint_restart_resumes(spark, tmp_path):
         cdc_scd2_history(spark, SMOKE_SF_DIR).withColumnRenamed("custkey", "key")
     )
     assert got == want
+
+
+def test_stream_token_budget_state_recovers_across_restart(spark, tmp_path):
+    """STOP the stateful admission gate and RESTART it from its checkpoint
+    (VERDICT r7 #6, state-store flavor): unlike the SCD2 test — which
+    exercises foreachBatch replay idempotence — this pins real
+    applyInPandasWithState STATE recovery: phase 1 streams the low-doc_id
+    half of the corpus and stops; phase 2 starts a NEW query on the SAME
+    checkpointLocation over the newly-arrived second half. The admitted
+    union must equal the batch operator — which can only happen if each
+    source's running token sum was recovered, not reset (a fixture guard
+    proves reset semantics would admit a DIFFERENT set, so the equality is
+    evidence of recovery, not vacuously true)."""
+    from onebrc_spark.operators.mlprep import _TOKEN_BUDGET, ml_token_budget
+    from onebrc_spark.streaming.pipelines import (
+        read_documents_stream,
+        stream_token_budget_admit,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+
+    src_root = tmp_path / "corpus"
+    ddir = src_root / "documents.parquet"
+    ddir.mkdir(parents=True)
+
+    def write_slice(pred, name):
+        stage = tmp_path / f"stage_{name}"
+        docs.filter(pred).coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(ddir / f"{name}.parquet")
+
+    write_slice(F.col("doc_id") < cut, "slice0")
+
+    out_dir = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        q = (
+            stream_token_budget_admit(read_documents_stream(spark, str(src_root)))
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()
+    phase1 = spark.read.parquet(out_dir).collect()
+    assert phase1, "phase 1 admitted nothing — fixture too small"
+
+    write_slice(F.col("doc_id") >= cut, "slice1")
+    run_available()  # NEW query, SAME checkpoint → state store recovery
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert all(r["cum_tokens"] <= _TOKEN_BUDGET for r in rows)
+    got: dict = {}
+    for r in rows:
+        n, toks = got.get(r["source"], (0, 0))
+        got[r["source"]] = (n + 1, toks + r["n_tokens"])
+    want = {
+        r["source"]: (r["n_kept"], r["kept_tokens"])
+        for r in ml_token_budget(spark, str(src_root)).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == want
+
+    # Fixture guard: simulate RESET semantics (state zeroed at the cut) in
+    # plain Python and require a different admitted set — otherwise the
+    # equality above could hold even without recovery.
+    def tok(t):
+        return len([w for w in t.split(" ") if w != ""]) if t else 0
+
+    all_rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    true_adm, reset_adm = set(), set()
+    for reset, adm in ((False, true_adm), (True, reset_adm)):
+        cum: dict = {}
+        seen_cut: dict = {}
+        for r in all_rows:
+            s = r["source"]
+            if reset and r["doc_id"] >= cut and not seen_cut.get(s):
+                cum[s] = 0
+                seen_cut[s] = True
+            cum[s] = cum.get(s, 0) + tok(r["text"])
+            if cum[s] <= _TOKEN_BUDGET:
+                adm.add(r["doc_id"])
+    assert true_adm != reset_adm, (
+        "fixture cannot distinguish recovered state from reset state — "
+        "move the cut or grow the corpus"
+    )
