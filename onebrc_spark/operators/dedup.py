@@ -538,21 +538,28 @@ def minhash_collapse(d: DataFrame) -> DataFrame:
     ).filter(F.size("ws") > 0)
 
 
-def _bucket_pairs(ids: Column) -> Column:
-    """All i<j pairs of an id array as array<struct<doc_a, doc_b>> with
-    doc_a < doc_b — the in-bucket pair expansion, computed narrowly inside
-    the row (no self-join). collect_list order is nondeterministic, so the
-    least/greatest normalization keeps the emitted set order-independent."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                ),
-            ),
-        )
+def _explode_id_pairs(df: DataFrame, carry: list[str]) -> DataFrame:
+    """All i<j pairs of each row's `ids` array as STREAMED rows (doc_a <
+    doc_b), keeping the `carry` columns. Two chained generators —
+    posexplode(ids), then explode of the positional tail slice — so peak
+    memory per input row is O(k), never the O(k²) a flatten/transform
+    in-row product would materialize before its explode (a 10⁵-member
+    clique's C(k, 2) structs are ~80 GB as ONE array value — the quadratic
+    blowup would just have moved from the shuffle into a row buffer).
+    collect_list order is nondeterministic, so the least/greatest
+    normalization keeps the emitted set order-independent."""
+    step1 = df.select(
+        *carry, F.col("ids"), F.posexplode("ids").alias("_i", "_x")
+    )
+    step2 = step1.select(
+        *carry,
+        "_x",
+        F.explode(F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))).alias("_y"),
+    )
+    return step2.select(
+        *carry,
+        F.least("_x", "_y").alias("doc_a"),
+        F.greatest("_x", "_y").alias("doc_b"),
     )
 
 
@@ -571,13 +578,13 @@ def minhash_band_candidates(
     shuffling 8-byte keys and shuffling 3-element long arrays.
 
     Bucket-aggregate instead of self-join (r8): ONE groupBy(band_key)
-    shuffle collects each bucket's ids and the pairs explode narrowly in-
-    row (_bucket_pairs) — the self-join form shuffled the band table twice
-    and needed a separate occupancy window for the hot-band guard; here
-    the guard is a free size(ids) filter on the aggregated bucket, and the
-    aggregation buffer is bounded by the cap it enforces (8 KB of longs at
-    the default 1024). Keys above `band_cap` are dropped before expansion
-    — see _BAND_OCCUPANCY_CAP for the recall contract."""
+    shuffle collects each bucket's ids and the pairs STREAM out of chained
+    generators (_explode_id_pairs) — the self-join form shuffled the band
+    table twice and needed a separate occupancy window for the hot-band
+    guard; here the guard is a free size(ids) filter on the aggregated
+    bucket, and the aggregation buffer is bounded by the cap it enforces
+    (8 KB of longs at the default 1024). Keys above `band_cap` are dropped
+    before expansion — see _BAND_OCCUPANCY_CAP for the recall contract."""
     sigs = ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
     bands = sigs.select(
         "doc_id",
@@ -597,12 +604,8 @@ def minhash_band_candidates(
         ).alias("band_key"),
     )
     buckets = bands.groupBy("band_key").agg(F.collect_list("doc_id").alias("ids"))
-    return (
-        buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(band_cap)))
-        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    ok = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(band_cap)))
+    return _explode_id_pairs(ok, carry=[]).distinct()
 
 
 def minhash_verify_pairs(ws: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -645,15 +648,18 @@ def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFram
         text has no shingles, where plain LSH computes 0/0 → NULL →
         dropped; minhash_collapse already routed those groups out, so
         `collapsed` rows are exactly the groups whose within-pairs plain
-        LSH emits. The pairs explode narrowly IN-ROW from `ids`
-        (_bucket_pairs) — no join, no shuffle. (The output IS quadratic
-        in the clique — that is the pair-set contract; the win is that
-        nothing upstream of the final emit is.)
+        LSH emits. The pairs STREAM narrowly from `ids`
+        (_explode_id_pairs) — no join, no shuffle. (The output IS
+        quadratic in the clique — that is the pair-set contract; the win
+        is that nothing upstream of the final emit is, in shuffle bytes
+        OR in any single row buffer.)
 
     rep_pairs is tiny (verified near-dups) and the dup-group member table
     is bounded by the corpus's dup mass — AQE broadcasts whichever side is
-    small; the member×member combination itself explodes narrowly IN-ROW
-    (two left joins attach the id arrays, no union branches)."""
+    small; the member×member combination STREAMS through two chained
+    explodes (peak memory O(k) per row — an in-row array product would
+    materialize k_a·k_b structs in one row buffer before exploding,
+    re-creating the quadratic blowup as memory; see _explode_id_pairs)."""
     dup = collapsed.filter(F.col("grp_n") > 1)
     mem_a = dup.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("ids_a"))
     mem_b = dup.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("ids_b"))
@@ -666,24 +672,17 @@ def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFram
             "jaccard",
         )
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids_a"),
-            lambda a: F.transform(
-                F.col("ids_b"),
-                lambda b: F.struct(
-                    F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b")
-                ),
-            ),
+    cross = (
+        exp.select(F.explode("ids_a").alias("_a"), "ids_b", "jaccard")
+        .select("_a", F.explode("ids_b").alias("_b"), "jaccard")
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+            "jaccard",
         )
     )
-    cross = exp.select(F.explode(combos).alias("p"), "jaccard").select(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "jaccard"
-    )
-    within = dup.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"),
-        F.col("p.doc_b").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
+    within = _explode_id_pairs(dup, carry=[]).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
     )
     return cross.unionByName(within)
 
