@@ -246,7 +246,13 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
     raw_floor = max(1.15 * median_ratio, 1.10)
     for name, ratio in sorted(ratios.items()):
         norm = ratio / median_ratio
-        hit = norm > 1.3 and ratio > raw_floor
+        # 150 ms absolute-delta floor: the measured same-code run-to-run
+        # band on sub-second queries (see tests/test_bench_fullsweep.py)
+        hit = (
+            norm > 1.3
+            and ratio > raw_floor
+            and times[name] - ref[name] > 0.15
+        )
         flag = "  <-- REGRESSION (normalized)" if hit else ""
         print(
             f"# delta vs {ref_path.name}: {name} {ref[name]:.3f}s -> "

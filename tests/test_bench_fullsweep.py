@@ -78,8 +78,13 @@ def test_fullsweep_no_normalized_regressions():
         # floor silently unflags genuine regressions on a faster host; the
         # 1.10 absolute floor keeps timer-noise on unchanged sub-second
         # queries from flagging when the host ran much faster (bench.py's
-        # original counter-case).
-        if r / host > 1.5 and r > max(1.15 * host, 1.10)
+        # original counter-case). The 150 ms absolute-delta floor is the
+        # measured same-code run-to-run band: two r8 sweeps of an identical
+        # tree differed by up to ~110 ms on sub-0.4 s queries — ratio
+        # tripwires on that band flag jitter, not regressions, while any
+        # real constant-factor regression this wire exists for (plan
+        # recompile, lost pushdown, extra scan) moves seconds, not ms.
+        if r / host > 1.5 and r > max(1.15 * host, 1.10) and curr[k] - prev[k] > 0.15
     }
     assert not flagged, (
         f"normalized >1.5x regressions vs {sweeps[-2].name} "
