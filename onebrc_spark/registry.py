@@ -69,7 +69,11 @@ Registration rules (SURVEY §7.4 definition-of-done):
   - non-finite doubles (NaN, ±Inf) in the events.value measurement column
     are NULL from the engine's point of view — normalized at ingestion on
     BOTH sides (catalog.finite_or_null Spark-side; _normalize_events_refs
-    rewrites every oracle's events scan). Raw NaN reaching the repo-wide
+    rewrites every oracle's events scan). An embedding vector carrying ANY
+    non-finite coordinate nulls out as a WHOLE vector (finite_vector_or_
+    null + the embeddings scan rewrite): one NaN poisons every cosine, and
+    the similarity family's zero-norm/NULL-cosine guards already drop NULL
+    vectors identically in both engines. Raw NaN reaching the repo-wide
     exact-integer quantization idiom THROWS in both engines (ANSI
     CAST_OVERFLOW / DuckDB OutOfRange), and the non-throwing paths disagree
     three ways (SQL sorts NaN greatest, pandas kernels skip it, the driver
@@ -375,6 +379,14 @@ _EVENTS_NORM_SCAN = (
     "(SELECT * REPLACE (CASE WHEN isnan(value) OR isinf(value) THEN NULL "
     "ELSE value END AS value) FROM events)"
 )
+# embeddings twin (catalog.finite_vector_or_null): a vector with ANY
+# non-finite coordinate nulls out entirely — the NULL-cosine guards the
+# similarity family already carries then drop it consistently on both sides.
+_EMBEDDINGS_NORM_SCAN = (
+    "(SELECT * REPLACE (CASE WHEN len(list_filter(embedding, "
+    "x -> isnan(x) OR isinf(x))) > 0 THEN NULL ELSE embedding END "
+    "AS embedding) FROM embeddings)"
+)
 # words that can follow `events` without being an alias (observed grammar of
 # the registry's oracles; extend if a new clause keyword appears after a
 # bare events scan)
@@ -383,22 +395,25 @@ _SQL_NONALIAS = {
     "inner", "cross", "full", "union", "limit", "having", "qualify",
     "using", "when", "and", "or", "as",
 }
-_EVENTS_REF = re.compile(r"\b(FROM|JOIN)(\s+)events\b(\s+([A-Za-z_]\w*))?")
-
-
-def _normalize_events_refs(sql: str) -> str:
-    """Rewrite every `FROM/JOIN events [alias]` to scan the non-finite-
+def _norm_table_ref(sql: str, table: str, scan: str) -> str:
+    """Rewrite every `FROM/JOIN <table> [alias]` to scan the non-finite-
     normalized subquery, preserving an explicit alias when present and
-    aliasing back to `events` otherwise."""
+    aliasing back to the table name otherwise."""
+    ref = re.compile(rf"\b(FROM|JOIN)(\s+){table}\b(\s+([A-Za-z_]\w*))?")
 
     def repl(m: re.Match) -> str:
         kw, ws, alias = m.group(1), m.group(2), m.group(4)
         if alias and alias.lower() not in _SQL_NONALIAS:
-            return f"{kw}{ws}{_EVENTS_NORM_SCAN} {alias}"
+            return f"{kw}{ws}{scan} {alias}"
         tail = m.group(3) or ""
-        return f"{kw}{ws}{_EVENTS_NORM_SCAN} events{tail}"
+        return f"{kw}{ws}{scan} {table}{tail}"
 
-    return _EVENTS_REF.sub(repl, sql)
+    return ref.sub(repl, sql)
+
+
+def _normalize_events_refs(sql: str) -> str:
+    sql = _norm_table_ref(sql, "events", _EVENTS_NORM_SCAN)
+    return _norm_table_ref(sql, "embeddings", _EMBEDDINGS_NORM_SCAN)
 
 
 def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn], QueryFn]:

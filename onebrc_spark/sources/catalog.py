@@ -139,6 +139,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = normalize_ts(raw, sf_dir, name)
     if name == "events":
         df = df.withColumn("value", finite_or_null(F.col("value")))
+    if name == "embeddings":
+        df = df.withColumn("embedding", finite_vector_or_null(F.col("embedding")))
     return df
 
 
@@ -156,6 +158,21 @@ def finite_or_null(c: Column) -> Column:
     the identical boundary via registry._normalize_events_refs; pinned by
     the NaN/Inf rows in tests/test_edge_documents.py's events fixture."""
     return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c)
+
+
+def finite_vector_or_null(c: Column) -> Column:
+    """The finite_or_null policy for the embedding vector column: a vector
+    carrying ANY non-finite coordinate is garbage as a whole (one NaN
+    poisons every dot product, cosine and quantization built on it), so
+    the vector nulls out entirely — and every similarity operator already
+    handles NULL embeddings through the zero-norm/NULL-cosine guards
+    (cosine() → NULL → dropped by thresholds; the IVF argmax coalesces to
+    the cell-1 sentinel). Coordinate-level NULLing would instead leak
+    rows whose similarity silently used a partial vector. Same oracle-side
+    boundary via registry._normalize_events_refs' embeddings twin; pinned
+    by the NaN/Inf vectors in tests/test_edge_documents.py."""
+    bad = F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    return F.when(bad, F.lit(None).cast("array<float>")).otherwise(c)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

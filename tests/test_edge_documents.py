@@ -185,6 +185,15 @@ def edge_emb_dir(spark, tmp_path_factory):
     rows.append((4, [-v for v in _edge_vec(2)], 2))    # antipode (cos -1)
     for i in range(5, 24):
         rows.append((i, _edge_vec(i), i % 10))
+    # non-finite coordinates: the ingestion boundary nulls the whole
+    # vector (catalog.finite_vector_or_null) — one NaN coord poisons every
+    # cosine built on it
+    nan_vec = _edge_vec(24)
+    nan_vec[7] = float("nan")
+    rows.append((24, nan_vec, 3))
+    inf_vec = _edge_vec(25)
+    inf_vec[0] = float("inf")
+    rows.append((25, inf_vec, 4))
     emb = spark.createDataFrame(
         rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
     )
