@@ -199,7 +199,7 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_k
     FROM events GROUP BY k_bucket ORDER BY k_bucket
     """,
-    survey_ref="F10 (VARIANT semi-structured type: parse_json + typed variant_get)",
+    survey_ref="X13,F10 (VARIANT semi-structured type: parse_json + typed variant_get)",
 )
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access via the VARIANT type (Spark 4): parse_json

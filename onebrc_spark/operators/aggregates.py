@@ -723,7 +723,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(max_v), 4) AS max_v
     FROM daily GROUP BY 1, 2 ORDER BY event_type, week
     """,
-    survey_ref="A1-A7 (algebraic partial re-aggregation: daily rollup -> weekly)",
+    survey_ref="X14,A1-A7 (algebraic partial re-aggregation: daily rollup -> weekly)",
 )
 def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregate pre-aggregated partials: maintain a daily rollup table
@@ -1169,7 +1169,7 @@ def cms_cells(docs: DataFrame) -> DataFrame:
 @query(
     "agg_cms_heavy_hitters",
     oracle=_cms_oracle(),
-    survey_ref="X15 (count-min sketch: mergeable heavy-hitter counts)",
+    survey_ref="X15,X15b (count-min sketch: mergeable heavy-hitter counts)",
 )
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the document token stream, audited in-plan:

@@ -83,7 +83,7 @@ _MERGE_ORACLE = """
 @query(
     "cdc_merge_upsert",
     oracle=_MERGE_ORACLE,
-    survey_ref="J3,A6 (MERGE/upsert: SCD-1 full-outer merge of a delta)",
+    survey_ref="X9,J3,A6 (MERGE/upsert: SCD-1 full-outer merge of a delta)",
 )
 def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE a delta into a base snapshot (SCD type-1: last write wins) and
@@ -248,7 +248,7 @@ def scd2_from_changes(
 @query(
     "cdc_scd2_history",
     oracle=_SCD2_ORACLE,
-    survey_ref="W2,J3 (SCD type-2: change stream -> validity-interval history)",
+    survey_ref="X9b,W2,J3 (SCD type-2: change stream -> validity-interval history)",
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history built from a change stream:

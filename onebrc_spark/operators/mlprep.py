@@ -475,7 +475,7 @@ _TOKEN_BUDGET = 800
     FROM ranked WHERE rnk <= {_DOMAIN_CAP}
     ORDER BY source, rnk
     """,
-    survey_ref="X11 (per-domain frequency capping for web-scale curation)",
+    survey_ref="X11d,X11 (per-domain frequency capping for web-scale curation)",
 )
 def ml_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping: keep at most _DOMAIN_CAP documents per
@@ -530,7 +530,7 @@ def ml_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                          0) AS BIGINT) AS kept_tokens
     FROM run GROUP BY source ORDER BY source
     """,
-    survey_ref="X11 (per-source token budgets: mixture weights in tokens)",
+    survey_ref="X11e,X11 (per-source token budgets: mixture weights in tokens)",
 )
 def ml_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgeting: admit documents in ingest order

@@ -489,7 +489,7 @@ _DRIFT_BUCKETS = 16
                 AS BIGINT) AS tvd_ppm_floor
     FROM rated ORDER BY bucket
     """,
-    survey_ref="dq (snapshot drift: equi-width histogram TVD between ingests)",
+    survey_ref="DQ2 (snapshot drift: equi-width histogram TVD between ingests)",
 )
 def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two ingest snapshots — the monitoring
@@ -620,7 +620,7 @@ def global_row_number(
            doc_id, n_chars
     FROM documents ORDER BY global_id
     """,
-    survey_ref="O2/O3 extension (global dense rank, two-phase offsets)",
+    survey_ref="O4,O2 (global dense rank, two-phase offsets)",
 )
 def sort_global_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally dense, order-defined row ids (1..N by (n_chars DESC,

@@ -152,7 +152,7 @@ def _skew_family_sql(family: str, table: str, key: str) -> str:
         + _skew_family_sql("orders.o_custkey", "orders", "o_custkey")
         + ") ORDER BY key_family, rank"
     ),
-    survey_ref="dq,J1 (join-key skew census: the pre-join salting/AQE decision input)",
+    survey_ref="DQ3,J1 (join-key skew census: the pre-join salting/AQE decision input)",
 )
 def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew census — the diagnostic a 100 TB pipeline runs BEFORE

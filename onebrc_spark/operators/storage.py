@@ -153,7 +153,7 @@ def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, count(*) AS n_parts, CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_retail
     FROM part GROUP BY p_brand ORDER BY p_brand
     """,
-    survey_ref="S1,S8 (CSV sink + schema-declared read-back)",
+    survey_ref="S1,P2,S8 (CSV sink + schema-declared read-back cast)",
 )
 def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink → schema-declared CSV scan → aggregate (S1 read path, write
@@ -397,7 +397,7 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'compacted', n_rows, fingerprint FROM fp
     ORDER BY layout
     """,
-    survey_ref="S6,S8 (small-file compaction: lossless layout rewrite)",
+    survey_ref="S9,S6,S8 (small-file compaction: lossless layout rewrite)",
 )
 def storage_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — THE operational chore of a 100 TB lake:

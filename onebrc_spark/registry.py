@@ -151,71 +151,27 @@ _REGISTRY: dict[str, Query] = {}
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-8 semantic changes / NEW queries — same-round proof:
-    #     dedup_minhash_lsh (exact-digest pre-collapse + hot-band cap,
-    #     VERDICT r7 #1) and every consumer of its memoized pair set
-    #     (cluster components/survivors/best-survivor, leakage-safe split,
-    #     pagerank), dedup_minhash_recall_audit (NEW — X3d text twin),
-    #     sim_ann_ivf_sampled (NEW — hash-sampled quantizer fit, VERDICT
-    #     r7 #2), sim_ann_ivf_trained (single-fold top-2 argmax +
-    #     checkpointed cell assignment), evt_stateful_running_stats
-    #     (per-sf_dir sink naming, ADVICE r7)
+    # (b) round-9 semantic changes — same-round proof: dedup_minhash_lsh
+    #     (census-based collapse — no corpus text shuffle, bounded band
+    #     buffers, AQE dup-free short-circuit; VERDICT r8 #1 + ADVICE r8)
+    #     and every consumer of its memoized pair set, the recall audit
+    #     (consumes the changed collapse helpers), sim_ann_ivf_sampled
+    #     (memoized persisted cell assignment + true array literals;
+    #     ADVICE r8), evt_stateful_running_stats (memoized finished-stream
+    #     result; VERDICT r8 #5). sim_ann_ivf_trained was DEREGISTERED
+    #     (VERDICT r8 #2) — its exactness pin lives in
+    #     tests/test_ivf_trained_pin.py.
     "dedup_minhash_lsh",
     "dedup_minhash_recall_audit",
-    "sim_ann_ivf_sampled",
-    "sim_ann_ivf_trained",
-    "evt_stateful_running_stats",
     "dedup_cluster_components",
     "dedup_cluster_survivors",
     "dedup_cluster_best_survivor",
     "ml_cluster_safe_split",
     "dedup_graph_pagerank",
-    # (c) the 37 queries whose last driver evidence was round ≤3 — this
-    #     rotation retires the final pre-r4 evidence debt (VERDICT r7 #4),
-    #     plus the two stalest r4 rows to fill the window to 50
-    "agg_salted_twophase",
-    "join_salted_skew",
-    "text_quality_score",
-    "agg_collect_sorted_list",
-    "dedup_exact_distinct",
-    "storage_json_roundtrip",
-    "text_fuzzy_levenshtein",
-    "agg_bitmap_distinct",
-    "agg_hll_sketch_merge",
-    "agg_partial_reaggregation",
-    "agg_rank_correlation",
-    "dq_constraint_audit",
-    "dq_observe_metrics",
-    "evt_gap_fill_lerp",
-    "evt_gap_fill_locf",
-    "evt_retention_cohorts",
-    "evt_transition_matrix",
-    "join_asof_forward",
-    "ml_contamination_ngram",
-    "ml_fixed_size_sample",
-    "ml_quantile_filter",
-    "ml_sequence_packing",
-    "ml_stratified_sample",
-    "mm_byte_stats_arrow",
-    "sim_lsh_candidate_stats",
-    "sql_lateral_topn",
-    "sql_tpch_q13_shape",
-    "sql_tpch_q18_shape",
-    "sql_tpch_q4_shape",
-    "src_python_datasource",
-    "storage_orc_roundtrip",
-    "storage_zorder_layout",
-    "text_inverted_index",
-    "text_pii_redaction",
-    "text_repetition_score",
-    "text_stopword_removal",
-    "udtf_chunk_documents",
-    "agg_approx_count_distinct",
-    "agg_tpch_q1",
-    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
-    # stalest-first for future rotations (r4 → r5 → r6 → the r7 window);
-    # every row stays pinned locally by tests/test_oracle_parity.py
-    # and the freeze gate at sf0.01/sf0.1. ----
+    "sim_ann_ivf_sampled",
+    "evt_stateful_running_stats",
+    # (c) the 40 stalest rows (last driver evidence r4–r5) — continues the
+    #     stalest-first rotation (VERDICT r8 #3)
     "dedup_exact",
     "dedup_simhash",
     "fn_collation_ci",
@@ -256,6 +212,10 @@ _PRIORITY = [
     "sql_tpch_q10_shape",
     "sql_tpch_q11_shape",
     "sql_tpch_q14_shape",
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # stalest-first for future rotations (r5/r6 → r7 → the r8 window
+    # last, freshest evidence); every row stays pinned locally by
+    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
     "sql_tpch_q15_shape",
     "sql_tpch_q17_shape",
     "sql_tpch_q19_shape",
@@ -363,6 +323,46 @@ _PRIORITY = [
     "text_token_count_bpe",
     "udf_grouped_agg_geomean",
     "unpivot_stack",
+    # ---- the r8 driver window (freshest evidence — rotates back last) ----
+    "agg_salted_twophase",
+    "join_salted_skew",
+    "text_quality_score",
+    "agg_collect_sorted_list",
+    "dedup_exact_distinct",
+    "storage_json_roundtrip",
+    "text_fuzzy_levenshtein",
+    "agg_bitmap_distinct",
+    "agg_hll_sketch_merge",
+    "agg_partial_reaggregation",
+    "agg_rank_correlation",
+    "dq_constraint_audit",
+    "dq_observe_metrics",
+    "evt_gap_fill_lerp",
+    "evt_gap_fill_locf",
+    "evt_retention_cohorts",
+    "evt_transition_matrix",
+    "join_asof_forward",
+    "ml_contamination_ngram",
+    "ml_fixed_size_sample",
+    "ml_quantile_filter",
+    "ml_sequence_packing",
+    "ml_stratified_sample",
+    "mm_byte_stats_arrow",
+    "sim_lsh_candidate_stats",
+    "sql_lateral_topn",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q18_shape",
+    "sql_tpch_q4_shape",
+    "src_python_datasource",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
+    "text_inverted_index",
+    "text_pii_redaction",
+    "text_repetition_score",
+    "text_stopword_removal",
+    "udtf_chunk_documents",
+    "agg_approx_count_distinct",
+    "agg_tpch_q1",
 ]
 
 
@@ -387,19 +387,25 @@ _EMBEDDINGS_NORM_SCAN = (
     "x -> isnan(x) OR isinf(x))) > 0 THEN NULL ELSE embedding END "
     "AS embedding) FROM embeddings)"
 )
-# words that can follow `events` without being an alias (observed grammar of
-# the registry's oracles; extend if a new clause keyword appears after a
-# bare events scan)
+# words that can follow `events` without being an alias (clause/join
+# keywords of the oracle grammar — ADVICE r8 added the join forms DuckDB
+# could legally put after a bare scan: ASOF/SEMI/ANTI/NATURAL/POSITIONAL
+# joins, TABLESAMPLE, and the set operators)
 _SQL_NONALIAS = {
     "group", "where", "order", "window", "on", "join", "left", "right",
     "inner", "cross", "full", "union", "limit", "having", "qualify",
     "using", "when", "and", "or", "as",
+    "asof", "semi", "anti", "natural", "positional", "lateral",
+    "tablesample", "except", "intersect",
 }
 def _norm_table_ref(sql: str, table: str, scan: str) -> str:
     """Rewrite every `FROM/JOIN <table> [alias]` to scan the non-finite-
     normalized subquery, preserving an explicit alias when present and
-    aliasing back to the table name otherwise."""
-    ref = re.compile(rf"\b(FROM|JOIN)(\s+){table}\b(\s+([A-Za-z_]\w*))?")
+    aliasing back to the table name otherwise. Case-insensitive (ADVICE
+    r8): a lowercase `from events` must not silently skip normalization."""
+    ref = re.compile(
+        rf"\b(FROM|JOIN)(\s+){table}\b(\s+([A-Za-z_]\w*))?", re.IGNORECASE
+    )
 
     def repl(m: re.Match) -> str:
         kw, ws, alias = m.group(1), m.group(2), m.group(4)
@@ -411,9 +417,27 @@ def _norm_table_ref(sql: str, table: str, scan: str) -> str:
     return ref.sub(repl, sql)
 
 
-def _normalize_events_refs(sql: str) -> str:
+def _assert_fully_normalized(sql: str, table: str, scan: str, name: str) -> None:
+    """Registration-time tripwire (ADVICE r8): after the rewrite, no bare
+    `FROM/JOIN <table>` reference may remain outside the normalized scan
+    text itself — a miss means a query would silently compare against
+    un-normalized non-finite values (divergence surfaces only when that
+    oracle meets a NaN fixture, i.e. far from the edit that broke it)."""
+    residue = sql.replace(scan, "<NORMSCAN>")
+    if re.search(rf"\b(FROM|JOIN)\s+{table}\b", residue, re.IGNORECASE):
+        raise ValueError(
+            f"oracle for {name!r}: a bare `{table}` table reference survived "
+            f"non-finite normalization — extend _SQL_NONALIAS / fix "
+            f"_norm_table_ref"
+        )
+
+
+def _normalize_events_refs(sql: str, name: str = "<oracle>") -> str:
     sql = _norm_table_ref(sql, "events", _EVENTS_NORM_SCAN)
-    return _norm_table_ref(sql, "embeddings", _EMBEDDINGS_NORM_SCAN)
+    sql = _norm_table_ref(sql, "embeddings", _EMBEDDINGS_NORM_SCAN)
+    _assert_fully_normalized(sql, "events", _EVENTS_NORM_SCAN, name)
+    _assert_fully_normalized(sql, "embeddings", _EMBEDDINGS_NORM_SCAN, name)
+    return sql
 
 
 def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn], QueryFn]:
@@ -422,7 +446,7 @@ def query(name: str, oracle: str | None, survey_ref: str) -> Callable[[QueryFn],
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        normalized = _normalize_events_refs(oracle) if oracle else oracle
+        normalized = _normalize_events_refs(oracle, name) if oracle else oracle
         _REGISTRY[name] = Query(name, fn, normalized, survey_ref)
         return fn
 

@@ -77,9 +77,7 @@ _ORDER_KEY_EXEMPT = {
     # centroid assembly (Python list order by coordinate position); the
     # plan only sees the fitted centroids as literals. Pinned instead by
     # test_properties.py::test_ivf_argmax_tie_margin_is_diagnosable and
-    # full-fit oracle parity.
-    ("sim_ann_ivf_trained", "pos"),
-    # same replayed driver-side fit, on the hash-sampled corpus
+    # the full-fit pin in tests/test_ivf_trained_pin.py.
     ("sim_ann_ivf_sampled", "pos"),
 }
 
