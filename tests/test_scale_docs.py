@@ -47,6 +47,33 @@ def test_scale_docs_superlinearity_within_bar():
     )
 
 
+def test_scale_docs_similarity_family():
+    """The similarity rows (VERDICT r8 #6), measured over the replica
+    EMBEDDINGS corpus (per-replica cyclic coordinate shift — within-replica
+    cosines bit-preserved, cross-replica cosines decorrelated):
+
+      - sim_ann_ivf_sampled is linear BY DESIGN (fixed-m fit, linear cell
+        assignment, |Q|-bounded audit): held to the 1.3 bar, and its output
+        must stay exactly |Q| rows at any scale.
+      - sim_ann_lsh_banded at FIXED rows_per_band is recorded but not
+        barred: on a near-uniform corpus its candidate/output mass grows
+        ~quadratically (measured: ~100x pairs at 10x docs) — that is the
+        WORKLOAD on random data, and exactly why banded_lsh_buckets' design
+        rule deepens bands with log2(N). The rows-ADAPTED variant
+        (12 → 15 at 10x, restoring ~1x bucket occupancy) is the scale-path
+        number held to the bar."""
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    emb = doc["embedding_queries"]
+    assert {"sim_ann_ivf_sampled", "sim_ann_lsh_banded",
+            "sim_ann_lsh_banded_adapted_rows"} <= set(emb), emb.keys()
+    ivf = emb["sim_ann_ivf_sampled"]
+    assert ivf["result_rows_1x"] == ivf["result_rows_10x"], ivf
+    assert ivf["superlinearity_docs"] <= 1.3, ivf
+    adapted = emb["sim_ann_lsh_banded_adapted_rows"]
+    assert adapted["rows_per_band_10x"] > adapted["rows_per_band_1x"], adapted
+    assert adapted["superlinearity_docs"] <= 1.3, adapted
+
+
 def test_scale_docs_recall_audit_structure():
     """The banded-recall story at both scales, from the REGISTERED audit
     query (dedup_minhash_recall_audit): 'strong' (J >= 0.9) pairs must
