@@ -366,10 +366,14 @@ def stream_user_stats_tws(events: DataFrame) -> DataFrame:
     still lives in the per-key state store, so scale-out is by key exactly
     as before.
 
-    Environment gate: the TWS state-server protocol needs `google.protobuf`,
-    which is not in this container (and installs are off-limits), so the
-    smoke test skips when the import fails — the operator itself is the
-    production formulation and runs unchanged where protobuf exists."""
+    Environment gate: the TWS state-server protocol needs `google.protobuf`.
+    Since r9 the test fixture vendors the Cloud SDK's pure-Python protobuf
+    through an isolated namespace dir (tests/conftest.py
+    _ensure_vendored_protobuf — nothing installed), so this processor is
+    EXECUTED and equality-tested against the batch aggregate
+    (tests/test_stateful_streaming.py); on hosts with neither a protobuf
+    site-package nor the SDK, the execution test skips and the plan-builds
+    test still pins the declaration path."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
