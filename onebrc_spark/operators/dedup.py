@@ -440,7 +440,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         pairs = _minhash_pairs_plan(spark, sf_dir)
         handles = pairs._onebrc_transient_handles  # set by the plan builder
-        materialized = pairs.persist()
+        # coalesce before persist: the expansion union leaves 2× spread
+        # width of mostly-empty partitions, and every WARM consumer of the
+        # memo would pay that task count on each read (r9 fullsweep: the
+        # warm presentation read was +60% from partition count alone)
+        materialized = pairs.coalesce(
+            spark.sparkContext.defaultParallelism * 2
+        ).persist()
         materialized.count()  # materialize while the transient persists are hot
     except BaseException:
         # a failed/cancelled materialization must not strand the fresh
@@ -931,15 +937,21 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("j"),
         )
     )
-    collapsed = minhash_collapse(d)
-    cands = minhash_band_candidates(collapsed.select("doc_id", "ws")).select(
+    slim = _minhash_slim(d)
+    dupc = _dup_census(slim)
+    cands = minhash_band_candidates(
+        _collapsed_rows(slim, dupc).select("doc_id", "ws")
+    ).select(
         F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"), F.lit(1).alias("hit")
     )
     # rep(doc) = its dup-group representative, or itself (singletons carry
-    # no mapping row — see minhash_collapse)
-    dup_members = collapsed.filter(F.col("grp_n") > 1).select(
-        F.col("doc_id").alias("rep_id"), F.explode("ids").alias("doc_id")
-    )
+    # no mapping row). Built straight from the census join, NOT from the
+    # full collapse: the mapping branches (ma/mb below) need only
+    # (rep_id, doc_id), and re-evaluating the whole collapse — shingles,
+    # anti join, member agg — once per branch was this query's r9 fullsweep
+    # regression. Empty-shingle dup groups are harmlessly included: a truth
+    # pair needs shingles on both sides, so their mapping rows never match.
+    dup_members = slim.join(dupc, "digest").select("rep_id", "doc_id")
     ma = dup_members.select(
         F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("ra")
     )

@@ -13,8 +13,13 @@ median raw ratio over common queries is the host factor; a query is flagged
 only when its own ratio exceeds 1.5x the median).
 
 Protocol per query: one untimed build+count (warms codegen for THIS plan),
-then two timed runs, keep the min — the steady-state cost of the plan, the
-thing a regression changes. The pair-set/label memos are cleared once at
+then --runs timed runs (default 2), keep the min — the steady-state cost of
+the plan, the thing a regression changes. Raise --runs when the host is
+noisy: round 9 measured two SAME-TREE sweeps flagging two DISJOINT sets of
+>1.5x "regressions" (GC pauses landing on random sub-second queries while
+the calibration probes read a stable host) — min-of-4 per query removed
+every flap; the sweep-pair adjudication rule is that a flag must survive a
+same-tree re-sweep before it is treated as code. The pair-set/label memos are cleared once at
 the start (standalone accounting), then left warm: consumers measure
 marginal cost exactly as in a production drive.
 
@@ -42,6 +47,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="timed runs per query (min kept); raise on noisy hosts")
     args = ap.parse_args()
 
     from bench import _median, run_calibration  # noqa: E402 (repo-root module)
@@ -60,7 +67,7 @@ def main() -> None:
         try:
             q.fn(spark, args.sf_dir).count()  # untimed warm (codegen)
             runs = []
-            for _ in range(2):
+            for _ in range(args.runs):
                 t0 = time.time()
                 q.fn(spark, args.sf_dir).count()
                 runs.append(time.time() - t0)
@@ -80,6 +87,7 @@ def main() -> None:
         "unit": "sec",
         "elapsed_sec": round(time.time() - t_start, 1),
         "queries": times,
+        "runs_per_query": args.runs,
         "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "calibration": {
             "samples": cal,
