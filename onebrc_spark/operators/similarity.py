@@ -22,6 +22,7 @@ not shuffle-order-dependent, so no float drift between runs or engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -767,6 +768,75 @@ def kmeans_fit(
     return cents
 
 
+def _cosine_local(a, b) -> float | None:
+    """Driver-side replay of cosine(): identical operation order — left
+    fold of x·y / (sqrt(left fold x²) · sqrt(left fold y²)) in doubles —
+    so the result is bit-equal to the Spark column and the DuckDB
+    list_aggregate replay. None (NULL vector) and zero-norm both yield
+    None, matching the engine's NULL-cosine guard."""
+    if a is None or b is None:
+        return None
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        dx = float(x)
+        na += dx * dx
+    nb = 0.0
+    for y in b:
+        dy = float(y)
+        nb += dy * dy
+    den = math.sqrt(na) * math.sqrt(nb)
+    return None if den == 0.0 else dot / den
+
+
+def _kmeans_fit_local(
+    vecs: list, k: int = _IVF_K, iters: int = 3
+) -> list[list[float]]:
+    """kmeans_fit replayed driver-locally over an ALREADY-COLLECTED sample
+    (r9): the sampled-fit query's input is a fixed m=128 rows at any
+    corpus size, and every fit step is exact integer math or a fixed-order
+    IEEE expression — the same property that lets the DuckDB oracle unroll
+    it — so running the Lloyd loop in Python is bit-identical to the
+    distributed version (pinned by execution in tests/test_properties.py)
+    while skipping 3 per-iteration Spark jobs whose data is 128 rows.
+
+    Semantics mirrored exactly from kmeans_fit: NULL-cosine → -2.0
+    sentinel (zero-norm and NULL vectors land in cell 1), assignment =
+    FIRST maximal cell, update = per-(cell, 0-based pos) means over exact
+    floor(x·1e9+0.5) integer sums (order-independent), NULL vectors
+    contribute no coordinates (posexplode of NULL emits nothing), empty
+    cells keep their previous centroid."""
+    cents = [[float(v) for v in c] for c in _centroids()[:k]]
+    dim = EMBEDDING_DIM
+    for _ in range(iters):
+        sums: dict[tuple[int, int], list] = {}
+        for emb in vecs:
+            cs = [
+                c if (c := _cosine_local(emb, cent)) is not None else -2.0
+                for cent in cents
+            ]
+            cell = cs.index(max(cs)) + 1
+            if emb is None:
+                continue
+            for pos, x in enumerate(emb):
+                acc = sums.get((cell, pos))
+                if acc is None:
+                    sums[(cell, pos)] = [
+                        int(math.floor(float(x) * 1e9 + 0.5)), 1
+                    ]
+                else:
+                    acc[0] += int(math.floor(float(x) * 1e9 + 0.5))
+                    acc[1] += 1
+        new = {key: s / n / 1e9 for key, (s, n) in sums.items()}
+        cents = [
+            [new.get((c + 1, d), cents[c][d]) for d in range(dim)]
+            for c in range(k)
+        ]
+    return cents
+
+
 def _kmeans_iter_sql(prev: str, nxt: str, src: str = "embeddings") -> str:
     """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector of
     `src` to its argmax-cosine cell against the `prev` centroid table (tie →
@@ -1168,17 +1238,22 @@ def sim_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end, same columns as sim_ann_ivf_trained."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
     h = F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
-    sample = (
+    # collect the fixed-m sample and fit DRIVER-LOCALLY (r9): the fit
+    # input is m=128 rows by construction at ANY corpus size, and the fit
+    # is a pure fixed-order IEEE function (that is what lets DuckDB replay
+    # it), so Spark's only jobs here are the TakeOrdered sample and the
+    # retrieval — the 3 distributed Lloyd passes were ~4 s of per-iteration
+    # plan/job overhead spent on 128 rows (the r9 fullsweep's worst
+    # residual entry). _kmeans_fit_local is pinned bit-identical to the
+    # distributed kmeans_fit in tests/test_properties.py.
+    rows = (
         e.select("vec_id", "embedding", h.alias("h"))
         .orderBy("h", "vec_id")
         .limit(_IVF_FIT_SAMPLE)
-        .select("vec_id", "embedding")
-        .persist()  # 3 Lloyd passes read it; released right after the fit
+        .select("embedding")
+        .collect()
     )
-    try:
-        cents = kmeans_fit(sample)
-    finally:
-        sample.unpersist()
+    cents = _kmeans_fit_local([r["embedding"] for r in rows])
     return _ivf_probe2_audit(
         e,
         cents,

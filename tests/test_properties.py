@@ -298,6 +298,34 @@ def test_kmeans_deterministic_and_improves_assignment(spark):
     assert after > before, (before, after)
 
 
+def test_kmeans_local_fit_replays_distributed_fit_bit_for_bit(spark):
+    """The driver-local Lloyd loop the sampled IVF query uses on its
+    collected m-row sample (r9 — _kmeans_fit_local) must equal the
+    distributed kmeans_fit EXACTLY: both are the same fixed-order IEEE /
+    exact-integer recipe the DuckDB oracle unrolls, so any bit of drift
+    here is an oracle hash-fail waiting for a fixture. Executed over the
+    real smoke corpus INCLUDING its NULL-vector normalization boundary,
+    plus a degenerate zero-norm/NULL fixture."""
+    from onebrc_spark.operators.similarity import _kmeans_fit_local, kmeans_fit
+    from onebrc_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = [r["embedding"] for r in e.select("embedding").collect()]
+    assert kmeans_fit(e, iters=3) == _kmeans_fit_local(rows, iters=3)
+
+    degen = spark.createDataFrame(
+        [
+            (0, [0.0] * 64, 1),
+            (1, None, 1),
+            (2, [((i * 13) % 7 - 3) / 3.0 for i in range(64)], 2),
+            (3, [((i * 29) % 11 - 5) / 5.0 for i in range(64)], 3),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    drows = [r["embedding"] for r in degen.select("embedding").collect()]
+    assert kmeans_fit(degen, iters=2) == _kmeans_fit_local(drows, iters=2)
+
+
 def test_minhash_identical_inputs_identical_signatures(spark):
     """MinHash: equal shingle sets ⇒ equal signatures (exact, not
     probabilistic); disjoint docs get sentinel-free distinct signatures."""
