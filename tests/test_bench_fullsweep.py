@@ -62,19 +62,16 @@ def test_fullsweep_artifact_covers_registry():
 # it EXPIRES with the round pair: the next round's sweep compares r9→r10 and
 # these keys no longer apply, so a real regression can hide here for at most
 # the round that investigated it.
-_ADJUDICATED = {
-    ("BENCH_r08_fullsweep.json", "BENCH_r09_fullsweep.json"): {
-        # Evidence (r9): git diff r8..r9 touches neither query's code or
-        # plan; isolation best-of-4 reads 0.90 s vs the r8 sweep's 0.72 s
-        # (1.25x raw) and 0.67 s vs 0.58 s (1.15x) — while the same host
-        # runs the sweep MEDIAN at 0.92x, i.e. today's drift is
-        # NON-UNIFORM (CPU-bound queries slower, scheduling-bound faster),
-        # which inflates their normalized ratios past the wire. Three
-        # same-tree r9 sweeps flagged three DISJOINT sets before min-of-4
-        # stabilized the artifact (see bench_fullsweep.py --runs).
-        "dedup_embedding_neardup": "untouched since r8; non-uniform host drift",
-        "udf_grouped_map_zscore": "untouched since r8; non-uniform host drift",
-    },
+_ADJUDICATED: dict = {
+    # Currently empty. The r9 episode that motivated the mechanism: two
+    # code-untouched queries (dedup_embedding_neardup, udf_grouped_map_
+    # zscore) flagged at 1.4x raw against a 0.92x sweep median —
+    # NON-UNIFORM host drift (their isolation timings reproduced the raw
+    # ratio while the rest of the registry ran faster) — then dropped back
+    # to 0.90x/0.99x when the final-tree sweep landed on a calmer window,
+    # so the entries were removed rather than shipped dead. Three same-tree
+    # r9 sweeps also flagged three DISJOINT sets before min-of-4 runs
+    # stabilized the artifact (see bench_fullsweep.py --runs).
 }
 
 
