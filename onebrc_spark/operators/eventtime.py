@@ -673,10 +673,81 @@ def evt_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "evt_stateful_running_stats_tws",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ref="ST6 (arbitrary stateful operator on the Spark 4 "
+    "transformWithStateInPandas API; legacy-API fallback where protobuf "
+    "is unavailable)",
+)
+def evt_stateful_running_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 on the SUCCESSOR API (r9): the same per-user running
+    (count, max) state machine expressed as a transformWithStateInPandas
+    StatefulProcessor with typed ValueState — driven to completion over
+    the finite source and hash-verified against the identical batch
+    oracle as the legacy-API query above (the two processors are
+    equality-tested against each other by execution in
+    tests/test_stateful_streaming.py).
+
+    Environment degrade: the TWS state-server protocol needs
+    google.protobuf, which session.get_spark vendors from the host's
+    Cloud SDK when no site-package exists (streaming/protobuf_compat.py).
+    On a host with neither, this query runs the SEMANTICALLY IDENTICAL
+    legacy applyInPandasWithState processor instead — same state machine,
+    same update-mode emissions, same oracle — so the registered surface
+    stays green everywhere while proving the Spark 4 API wherever the
+    runtime allows (which includes this container).
+
+    Scale: identical to evt_stateful_running_stats — two scalars per key
+    in the (RocksDB) state store, one shuffle on the grouping key. Same
+    build-time-execution caveat and per-(app, sf_dir) memo."""
+    from onebrc_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_completion,
+        stream_running_user_stats,
+        stream_user_stats_tws,
+    )
+    from onebrc_spark.streaming.protobuf_compat import tws_available
+
+    import hashlib
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "tws")
+    cached = _STATEFUL_STATS_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
+
+    pipeline = stream_user_stats_tws if tws_available() else stream_running_user_stats
+    stream = read_events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    sink = run_to_completion(
+        pipeline(stream),
+        "evt_stateful_tws_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark,
+        mode="update",
+    )
+    out = (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+    _STATEFUL_STATS_CACHE.put(memo_key, out)
+    return out
+
+
 # Bounded memo for the finished-stream result frames (VERDICT r8 #5). The
 # values are plain DataFrames over the materialized memory-sink view (not
 # persisted), so LRU eviction's unpersist is a harmless no-op — the bound
-# exists to drop references in long multi-directory sessions.
+# exists to drop references in long multi-directory sessions. maxsize 4:
+# the legacy and TWS ST6 queries × the bench warmup/measured directory pair.
 from onebrc_spark.operators.memo import PersistedLRU  # noqa: E402
 
-_STATEFUL_STATS_CACHE = PersistedLRU(maxsize=2)
+_STATEFUL_STATS_CACHE = PersistedLRU(maxsize=4)

@@ -170,7 +170,11 @@ _PRIORITY = [
     "dedup_graph_pagerank",
     "sim_ann_ivf_sampled",
     "evt_stateful_running_stats",
-    # (c) the 40 stalest rows (last driver evidence r4–r5) — continues the
+    # NEW in r9: ST6 on the Spark 4 transformWithStateInPandas API
+    # (executable here via the vendored-protobuf session setup; legacy-API
+    # fallback elsewhere) — new queries take same-round window slots
+    "evt_stateful_running_stats_tws",
+    # (c) the 39 stalest rows (last driver evidence r4–r5) — continues the
     #     stalest-first rotation (VERDICT r8 #3)
     "dedup_exact",
     "dedup_simhash",
@@ -211,11 +215,11 @@ _PRIORITY = [
     "sql_recursive_cte",
     "sql_tpch_q10_shape",
     "sql_tpch_q11_shape",
-    "sql_tpch_q14_shape",
     # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
     # stalest-first for future rotations (r5/r6 → r7 → the r8 window
     # last, freshest evidence); every row stays pinned locally by
     # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    "sql_tpch_q14_shape",
     "sql_tpch_q15_shape",
     "sql_tpch_q17_shape",
     "sql_tpch_q19_shape",

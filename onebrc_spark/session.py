@@ -37,6 +37,17 @@ def get_spark(app_name: str = "onebrc_spark", master: str | None = None) -> Spar
       - Arrow on: pandas_udf / applyInPandas paths transfer columnar batches.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)
+    # Optional-dependency setup MUST precede JVM launch: executor Python
+    # workers inherit PYTHONPATH from the JVM's process environment, so the
+    # vendored-protobuf path (streaming/protobuf_compat.py — the
+    # transformWithStateInPandas state-server dependency) only reaches
+    # workers if it is in os.environ before getOrCreate().
+    from onebrc_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+        mark_session_created,
+    )
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -70,4 +81,5 @@ def get_spark(app_name: str = "onebrc_spark", master: str | None = None) -> Spar
     builder = builder.master(master or f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    mark_session_created()
     return spark

@@ -1,0 +1,113 @@
+"""Optional-dependency adapter: make google.protobuf importable when a
+vendored copy exists on the host, WITHOUT installing anything.
+
+transformWithStateInPandas (the Spark 4 arbitrary-stateful API) talks to the
+JVM state server through protobuf messages
+(pyspark/sql/streaming/proto/StateMessage_pb2.py) from the executor Python
+workers. This container ships no protobuf site-package, but the
+preinstalled Google Cloud SDK vendors a pure-Python protobuf runtime; we
+expose JUST google/protobuf through an isolated /tmp namespace directory
+(a symlink — never the whole appengine tree, which would shadow dozens of
+top-level modules) and use protobuf's official escape hatch for the
+gencode-newer-than-runtime strictness check (6.33 gencode / 6.32 runtime —
+wire-compatible; the executed TWS-vs-batch equality test is the actual
+compatibility proof, tests/test_stateful_streaming.py).
+
+Worker visibility: executor Python workers inherit PYTHONPATH from the
+executor process environment, which in local mode is captured when the
+JVM launches — so ensure_protobuf() must run BEFORE SparkSession creation
+(session.get_spark calls it first). tws_available() answers the question
+the TWS-backed query needs: will the WORKERS be able to import protobuf
+under the current session?
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+_SDK_PROTOBUF = Path(
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+)
+_VENDOR_DIR = Path("/tmp/onebrc_protobuf_vendor")
+
+# Set by get_spark at session-creation time: whether the session's JVM was
+# launched with a worker-importable protobuf (a real site-package, or the
+# vendor path already in PYTHONPATH). None = no get_spark-created session
+# yet (fall back to a conservative driver-side check).
+_worker_importable_at_jvm_launch: bool | None = None
+
+
+def _site_package_protobuf() -> bool:
+    """Importable WITHOUT the vendor path (a real site-package — executor
+    workers see site-packages unconditionally)."""
+    if _VENDOR_DIR and str(_VENDOR_DIR) in sys.path:
+        # can't distinguish cheaply once the vendor path is live; answer
+        # from whether the vendor was ever needed
+        return False
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ensure_protobuf() -> bool:
+    """Make google.protobuf importable on the DRIVER, vendoring the Cloud
+    SDK copy if needed. Returns importability. Idempotent; silent no-op
+    (False) when neither a site-package nor the SDK exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not _SDK_PROTOBUF.is_dir():
+        return False
+    (_VENDOR_DIR / "google").mkdir(parents=True, exist_ok=True)
+    (_VENDOR_DIR / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    link = _VENDOR_DIR / "google" / "protobuf"
+    if not link.exists():
+        link.symlink_to(_SDK_PROTOBUF)
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    existing = os.environ.get("PYTHONPATH", "")
+    if str(_VENDOR_DIR) not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_VENDOR_DIR}{os.pathsep}{existing}" if existing else str(_VENDOR_DIR)
+        )
+    if str(_VENDOR_DIR) not in sys.path:
+        sys.path.insert(0, str(_VENDOR_DIR))
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def mark_session_created() -> None:
+    """Called by get_spark immediately after creating a NEW SparkSession
+    (ensure_protobuf() having run first): record whether that session's
+    executor workers can import protobuf."""
+    global _worker_importable_at_jvm_launch
+    try:
+        import google.protobuf  # noqa: F401
+
+        _worker_importable_at_jvm_launch = True
+    except ImportError:
+        _worker_importable_at_jvm_launch = False
+
+
+def tws_available() -> bool:
+    """Can transformWithStateInPandas execute under the current session?
+    True when the session's JVM launched with worker-importable protobuf.
+    When the session was created outside get_spark (flag unset), answer
+    conservatively: only a real site-package counts (the vendor path set
+    AFTER JVM launch never reaches the workers)."""
+    if _worker_importable_at_jvm_launch is not None:
+        return _worker_importable_at_jvm_launch
+    return _site_package_protobuf()

@@ -30,60 +30,15 @@ TABLE_NAMES = [
 ]
 
 
-def _ensure_vendored_protobuf() -> bool:
-    """Make google.protobuf importable WITHOUT installing anything
-    (VERDICT r8 #4): transformWithStateInPandas's state-server protocol
-    needs the protobuf runtime, which this container doesn't ship as a
-    site-package — but the preinstalled Google Cloud SDK vendors a
-    pure-Python protobuf. Expose JUST google/protobuf through an isolated
-    /tmp namespace dir (symlink — never the whole appengine tree, which
-    would shadow dozens of top-level modules), and use protobuf's official
-    escape hatch for the gencode-6.33-vs-runtime-6.32 strictness check
-    (wire format is identical; the executed TWS equality test is the
-    actual compatibility proof). Env vars are set BEFORE the JVM launches
-    so executor Python workers inherit the path. No-op (False) when the
-    SDK is absent — the TWS execution test importorskips as before."""
-    import sys
-    from pathlib import Path
-
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        pass
-    sdk = Path(
-        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
-    )
-    if not sdk.is_dir():
-        return False
-    vend = Path("/tmp/onebrc_protobuf_vendor")
-    (vend / "google").mkdir(parents=True, exist_ok=True)
-    (vend / "google" / "__init__.py").write_text(
-        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
-    )
-    link = vend / "google" / "protobuf"
-    if not link.exists():
-        link.symlink_to(sdk)
-    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-    os.environ["PYTHONPATH"] = f"{vend}:{os.environ.get('PYTHONPATH', '')}"
-    sys.path.insert(0, str(vend))
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 @pytest.fixture(scope="session")
 def spark():
     # Fewer threads/partitions than prod defaults: test data is tiny and
     # JVM startup + task dispatch dominates.
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    # before get_spark: the JVM (and hence every executor Python worker)
-    # must inherit the vendored-protobuf PYTHONPATH
-    _ensure_vendored_protobuf()
+    # get_spark vendors the Cloud SDK's protobuf (VERDICT r8 #4 —
+    # transformWithStateInPandas's state-server dependency) BEFORE the JVM
+    # launches, so executor Python workers inherit the path; see
+    # onebrc_spark/streaming/protobuf_compat.py.
     from onebrc_spark.session import get_spark
 
     s = get_spark("onebrc_spark_tests")

@@ -242,6 +242,7 @@ EVT_ONLY = [
     "evt_session_window",
     "evt_sliding_window",
     "evt_stateful_running_stats",
+    "evt_stateful_running_stats_tws",
     "evt_transition_matrix",
     "evt_tumbling_window",
     "evt_watermark_late_drop",
