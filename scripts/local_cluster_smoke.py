@@ -46,13 +46,19 @@ from tests.compare import assert_match  # noqa: E402
 from tests.conftest import SMOKE_SF_DIR, TABLE_NAMES  # noqa: E402
 
 # One representative per executed assumption: broadcast dims, the pandas-UDF
-# Python-worker path, the flagship agg, and the memoized pair-set chain.
+# Python-worker path, the flagship agg, the memoized pair-set chain, and
+# (r9) the two stateful-streaming queries — the state store partitions by
+# key ACROSS executor JVMs here, and the TWS one additionally proves the
+# vendored-protobuf PYTHONPATH reaches executor-side Python workers that
+# are children of a separate Worker process, not of the driver JVM.
 CHECKED = [
     "onebrc_flagship",
     "join_broadcast_dims",
     "udf_grouped_agg_geomean",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    "evt_stateful_running_stats",
+    "evt_stateful_running_stats_tws",
 ]
 
 
@@ -61,6 +67,16 @@ def main() -> int:
     assert spark.sparkContext.master.startswith("local-cluster"), (
         spark.sparkContext.master
     )
+    # The TWS query silently degrades to the legacy API when protobuf can't
+    # reach the workers. On a host that HAS the vendorable SDK copy, that
+    # degrade under local-cluster would mean the PYTHONPATH propagation
+    # assumption is wrong for real executor JVMs — fail, don't mask it.
+    from onebrc_spark.streaming.protobuf_compat import ensure_protobuf, tws_available
+
+    if ensure_protobuf() and not tws_available():
+        print("FAIL: protobuf vendorable on this host but not worker-importable")
+        return 1
+    print(f"  transformWithState path live: {tws_available()}", flush=True)
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.sql(

@@ -1,10 +1,12 @@
 """Gate-optional multi-executor smoke (VERDICT r8 #7).
 
 Runs scripts/local_cluster_smoke.py — flagship + broadcast join + pandas-UDF
-+ the memoized dedup chain under `local-cluster[2,2,2048]`, oracle-compared —
-in a SUBPROCESS, because the smoke needs its own SparkContext with a
-different master and the suite's session-scoped local[N] context cannot
-coexist with it in one JVM.
++ the memoized dedup chain + both stateful-streaming queries (legacy
+applyInPandasWithState and Spark 4 transformWithStateInPandas, the latter
+proving vendored-protobuf reaches executor workers) under
+`local-cluster[2,2,2048]`, oracle-compared — in a SUBPROCESS, because the
+smoke needs its own SparkContext with a different master and the suite's
+session-scoped local[N] context cannot coexist with it in one JVM.
 
 Opt-in via ONEBRC_LOCAL_CLUSTER=1 (the run costs ~1-2 min of cluster
 startup + executor JVMs; the per-round invocation is recorded in
