@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Two-point scale run for the LLM-pipeline family (VERDICT r6 #4).
+"""Two-point scale run for the LLM-pipeline, similarity and eventtime/join
+families (VERDICT r6 #4, r8 #6, r9).
 
 The flagship has measured 1e9/2e9-row linearity; the text/dedup family's
 100 TB story rested on plan shapes + sf0.1 timings only. This script makes
@@ -59,6 +60,14 @@ QUERIES = [
 # the replica EMBEDDINGS table and their linearity stories differ (see
 # embedding_queries in main()).
 EMB_QUERIES = ["sim_ann_ivf_sampled", "sim_ann_lsh_banded"]
+# Eventtime/join family (r9): measured over the replica EVENTS table —
+# user_id/event_id remapped by replica stride, everything else verbatim, so
+# every per-user sequence (the unit all three queries partition on) is
+# bit-preserved per replica and replicas never interact: 10x users carrying
+# exactly 10x work. Representatives of the family's three scale shapes:
+# union+window as-of join (J7), grouped exact medians with broadcast
+# join-backs (X16b), scaffold+LOCF windows (X10/W3).
+EVT_QUERIES = ["join_asof", "evt_anomaly_mad", "evt_gap_fill_locf"]
 SCALE_ROOT = Path("/tmp/onebrc_docs_scale")
 REPLICAS = 10
 _ID_STRIDE = 100_000_000
@@ -70,7 +79,7 @@ def _base_fingerprint(base_sf_dir: str) -> str:
     regeneration changes it, forcing a corpus rebuild (stale-cache guard:
     SCALE_DOCS.json must never measure data that no longer exists)."""
     parts = []
-    for table in ("documents.parquet", "embeddings.parquet"):
+    for table in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         base = Path(base_sf_dir) / table
         parts.append(str(base))
         files = sorted(base.rglob("*")) if base.is_dir() else [base]
@@ -170,10 +179,35 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
         full.repartition(20).write.mode("overwrite").parquet(
             str(ten / "embeddings.parquet")
         )
-    assert (one / "documents.parquet" / "_SUCCESS").exists()
-    assert (ten / "documents.parquet" / "_SUCCESS").exists()
-    assert (one / "embeddings.parquet" / "_SUCCESS").exists()
-    assert (ten / "embeddings.parquet" / "_SUCCESS").exists()
+    # Event replicas (r9, eventtime/join family): replica i remaps the two
+    # id columns by stride and copies ts/event_type/value/props VERBATIM —
+    # every per-user event sequence (funnel order, as-of matches, daily
+    # scaffold span) is bit-preserved within its replica, and since every
+    # measured query partitions on user_id (or aggregates replica-invariant
+    # value distributions per event_type), replicas never interact: the
+    # workload is exactly 10x, no cross-replica term to corrupt linearity.
+    ev = spark.read.parquet(f"{base_sf_dir}/events.parquet")
+    if not (one / "events.parquet" / "_SUCCESS").exists():
+        ev.repartition(2).write.mode("overwrite").parquet(
+            str(one / "events.parquet")
+        )
+    if not (ten / "events.parquet" / "_SUCCESS").exists():
+        parts = []
+        for i in range(REPLICAS):
+            parts.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * _ID_STRIDE)
+                ).withColumn("user_id", F.col("user_id") + F.lit(i * _ID_STRIDE))
+            )
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(20).write.mode("overwrite").parquet(
+            str(ten / "events.parquet")
+        )
+    for tbl in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+        assert (one / tbl / "_SUCCESS").exists()
+        assert (ten / tbl / "_SUCCESS").exists()
     marker.write_text(fp)
     return str(one), str(ten)
 
@@ -360,6 +394,36 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    # --- eventtime/join family over the replica EVENTS (r9) ---
+    # All three are judged on superlinearity_docs <= 1.3 (events scale
+    # exactly 10x by construction). Output structure is asserted, not
+    # hoped: the per-user queries must emit EXACTLY 10x rows (replicas are
+    # verbatim per user), the per-type aggregate exactly the same rows
+    # (event_type is replica-invariant) — any deviation means the replica
+    # fixture interacted across replicas and the timing is measuring a
+    # different workload.
+    evt_results = {}
+    for name in EVT_QUERIES:
+        t1, rows1 = time_query(spark, name, one)
+        t10, rows10 = time_query(spark, name, ten)
+        if name == "evt_anomaly_mad":
+            assert rows10 == rows1, (name, rows1, rows10)
+        else:
+            assert rows10 == REPLICAS * rows1, (name, rows1, rows10)
+        evt_results[name] = {
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "result_rows_1x": rows1,
+            "result_rows_10x": rows10,
+            "superlinearity_docs": round(t10 / (REPLICAS * t1), 3),
+        }
+        print(
+            f"# {name}: 1x {t1}s ({rows1} rows) | 10x {t10}s ({rows10} rows)"
+            f" | superlinearity docs "
+            f"{evt_results[name]['superlinearity_docs']}x",
+            file=sys.stderr, flush=True,
+        )
+
     doc = {
         "base": args.base,
         "docs_1x": n1,
@@ -368,6 +432,7 @@ def main() -> None:
         "chars_10x": c10,
         "queries": results,
         "embedding_queries": emb_results,
+        "event_queries": evt_results,
     }
 
     # Banded-recall structure at both scales, measured by the REGISTERED

@@ -74,6 +74,36 @@ def test_scale_docs_similarity_family():
     assert adapted["superlinearity_docs"] <= 1.3, adapted
 
 
+def test_scale_docs_event_family():
+    """The eventtime/join rows (r9), measured over the replica EVENTS
+    corpus (user_id/event_id stride-remapped, sequences verbatim per
+    replica — 10x users carrying exactly 10x work, no cross-replica term):
+    the union+window as-of join, the grouped-exact-median MAD scorer and
+    the scaffold+LOCF gap fill are all held to the 1.3 bar, with the
+    fixture's no-interaction property asserted via exact output scaling
+    (10x rows for the per-user queries, identical rows for the per-type
+    aggregate)."""
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    evt = doc["event_queries"]
+    assert {"join_asof", "evt_anomaly_mad", "evt_gap_fill_locf"} <= set(evt), (
+        evt.keys()
+    )
+    for name, q in evt.items():
+        assert q["superlinearity_docs"] <= 1.3, (name, q)
+    assert (
+        evt["join_asof"]["result_rows_10x"]
+        == 10 * evt["join_asof"]["result_rows_1x"]
+    ), evt["join_asof"]
+    assert (
+        evt["evt_gap_fill_locf"]["result_rows_10x"]
+        == 10 * evt["evt_gap_fill_locf"]["result_rows_1x"]
+    ), evt["evt_gap_fill_locf"]
+    assert (
+        evt["evt_anomaly_mad"]["result_rows_10x"]
+        == evt["evt_anomaly_mad"]["result_rows_1x"]
+    ), evt["evt_anomaly_mad"]
+
+
 def test_scale_docs_recall_audit_structure():
     """The banded-recall story at both scales, from the REGISTERED audit
     query (dedup_minhash_recall_audit): 'strong' (J >= 0.9) pairs must
