@@ -618,13 +618,35 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so cells — and therefore results — are hash-verified.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    celled = e.select(
-        "vec_id", "embedding", _cell_scores(F.col("embedding")).alias("cs")
-    ).select(
-        "vec_id",
-        "embedding",
-        F.array_position(F.col("cs"), F.array_max(F.col("cs"))).alias("cell"),
-    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "fixed")
+    celled = _IVF_CELLED_CACHE.get(cache_key)
+    if celled is None:
+        # Single-fold argmax (r9, same fix as _ivf_probe2_audit): the
+        # array_position(cs, array_max(cs)) form referenced `cs` twice and
+        # project collapse re-inlined all 8 dim-64 cosine folds into each
+        # reference. _top2_cells references cs once; b_i == 0 only when
+        # every score is NULL (a NULL-ed non-finite embedding), which the
+        # when() maps back to the old form's NULL cell — NULL never joins,
+        # so degenerate vectors stay out of probe results in BOTH engines
+        # (0 would self-join all-NULL rows into ranked output here while
+        # the oracle's list_indexof yields NULL — a hash divergence).
+        t2 = _top2_cells(_cell_scores(F.col("embedding")))
+        celled = e.select(
+            "vec_id",
+            "embedding",
+            F.when(t2["b_i"] > 0, t2["b_i"]).alias("cell"),
+        )
+        # Two plan branches (query set + probe side) otherwise re-evaluate
+        # the assignment over the whole corpus; the persisted cell table IS
+        # the IVF index build (the _ivf_probe2_audit precedent), memoized
+        # in the same bounded LRU so repeated sweep builds are cache hits.
+        celled = celled.persist()
+        try:
+            celled.count()
+        except BaseException:
+            celled.unpersist()
+            raise
+        _IVF_CELLED_CACHE.put(cache_key, celled)
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
