@@ -67,6 +67,14 @@ def get_spark(app_name: str = "onebrc_spark", master: str | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Write timestamps as INT64 micros, not Spark's legacy INT96
+        # default: the engine could not RE-INGEST its own written event
+        # tables — pyarrow sniffs INT96 as timestamp[ns], so the catalog's
+        # nanos path requested LongType, and the vectorized reader cannot
+        # decode physical INT96 as bigint (KD001). nanosAsLong only covers
+        # INT64-nanos; INT96 has no long-decode at all. Micros is also the
+        # modern parquet standard and what the DuckDB oracle interops with.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # If events.ts is parquet TIMESTAMP(NANOS) — the unit has changed
         # across testdata regenerations, so sources/catalog.py sniffs the
         # footer per directory — the vectorized reader cannot decode nanos

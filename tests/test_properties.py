@@ -1107,3 +1107,75 @@ def test_minhash_hot_band_cap_diverts(spark):
     assert cands.count() == 0
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert got == {(i, j) for i in range(10) for j in range(i + 1, 10)}
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_asof_joins_match_bruteforce_reference(spark, seed, tmp_path_factory):
+    """Both as-of directions (J7) against an O(n·m) per-row reference on
+    adversarial random events: exact-timestamp collisions between probes
+    and builds (the inclusive `>=`/`<=` bound), duplicate-(user, ts) build
+    rows (max/min event_id canonicalization), users with probes but no
+    builds (LEFT semantics), and event types the queries must ignore. The
+    oracle-parity suite pins the fixtures; this pins the TIE SEMANTICS for
+    any input — the part of the union+window construction (joins.py:349,
+    :427) that is easiest to silently break."""
+    import datetime
+    import random
+
+    from onebrc_spark.operators.joins import join_asof, join_asof_forward
+
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    rows = []
+    for eid in range(rng.randrange(40, 120)):
+        sec = base + rng.randrange(0, 30)  # dense: many exact-ts ties
+        rows.append(
+            (
+                eid,
+                datetime.datetime.utcfromtimestamp(sec),
+                rng.randrange(0, 4),
+                rng.choice(["view", "purchase", "click"]),
+                float(rng.randrange(0, 100)) / 2.0,
+                "{}",
+            )
+        )
+    d = tmp_path_factory.mktemp("asof") / f"ev_{seed}"
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    ev = [(eid, int(ts.timestamp()), u, t) for eid, ts, u, t, _, _ in rows]
+    views = [(eid, s, u) for eid, s, u, t in ev if t == "view"]
+    purchases = [(eid, s, u) for eid, s, u, t in ev if t == "purchase"]
+
+    expect_back = set()
+    for pid, ps, pu in purchases:
+        cand = [(s, eid) for eid, s, u in views if u == pu and s <= ps]
+        if cand:
+            s, eid = max(cand)  # latest ts, then max event_id
+            expect_back.add((pid, eid, ps - s))
+        else:
+            expect_back.add((pid, None, None))
+    got_back = {
+        (r["purchase_id"], r["last_view_id"], r["lag_seconds"])
+        for r in join_asof(spark, str(d)).collect()
+    }
+    assert got_back == expect_back
+
+    expect_fwd = set()
+    for vid, vs, vu in views:
+        cand = [(s, eid) for eid, s, u in purchases if u == vu and s >= vs]
+        if cand:
+            s = min(x[0] for x in cand)  # earliest ts, then min event_id
+            eid = min(eid for t, eid in cand if t == s)
+            expect_fwd.add((vid, eid, s - vs))
+        else:
+            expect_fwd.add((vid, None, None))
+    got_fwd = {
+        (r["view_id"], r["next_purchase_id"], r["lead_seconds"])
+        for r in join_asof_forward(spark, str(d)).collect()
+    }
+    assert got_fwd == expect_fwd
