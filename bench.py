@@ -216,6 +216,19 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
         ref = parsed.get("queries", {})
     except (OSError, json.JSONDecodeError, AttributeError):
         return block
+    # Same-workload guard (late r9): an SPARK_GRAFT_SF_DIR quick-run at a
+    # different SF than the recorded artifact would compare cross-scale
+    # ratios and print phantom "regressions" — calibration only, no noise
+    # comparison, when the scales differ.
+    cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    ref_sf = parsed.get("sf") if isinstance(parsed, dict) else None
+    if ref_sf is not None and str(ref_sf) != cur_sf:
+        print(
+            f"# noise ref {ref_path.name} is sf={ref_sf}, this run is "
+            f"sf={cur_sf} — skipping cross-scale noise comparison",
+            file=sys.stderr,
+        )
+        return block
     ratios = {}
     for name, sec in times.items():
         old = ref.get(name)
