@@ -1179,3 +1179,69 @@ def test_asof_joins_match_bruteforce_reference(spark, seed, tmp_path_factory):
         for r in join_asof_forward(spark, str(d)).collect()
     }
     assert got_fwd == expect_fwd
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_range_interval_join_matches_bruteforce_reference(spark, seed, tmp_path_factory):
+    """The bucketized interval join (J6) against a per-row reference on
+    random events PLUS planted exact-midnight timestamps — events sitting
+    exactly on a bucket boundary are simultaneously t_lo of one interval
+    (inclusive, must count) and t_hi of the previous one (exclusive, must
+    not), which the fixture corpus never exercises. Pins that the
+    bucket-explode + exact-range re-filter composition (joins.py:281)
+    implements [t_lo, t_hi) for ANY event placement, not just interior
+    points."""
+    import datetime
+    import random
+
+    from onebrc_spark.operators.joins import join_range_interval
+
+    rng = random.Random(seed)
+    day = 86_400
+    anchor = (1_700_000_000 // day) * day  # exact midnight epoch
+    secs = [anchor + rng.randrange(0, 3 * day) for _ in range(60)]
+    secs += [anchor, anchor + day, anchor + 2 * day]  # exact boundaries
+    ev_rows = [
+        (
+            i,
+            datetime.datetime.utcfromtimestamp(s),
+            rng.randrange(0, 5),
+            "view",
+            1.0,
+            "{}",
+        )
+        for i, s in enumerate(secs)
+    ]
+    # o_orderkey < 28 keeps okey%28 == okey; o_custkey < 150 keeps
+    # user_id == o_custkey — so the reference below is direct arithmetic.
+    od = datetime.datetime.utcfromtimestamp(anchor)
+    ord_rows = [
+        (okey, rng.randrange(0, 5), "O", 1.0, od, "1-URGENT")
+        for okey in range(12)
+    ]
+    d = tmp_path_factory.mktemp("rng") / f"iv_{seed}"
+    spark.createDataFrame(
+        ev_rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        ord_rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    ev = [(s, u) for (_, _, u, _, _, _), s in zip(ev_rows, secs)]
+    a0 = (min(secs) // day) * day  # date_trunc('day', min(ts))
+    expect = {}
+    for okey, cust, *_ in ord_rows:
+        t_lo = a0 + (okey % 28) * day
+        n = sum(1 for s, u in ev if u == cust and t_lo <= s < t_lo + day)
+        if n:
+            expect[okey] = n
+    got = {
+        r["o_orderkey"]: r["n_events"]
+        for r in join_range_interval(spark, str(d)).collect()
+    }
+    assert got == expect
