@@ -107,9 +107,15 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts, value,
-             -- >= : a gap of exactly the 30-min threshold starts a new
-             -- session (Spark's session extent is the half-open [ts, ts+gap))
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+             -- > (strict): a gap of exactly the 30-min threshold CONTINUES
+             -- the session — Spark's merge bound is inclusive (an event at
+             -- prev_ts + gap falls inside [prev_ts, prev_ts + gap] for
+             -- merging). The previous `>=` here claimed the opposite and
+             -- was green only because no fixture event lands exactly on
+             -- the boundary; the planted-boundary property test
+             -- (tests/test_properties.py::test_session_window_exact_gap_
+             -- boundary) executes the equality case and pins this rule.
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -1245,3 +1245,70 @@ def test_range_interval_join_matches_bruteforce_reference(spark, seed, tmp_path_
         for r in join_range_interval(spark, str(d)).collect()
     }
     assert got == expect
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_session_window_exact_gap_boundary(spark, seed, tmp_path_factory):
+    """Session windows (ST3) against a per-row reference on random event
+    trains with PLANTED exact-30:00 gaps. Spark's merge bound is
+    INCLUSIVE: an event exactly gap seconds after the previous one
+    CONTINUES the session. This test found the oracle claiming the
+    opposite (`>=` split) — green for 9 rounds because random fixture
+    seconds never land exactly on the boundary; the oracle now uses the
+    strict `>` this reference mirrors. Also plants duplicate timestamps
+    (gap 0) and gap-1/gap+1 neighbors."""
+    import datetime
+    import random
+
+    from onebrc_spark.operators.eventtime import evt_session_window
+
+    rng = random.Random(seed)
+    gap = 1800
+    base = 1_700_000_000
+    rows, eid = [], 0
+    for user in range(4):
+        t = base + rng.randrange(0, 600)
+        for _ in range(rng.randrange(5, 15)):
+            # step distribution biased onto the boundary and its neighbors
+            t += rng.choice([0, 1, gap - 1, gap, gap, gap + 1, rng.randrange(1, 4000)])
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime.utcfromtimestamp(t),
+                    user,
+                    "view",
+                    float(rng.randrange(0, 200)) / 2.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    d = tmp_path_factory.mktemp("sess") / f"ev_{seed}"
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    expect = set()
+    by_user: dict = {}
+    for _, ts, u, _, v, _ in rows:
+        by_user.setdefault(u, []).append((int(ts.timestamp()), v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for s, v in evs[1:]:
+            if s - cur[-1][0] > gap:  # exact gap CONTINUES the session
+                sessions.append(cur)
+                cur = [(s, v)]
+            else:
+                cur.append((s, v))
+        sessions.append(cur)
+        for sess in sessions:
+            cents = sum(round(v * 100) for _, v in sess)
+            expect.add((u, sess[0][0], len(sess), cents / 100.0))
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in evt_session_window(spark, str(d)).collect()
+    }
+    assert got == expect
