@@ -222,7 +222,17 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
     # comparison, when the scales differ.
     cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ref_sf = parsed.get("sf") if isinstance(parsed, dict) else None
-    if ref_sf is not None and str(ref_sf) != cur_sf:
+
+    def _same_scale(a, b) -> bool:
+        # numeric compare when both parse (str(1.0) != "1", "0.10" != "0.1"
+        # — string equality would false-negative and silently disable the
+        # comparison at that scale); string compare as the fallback
+        try:
+            return float(a) == float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+
+    if ref_sf is not None and not _same_scale(ref_sf, cur_sf):
         print(
             f"# noise ref {ref_path.name} is sf={ref_sf}, this run is "
             f"sf={cur_sf} — skipping cross-scale noise comparison",

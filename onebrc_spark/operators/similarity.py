@@ -618,9 +618,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so cells — and therefore results — are hash-verified.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    cache_key = (spark.sparkContext.applicationId, sf_dir, "fixed")
-    celled = _IVF_CELLED_CACHE.get(cache_key)
-    if celled is None:
+
+    def build():
         # Single-fold argmax (r9, same fix as _ivf_probe2_audit): the
         # array_position(cs, array_max(cs)) form referenced `cs` twice and
         # project collapse re-inlined all 8 dim-64 cosine folds into each
@@ -631,22 +630,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (0 would self-join all-NULL rows into ranked output here while
         # the oracle's list_indexof yields NULL — a hash divergence).
         t2 = _top2_cells(_cell_scores(F.col("embedding")))
-        celled = e.select(
+        return e.select(
             "vec_id",
             "embedding",
             F.when(t2["b_i"] > 0, t2["b_i"]).alias("cell"),
         )
-        # Two plan branches (query set + probe side) otherwise re-evaluate
-        # the assignment over the whole corpus; the persisted cell table IS
-        # the IVF index build (the _ivf_probe2_audit precedent), memoized
-        # in the same bounded LRU so repeated sweep builds are cache hits.
-        celled = celled.persist()
-        try:
-            celled.count()
-        except BaseException:
-            celled.unpersist()
-            raise
-        _IVF_CELLED_CACHE.put(cache_key, celled)
+
+    # Two plan branches (query set + probe side) otherwise re-evaluate the
+    # assignment over the whole corpus; _memoized_celled persists the cell
+    # table (the IVF index build) in the shared bounded LRU so repeated
+    # sweep builds are cache hits.
+    celled = _memoized_celled(
+        (spark.sparkContext.applicationId, sf_dir, "fixed"), build
+    )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -1009,17 +1005,41 @@ def _ivf_trained_sql(fit_src: str | None = None) -> str:
 
 
 # Bounded memo for materialized IVF cell assignments (ADVICE r8): keys are
-# (applicationId, sf_dir, fit-kind). 4 = the legitimate working set — the
-# sampled fit at bench warmup + measured dirs, plus the full-fit exactness
-# pin's two fixture dirs in one pytest session.
+# (applicationId, sf_dir, fit-kind). 6 = the legitimate working set — THREE
+# fit kinds share this LRU since late r9 (sampled + fixed from the registry
+# at bench warmup + measured dirs, plus the full-fit exactness pin's
+# fixture dirs in one pytest session); at 4, a sweep touching sampled and
+# fixed at two dirs already filled every slot and any extra dir evicted a
+# still-useful cell table.
 from onebrc_spark.operators.memo import PersistedLRU  # noqa: E402
 
-_IVF_CELLED_CACHE = PersistedLRU(maxsize=4)
+_IVF_CELLED_CACHE = PersistedLRU(maxsize=6)
 
 
 def clear_ivf_cache() -> None:
     """Release every memoized cell assignment (bench/test hook)."""
     _IVF_CELLED_CACHE.clear()
+
+
+def _memoized_celled(cache_key: tuple | None, build) -> DataFrame:
+    """Materialize-and-memoize a cell-assignment frame: the persisted,
+    counted cell table IS the IVF index build. One shared error path for
+    every fit kind (fixed/trained/sampled): a failed or cancelled count
+    unpersists the fresh handle instead of stranding it (the ADVICE r8
+    leak class); success LRU-puts under cache_key. cache_key=None builds
+    un-memoized (the exactness-pin path)."""
+    celled = _IVF_CELLED_CACHE.get(cache_key) if cache_key is not None else None
+    if celled is not None:
+        return celled
+    celled = build().persist()
+    try:
+        celled.count()
+    except BaseException:
+        celled.unpersist()
+        raise
+    if cache_key is not None:
+        _IVF_CELLED_CACHE.put(cache_key, celled)
+    return celled
 
 
 def _ivf_probe2_audit(
@@ -1062,30 +1082,22 @@ def _ivf_probe2_audit(
     # maxima — for a degenerate all-(-2) row that's cell 1 then cell 2,
     # exactly the oracle's rn=1/rn=2) while referencing cs twice total.
     t2 = _top2_cells(cs)
-    celled = _IVF_CELLED_CACHE.get(cache_key) if cache_key is not None else None
-    if celled is None:
-        celled = e.select(
+    # The cell assignment is consumed by THREE plan branches (the query
+    # set, the probe join, the occupancy census) — without a barrier each
+    # branch re-evaluates every cosine over the whole corpus (3× scans,
+    # and 3× the giant codegen). _memoized_celled persists + counts the
+    # assignment once; that is exactly what an IVF *index build* is — the
+    # persisted cell table the retrieval side reads. Build-time execution
+    # is the storage-op precedent (see evt_stateful_running_stats's note).
+    celled = _memoized_celled(
+        cache_key,
+        lambda: e.select(
             "vec_id",
             "embedding",
             t2["b_i"].alias("cell"),
             t2["s_i"].alias("cell2"),
-        )
-        # The cell assignment is consumed by THREE plan branches (the query
-        # set, the probe join, the occupancy census) — without a barrier
-        # each branch re-evaluates every cosine over the whole corpus (3×
-        # scans, and 3× the giant codegen). persist + count materializes
-        # the assignment once; that is exactly what an IVF *index build*
-        # is — the persisted cell table the retrieval side reads.
-        # Build-time execution is the storage-op precedent (see
-        # evt_stateful_running_stats's note).
-        celled = celled.persist()
-        try:
-            celled.count()
-        except BaseException:
-            celled.unpersist()
-            raise
-        if cache_key is not None:
-            _IVF_CELLED_CACHE.put(cache_key, celled)
+        ),
+    )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),

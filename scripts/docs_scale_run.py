@@ -75,9 +75,11 @@ _ID_STRIDE = 100_000_000
 
 def _base_fingerprint(base_sf_dir: str) -> str:
     """Identity of the base fixture the corpora derive from: path plus
-    (size, mtime) of every file under documents.parquet — a testdata
-    regeneration changes it, forcing a corpus rebuild (stale-cache guard:
-    SCALE_DOCS.json must never measure data that no longer exists)."""
+    (size, mtime) of every file under the three replicated tables
+    (documents/embeddings/events.parquet) — regenerating ANY of them
+    changes the fingerprint and forces a corpus rebuild (stale-cache
+    guard: SCALE_DOCS.json must never measure data that no longer
+    exists)."""
     parts = []
     for table in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         base = Path(base_sf_dir) / table

@@ -67,15 +67,15 @@ def main() -> int:
     assert spark.sparkContext.master.startswith("local-cluster"), (
         spark.sparkContext.master
     )
-    # The TWS query silently degrades to the legacy API when protobuf can't
-    # reach the workers. On a host that HAS the vendorable SDK copy, that
-    # degrade under local-cluster would mean the PYTHONPATH propagation
-    # assumption is wrong for real executor JVMs — fail, don't mask it.
-    from onebrc_spark.streaming.protobuf_compat import ensure_protobuf, tws_available
+    # tws_available() is a DRIVER-side answer (set at JVM launch), so it
+    # cannot prove worker importability here — the real worker-side check
+    # is the evt_stateful_running_stats_tws row in the CHECKED loop below:
+    # if executor Python workers can't import protobuf, the query picks
+    # the TWS pipeline (driver says available) and the streaming job FAILS
+    # on the executors, recorded as that row's FAIL. The print records
+    # which API the run exercised.
+    from onebrc_spark.streaming.protobuf_compat import tws_available
 
-    if ensure_protobuf() and not tws_available():
-        print("FAIL: protobuf vendorable on this host but not worker-importable")
-        return 1
     print(f"  transformWithState path live: {tws_available()}", flush=True)
     con = duckdb.connect()
     for name in TABLE_NAMES:
