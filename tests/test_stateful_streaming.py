@@ -91,3 +91,39 @@ def test_transform_with_state_running_stats(spark):
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_tws_query_fallback_path_matches_batch(spark, monkeypatch):
+    """The registered ST6 query's environment degrade: when tws_available()
+    answers False (no protobuf reaches the workers), evt_stateful_running_
+    stats_tws must run the legacy applyInPandasWithState pipeline and
+    produce the SAME result. Every other test on this container exercises
+    the TWS branch (protobuf is vendorable here), so the fallback — the
+    branch every protobuf-less host takes — was registered but never
+    executed; this pins it by monkeypatching the gate."""
+    from onebrc_spark.operators import eventtime
+    from onebrc_spark.streaming import protobuf_compat
+
+    monkeypatch.setattr(protobuf_compat, "tws_available", lambda: False)
+    eventtime._STATEFUL_STATS_CACHE.clear()  # force a fresh (fallback) run
+    try:
+        got = {
+            (r["user_id"], r["n_events"], r["max_value"])
+            for r in eventtime.evt_stateful_running_stats_tws(
+                spark, SMOKE_SF_DIR
+            ).collect()
+        }
+    finally:
+        # the memo now holds the fallback-built frame; drop it so later
+        # tests in the session re-exercise whichever branch they expect
+        eventtime._STATEFUL_STATS_CACHE.clear()
+    ev = load_table(spark, SMOKE_SF_DIR, "events").filter(
+        F.col("value").isNotNull()
+    )
+    want = {
+        (r["user_id"], r["n"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
