@@ -182,7 +182,46 @@ def _median(xs: list) -> float:
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
-def compute_noise_block(times: dict[str, float], samples: list) -> dict:
+# Idle-floor default for the spark probe when no prior artifact carries
+# calibration: the established idle band on this host is ~0.19-0.21 s
+# (every uncontended r8/r9 artifact), so 0.22 is the trust ceiling.
+_PROBE_FLOOR_DEFAULT = 0.22
+
+
+def _parse_artifact(path: Path) -> dict | None:
+    """Load a BENCH_r*.json and unwrap the driver's {"parsed": ...} envelope."""
+    try:
+        doc = json.loads(path.read_text())
+        parsed = doc.get("parsed", doc)
+        return parsed if isinstance(parsed, dict) else None
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return None
+
+
+def _artifact_probe(parsed: dict | None) -> float | None:
+    cal = parsed.get("calibration") if isinstance(parsed, dict) else None
+    return cal.get("spark_probe_sec") if isinstance(cal, dict) else None
+
+
+def _probe_band(repo: Path) -> float:
+    """Contention ceiling for spark_probe_sec: 1.25x the lowest probe any
+    recorded artifact (headline or fullsweep — the probe is a fixed workload,
+    scale-independent) ever measured, floored at the idle-band default.
+    VERDICT r9: the r9 headline artifact (probe 0.365-0.487 vs the ~0.19 s
+    floor) printed 5 phantom regressions because nothing gated on the probe.
+    """
+    floors = [
+        p for p in (
+            _artifact_probe(_parse_artifact(f)) for f in repo.glob("BENCH_r*.json")
+        ) if p
+    ]
+    floor = min(floors) if floors else _PROBE_FLOOR_DEFAULT
+    return round(max(1.25 * floor, _PROBE_FLOOR_DEFAULT), 3)
+
+
+def compute_noise_block(
+    times: dict[str, float], samples: list, repo: Path | None = None
+) -> dict:
     """Noise-normalized regression tracking (VERDICT r6 #1: three same-tree
     r6 measurements read 9.4/14.5/22.1 s — raw cross-round deltas are
     uninterpretable on this shared host).
@@ -198,30 +237,64 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
     Per-query normalized ratio = raw_ratio / median_ratio; the regression
     list is computed on NORMALIZED ratios > 1.3. Raw ratios stay in the
     stderr log for audit."""
+    repo = repo or Path(__file__).resolve().parent
+    band = _probe_band(repo)
     cal = {
         "samples": samples,
         "cpu_spin_sec": round(_median([s["cpu_spin_sec"] for s in samples]), 3),
         "spark_probe_sec": round(_median([s["spark_probe_sec"] for s in samples]), 3),
+        "probe_band": band,
+        # Contended-run annotation (VERDICT r9 #1): a probe above the idle
+        # band means every raw time in THIS artifact is load-inflated; its
+        # regression flags are demoted to untrusted_regressions below, and
+        # future runs will skip it as a noise reference.
+        "contended": round(_median([s["spark_probe_sec"] for s in samples]), 3) > band,
     }
     block = {"calibration": cal}
-    prior = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    if cal["contended"]:
+        print(
+            f"# WARNING: this run is CONTENDED (spark_probe "
+            f"{cal['spark_probe_sec']}s > band {band}s) — raw times are "
+            f"load-inflated; do not commit this artifact as a reference",
+            file=sys.stderr,
+        )
+    prior = sorted(repo.glob("BENCH_r*.json"))
     prior = [p for p in prior if "fullsweep" not in p.name]
-    if not prior:
+    # Reference selection (VERDICT r9 #1): newest probe-CLEAN artifact. A
+    # contended reference (r9: probe 0.365-0.487 vs the 0.2 floor) inflates
+    # every ratio's denominator, under which a real <=1.6x regression reads
+    # as an improvement — skip such artifacts, fall back to the next-newest.
+    ref_path, parsed = None, None
+    for cand in reversed(prior):
+        p = _parse_artifact(cand)
+        if p is None:
+            continue
+        probe = _artifact_probe(p)
+        if probe is not None and probe > band:
+            print(
+                f"# noise ref candidate {cand.name} is contended "
+                f"(probe {probe}s > band {band}s) — skipping",
+                file=sys.stderr,
+            )
+            continue
+        ref_path, parsed = cand, p
+        break
+    if ref_path is None:
+        if prior:
+            print(
+                "# no probe-clean noise reference among recorded artifacts — "
+                "calibration only, no regression comparison",
+                file=sys.stderr,
+            )
         return block
-    ref_path = prior[-1]
-    try:
-        doc = json.loads(ref_path.read_text())
-        # Driver wrapper puts the bench JSON under "parsed"; accept both.
-        parsed = doc.get("parsed", doc)
-        ref = parsed.get("queries", {})
-    except (OSError, json.JSONDecodeError, AttributeError):
-        return block
+    ref = parsed.get("queries", {})
     # Same-workload guard (late r9): an SPARK_GRAFT_SF_DIR quick-run at a
     # different SF than the recorded artifact would compare cross-scale
     # ratios and print phantom "regressions" — calibration only, no noise
-    # comparison, when the scales differ.
+    # comparison, when the scales differ. A reference with no "sf" key is
+    # UNKNOWN scale, which is the same hazard (ADVICE r9) — skip it too.
     cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    ref_sf = parsed.get("sf") if isinstance(parsed, dict) else None
+    ref_sf = parsed.get("sf")
 
     def _same_scale(a, b) -> bool:
         # numeric compare when both parse (str(1.0) != "1", "0.10" != "0.1"
@@ -232,7 +305,14 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
         except (TypeError, ValueError):
             return str(a) == str(b)
 
-    if ref_sf is not None and not _same_scale(ref_sf, cur_sf):
+    if ref_sf is None:
+        print(
+            f"# noise ref {ref_path.name} has no recorded sf (unknown scale) "
+            f"— skipping noise comparison",
+            file=sys.stderr,
+        )
+        return block
+    if not _same_scale(ref_sf, cur_sf):
         print(
             f"# noise ref {ref_path.name} is sf={ref_sf}, this run is "
             f"sf={cur_sf} — skipping cross-scale noise comparison",
@@ -292,17 +372,29 @@ def compute_noise_block(times: dict[str, float], samples: list) -> dict:
             f"are the signal",
             file=sys.stderr,
         )
-    if regressions:
-        print(
-            f"# {len(regressions)} NORMALIZED regression(s) >1.3x: {regressions}",
-            file=sys.stderr,
-        )
     block["noise"] = {
         "ref": ref_path.name,
         "median_ratio": round(median_ratio, 3),
         "probe_ratio": probe_ratio,
         "normalized_regressions": regressions,
     }
+    if cal["contended"] and regressions:
+        # A contended current run cannot distinguish load from regression —
+        # the r9 artifact printed 5 phantom flags exactly this way. Keep the
+        # evidence (untrusted_regressions) but do not assert regressions.
+        block["noise"]["untrusted_regressions"] = regressions
+        block["noise"]["normalized_regressions"] = []
+        print(
+            f"# {len(regressions)} flag(s) DEMOTED to untrusted (contended "
+            f"run, probe {cal['spark_probe_sec']}s > band "
+            f"{cal['probe_band']}s): {regressions} — re-run on an idle host",
+            file=sys.stderr,
+        )
+    elif regressions:
+        print(
+            f"# {len(regressions)} NORMALIZED regression(s) >1.3x: {regressions}",
+            file=sys.stderr,
+        )
     return block
 
 

@@ -1,0 +1,137 @@
+"""Unit tests for bench.py's probe-gated noise comparison (VERDICT r9 #1).
+
+The r9 headline artifact was taken on a contended host (spark_probe
+0.365-0.487 s vs the ~0.19 s idle floor) and printed 5 phantom regression
+flags; nothing gated on the probe. These tests pin the three guards added
+in round 10, driver-contract-free (no Spark session — compute_noise_block
+is pure given a repo dir of artifacts):
+
+  1. a CONTENDED REFERENCE is skipped in favor of the newest probe-clean
+     artifact (the r10-vs-r9 comparison must not normalize against a
+     1.6-1.9x inflated denominator);
+  2. a CONTENDED CURRENT RUN demotes its regression flags to
+     `untrusted_regressions` (load vs regression is indistinguishable);
+  3. a reference with NO `sf` key is unknown-scale and skipped (ADVICE r9:
+     the same-workload guard previously only fired when ref_sf was present).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+# Samples shaped like run_calibration appends; probe median is the middle.
+_CLEAN_SAMPLES = [
+    {"cpu_spin_sec": 0.2, "spark_probe_sec": 0.19},
+    {"cpu_spin_sec": 0.2, "spark_probe_sec": 0.20},
+    {"cpu_spin_sec": 0.2, "spark_probe_sec": 0.21},
+]
+_CONTENDED_SAMPLES = [
+    {"cpu_spin_sec": 0.4, "spark_probe_sec": 0.49},
+    {"cpu_spin_sec": 0.3, "spark_probe_sec": 0.37},
+    {"cpu_spin_sec": 0.3, "spark_probe_sec": 0.29},
+]
+
+
+def _artifact(path: Path, queries: dict, probe: float | None, sf=0.1, wrap=False):
+    doc: dict = {"metric": "m", "value": 1.0, "unit": "sec", "queries": queries}
+    if sf is not None:
+        doc["sf"] = sf
+    if probe is not None:
+        doc["calibration"] = {
+            "samples": [{"cpu_spin_sec": 0.2, "spark_probe_sec": probe}],
+            "cpu_spin_sec": 0.2,
+            "spark_probe_sec": probe,
+        }
+    path.write_text(json.dumps({"parsed": doc} if wrap else doc))
+
+
+# Ten stable queries so the median ratio is ~1.0 and one real mover flags.
+_REF_Q = {f"q{i}": 1.0 for i in range(10)}
+_CUR_STABLE = {f"q{i}": 1.0 for i in range(10)}
+_CUR_REGRESSED = dict(_CUR_STABLE, q0=3.0)
+
+
+def test_probe_band_from_recorded_floor(tmp_path):
+    _artifact(tmp_path / "BENCH_r01.json", _REF_Q, probe=0.188)
+    _artifact(tmp_path / "BENCH_r02.json", _REF_Q, probe=0.365)
+    # floor = min recorded (0.188) -> band = max(1.25*0.188, 0.22) = 0.235
+    assert bench._probe_band(tmp_path) == 0.235
+
+
+def test_probe_band_default_when_no_calibration(tmp_path):
+    _artifact(tmp_path / "BENCH_r01.json", _REF_Q, probe=None)
+    # floor falls back to the default -> band = 1.25 * default
+    assert bench._probe_band(tmp_path) == round(
+        1.25 * bench._PROBE_FLOOR_DEFAULT, 3
+    )
+
+
+def test_contended_reference_skipped_for_older_clean(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.188)
+    _artifact(tmp_path / "BENCH_r09.json", {k: v * 1.7 for k, v in _REF_Q.items()},
+              probe=0.365, wrap=True)
+    block = bench.compute_noise_block(dict(_CUR_STABLE), list(_CLEAN_SAMPLES),
+                                      repo=tmp_path)
+    assert block["noise"]["ref"] == "BENCH_r08.json"
+    assert block["noise"]["normalized_regressions"] == []
+    assert block["calibration"]["contended"] is False
+
+
+def test_all_references_contended_skips_comparison(tmp_path):
+    # Clean fullsweep pins the floor; both headline refs are contended.
+    _artifact(tmp_path / "BENCH_r08_fullsweep.json", _REF_Q, probe=0.19)
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.40)
+    _artifact(tmp_path / "BENCH_r09.json", _REF_Q, probe=0.37)
+    block = bench.compute_noise_block(dict(_CUR_STABLE), list(_CLEAN_SAMPLES),
+                                      repo=tmp_path)
+    assert "noise" not in block
+
+
+def test_contended_current_run_demotes_flags(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    block = bench.compute_noise_block(dict(_CUR_REGRESSED),
+                                      list(_CONTENDED_SAMPLES), repo=tmp_path)
+    assert block["calibration"]["contended"] is True
+    assert block["noise"]["normalized_regressions"] == []
+    assert block["noise"]["untrusted_regressions"] == ["q0"]
+
+
+def test_clean_run_still_flags_real_regressions(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    block = bench.compute_noise_block(dict(_CUR_REGRESSED),
+                                      list(_CLEAN_SAMPLES), repo=tmp_path)
+    assert block["calibration"]["contended"] is False
+    assert block["noise"]["normalized_regressions"] == ["q0"]
+    assert "untrusted_regressions" not in block["noise"]
+
+
+def test_reference_without_sf_is_unknown_scale(tmp_path):
+    # ADVICE r9: a ref missing "sf" used to be compared cross-scale silently.
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19, sf=None)
+    block = bench.compute_noise_block(dict(_CUR_REGRESSED),
+                                      list(_CLEAN_SAMPLES), repo=tmp_path)
+    assert "noise" not in block
+
+
+def test_cross_scale_reference_skipped(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19, sf=0.01)
+    block = bench.compute_noise_block(dict(_CUR_REGRESSED),
+                                      list(_CLEAN_SAMPLES), repo=tmp_path)
+    assert "noise" not in block
+
+
+def test_probe_floor_uses_fullsweep_artifacts(tmp_path):
+    # The probe is a fixed workload — fullsweep calibrations count for the
+    # floor even though they are never noise references.
+    _artifact(tmp_path / "BENCH_r09_fullsweep.json", _REF_Q, probe=0.15)
+    _artifact(tmp_path / "BENCH_r09.json", _REF_Q, probe=0.30)
+    # floor = 0.15 -> band = max(0.1875, 0.22) = 0.22
+    assert bench._probe_band(tmp_path) == 0.22
