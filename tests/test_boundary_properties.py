@@ -1,0 +1,245 @@
+"""Planted-boundary property tests for the window family (VERDICT r9 #2).
+
+Round 9's planted-boundary tests found a 9-round-latent ST3 oracle bug
+(exact-gap events split sessions in the oracle, merged them in Spark) and
+an engine INT96 self-ingestion bug — both latent because the random
+fixtures never land a value exactly ON a boundary. This module extends the
+class to the remaining window-family ops:
+
+  ST1  events exactly on tumbling 1-hour bucket edges (window is [start, end))
+  ST2  events exactly on sliding 15-min slide edges (4 windows, edge set shifts)
+  ST4  an event exactly at max(ts) - 7d (the `>=` keep bound is inclusive)
+  W3   orders exactly 30/31 days apart + same-day peers in the RANGE frame
+       (RANGE BETWEEN 30 PRECEDING is value-inclusive; peers share frames)
+
+Unlike tests/test_properties.py's suites (engine vs Python reference), each
+test here runs the FULL TRIANGLE on the planted data: the Spark query, the
+registered DuckDB oracle over views on the same parquet, and an O(n) per-row
+Python reference — because the ST3 bug lived in the oracle, not the engine,
+and an engine-vs-reference check alone would have stayed green.
+
+Fixture datetimes are timezone-aware UTC and every reference computation
+derives from the original epoch integers (never naive .timestamp() — the
+session timezone is pinned UTC but the SYSTEM timezone is not part of the
+contract; ADVICE r9).
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from onebrc_spark import registry
+
+_SETTINGS = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ALL = registry.load_all()
+
+_EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+_ORDERS_SCHEMA = (
+    "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+)
+
+
+def _utc(sec: int) -> datetime.datetime:
+    return datetime.datetime.fromtimestamp(sec, tz=datetime.timezone.utc)
+
+
+def _write(spark, tmp_path_factory, label, table, schema, rows):
+    d = tmp_path_factory.mktemp("boundary") / label
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / f"{table}.parquet"))
+    return d
+
+
+def _oracle_rows(name: str, data_dir, tables: list[str]) -> set[tuple]:
+    """Run query `name`'s registered DuckDB oracle over views on the planted
+    parquet (Spark writes a directory, so the view globs part files)."""
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{data_dir}/{t}.parquet/*.parquet'"
+            )
+        return {tuple(r) for r in con.sql(_ALL[name].oracle).fetchall()}
+    finally:
+        con.close()
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_tumbling_window_exact_hour_boundary(spark, seed, tmp_path_factory):
+    """ST1: Spark's window() is [start, end) — an event exactly on the hour
+    belongs to the NEW bucket. Plants exact hour marks and their ±1 s
+    neighbors among random interior points."""
+    from onebrc_spark.operators.eventtime import evt_tumbling_window
+
+    rng = random.Random(seed)
+    hour = 3600
+    base = (1_700_000_000 // hour) * hour
+    secs = [base + rng.randrange(0, 6 * hour) for _ in range(40)]
+    secs += [base, base + hour, base + 2 * hour,  # exact edges
+             base + hour - 1, base + hour + 1]
+    data = [
+        (i, s, rng.choice(["view", "purchase", "click"]),
+         float(rng.randrange(0, 200)) / 2.0)
+        for i, s in enumerate(secs)
+    ]
+    rows = [(i, _utc(s), 0, et, v, "{}") for i, s, et, v in data]
+    d = _write(spark, tmp_path_factory, f"tumb_{seed}", "events",
+               _EVENTS_SCHEMA, rows)
+
+    acc: dict = {}
+    for _, s, et, v in data:
+        key = (s - s % hour, et)
+        n, cents = acc.get(key, (0, 0))
+        acc[key] = (n + 1, cents + round(v * 100))
+    expect = {(ws, et, n, cents / 100.0) for (ws, et), (n, cents) in acc.items()}
+
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in evt_tumbling_window(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from per-row reference"
+    assert _oracle_rows("evt_tumbling_window", d, ["events"]) == expect, (
+        "DuckDB oracle diverges from per-row reference"
+    )
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_sliding_window_exact_slide_boundary(spark, seed, tmp_path_factory):
+    """ST2: 1 h wide / 15 min slide — every event lands in exactly the
+    4 slide-aligned windows with start in (ts-3600, ts]. An event exactly
+    on a slide mark makes its own mark a window START while the mark one
+    hour earlier is excluded (start+3600 > ts is strict)."""
+    from onebrc_spark.operators.eventtime import evt_sliding_window
+
+    rng = random.Random(seed)
+    slide, width = 900, 3600
+    base = (1_700_000_000 // width) * width
+    secs = [base + rng.randrange(0, 4 * width) for _ in range(40)]
+    secs += [base, base + slide, base + width,  # exact slide + hour edges
+             base + slide - 1, base + slide + 1]
+    data = [(s, float(rng.randrange(0, 200)) / 2.0) for s in secs]
+    rows = [(i, _utc(s), 0, "view", v, "{}") for i, (s, v) in enumerate(data)]
+    d = _write(spark, tmp_path_factory, f"slide_{seed}", "events",
+               _EVENTS_SCHEMA, rows)
+
+    acc: dict = {}
+    for s, v in data:
+        last = s - s % slide
+        for k in range(4):
+            ws = last - slide * k
+            if ws <= s < ws + width:
+                n, cents = acc.get(ws, (0, 0))
+                acc[ws] = (n + 1, cents + round(v * 100))
+    expect = {(ws, n, cents / 100.0) for ws, (n, cents) in acc.items()}
+
+    got = {
+        (r["window_start"], r["n"], r["sum_value"])
+        for r in evt_sliding_window(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from per-row reference"
+    assert _oracle_rows("evt_sliding_window", d, ["events"]) == expect, (
+        "DuckDB oracle diverges from per-row reference"
+    )
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_watermark_exact_boundary_event_kept(spark, seed, tmp_path_factory):
+    """ST4: the keep bound is `ts >= max(ts) - 7d` — an event EXACTLY seven
+    days older than the newest event survives; one second older drops.
+    Plants both, plus the max itself and random interior/straggler points."""
+    from onebrc_spark.operators.eventtime import evt_watermark_late_drop
+
+    rng = random.Random(seed)
+    day = 86_400
+    mx = 1_700_000_000 + rng.randrange(0, day)
+    secs = [mx - rng.randrange(0, 14 * day) for _ in range(40)]
+    secs += [mx, mx - 7 * day, mx - 7 * day - 1, mx - 7 * day + 1]
+    data = [(s, rng.choice(["view", "purchase", "click"])) for s in secs]
+    rows = [(i, _utc(s), 0, et, 1.0, "{}") for i, (s, et) in enumerate(data)]
+    d = _write(spark, tmp_path_factory, f"wm_{seed}", "events",
+               _EVENTS_SCHEMA, rows)
+
+    acc: dict = {}
+    for s, et in data:
+        if s >= mx - 7 * day:
+            acc[et] = acc.get(et, 0) + 1
+    expect = set(acc.items())
+
+    got = {
+        (r["event_type"], r["n_kept"])
+        for r in evt_watermark_late_drop(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from per-row reference"
+    assert _oracle_rows("evt_watermark_late_drop", d, ["events"]) == expect, (
+        "DuckDB oracle diverges from per-row reference"
+    )
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_range_frame_exact_30day_boundary(spark, seed, tmp_path_factory):
+    """W3: RANGE BETWEEN 30 PRECEDING AND CURRENT ROW over day offsets —
+    an order exactly 30 days earlier is IN the frame (value bound is
+    inclusive), 31 days is out, and same-day orders are peers that enter
+    each other's frames regardless of row order. Plants all three."""
+    from onebrc_spark.operators.windows import window_range_frame
+
+    rng = random.Random(seed)
+    days: list[tuple[int, int]] = []  # (custkey, day offset from 1995-01-01)
+    for cust in range(3):
+        anchor = rng.randrange(40, 200)
+        days += [(cust, anchor), (cust, anchor - 30),  # exactly 30 apart
+                 (cust, anchor - 31),                  # just outside
+                 (cust, anchor), (cust, anchor)]       # same-day peers
+        days += [(cust, rng.randrange(0, 365)) for _ in range(rng.randrange(3, 9))]
+    epoch0 = int(
+        datetime.datetime(1995, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    data = [
+        (okey, cust, dd, float(rng.randrange(100, 100_000)) / 100.0)
+        for okey, (cust, dd) in enumerate(days)
+    ]
+    rows = [
+        (okey, cust, "O", price, _utc(epoch0 + dd * 86_400), "1-URGENT")
+        for okey, cust, dd, price in data
+    ]
+    d = _write(spark, tmp_path_factory, f"rng_{seed}", "orders",
+               _ORDERS_SCHEMA, rows)
+
+    expect = set()
+    for okey, cust, dd, _ in data:
+        cents = sum(
+            round(p * 100)
+            for _, c2, d2, p in data
+            if c2 == cust and dd - 30 <= d2 <= dd
+        )
+        expect.add((cust, okey, cents / 100.0))
+
+    got = {
+        (r["o_custkey"], r["o_orderkey"], r["spend_30d"])
+        for r in window_range_frame(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from per-row reference"
+    assert _oracle_rows("window_range_frame", d, ["orders"]) == expect, (
+        "DuckDB oracle diverges from per-row reference"
+    )

@@ -27,6 +27,18 @@ _SETTINGS = settings(
 )
 
 
+def _utc_dt(sec: int):
+    """Timezone-aware UTC datetime for fixture construction (ADVICE r9:
+    utcfromtimestamp is deprecated AND naive .timestamp() reinterprets the
+    wall time in the SYSTEM zone — the session timezone is pinned UTC but
+    the system zone is not part of the contract). Reference computations
+    must derive from the original epoch integers, never round-trip through
+    datetime."""
+    import datetime
+
+    return datetime.datetime.fromtimestamp(sec, tz=datetime.timezone.utc)
+
+
 @_SETTINGS
 @given(seed=st.integers(0, 2**31 - 1), n=st.integers(500, 5000))
 def test_flagship_invariants_any_seed(spark, seed, n):
@@ -1120,20 +1132,20 @@ def test_asof_joins_match_bruteforce_reference(spark, seed, tmp_path_factory):
     oracle-parity suite pins the fixtures; this pins the TIE SEMANTICS for
     any input — the part of the union+window construction (joins.py:349,
     :427) that is easiest to silently break."""
-    import datetime
     import random
 
     from onebrc_spark.operators.joins import join_asof, join_asof_forward
 
     rng = random.Random(seed)
     base = 1_700_000_000
-    rows = []
+    secs, rows = [], []
     for eid in range(rng.randrange(40, 120)):
         sec = base + rng.randrange(0, 30)  # dense: many exact-ts ties
+        secs.append(sec)
         rows.append(
             (
                 eid,
-                datetime.datetime.utcfromtimestamp(sec),
+                _utc_dt(sec),
                 rng.randrange(0, 4),
                 rng.choice(["view", "purchase", "click"]),
                 float(rng.randrange(0, 100)) / 2.0,
@@ -1147,7 +1159,7 @@ def test_asof_joins_match_bruteforce_reference(spark, seed, tmp_path_factory):
         "value DOUBLE, props STRING",
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
 
-    ev = [(eid, int(ts.timestamp()), u, t) for eid, ts, u, t, _, _ in rows]
+    ev = [(eid, s, u, t) for (eid, _, u, t, _, _), s in zip(rows, secs)]
     views = [(eid, s, u) for eid, s, u, t in ev if t == "view"]
     purchases = [(eid, s, u) for eid, s, u, t in ev if t == "purchase"]
 
@@ -1192,7 +1204,6 @@ def test_range_interval_join_matches_bruteforce_reference(spark, seed, tmp_path_
     bucket-explode + exact-range re-filter composition (joins.py:281)
     implements [t_lo, t_hi) for ANY event placement, not just interior
     points."""
-    import datetime
     import random
 
     from onebrc_spark.operators.joins import join_range_interval
@@ -1205,7 +1216,7 @@ def test_range_interval_join_matches_bruteforce_reference(spark, seed, tmp_path_
     ev_rows = [
         (
             i,
-            datetime.datetime.utcfromtimestamp(s),
+            _utc_dt(s),
             rng.randrange(0, 5),
             "view",
             1.0,
@@ -1215,7 +1226,7 @@ def test_range_interval_join_matches_bruteforce_reference(spark, seed, tmp_path_
     ]
     # o_orderkey < 28 keeps okey%28 == okey; o_custkey < 150 keeps
     # user_id == o_custkey — so the reference below is direct arithmetic.
-    od = datetime.datetime.utcfromtimestamp(anchor)
+    od = _utc_dt(anchor)
     ord_rows = [
         (okey, rng.randrange(0, 5), "O", 1.0, od, "1-URGENT")
         for okey in range(12)
@@ -1258,7 +1269,6 @@ def test_session_window_exact_gap_boundary(spark, seed, tmp_path_factory):
     seconds never land exactly on the boundary; the oracle now uses the
     strict `>` this reference mirrors. Also plants duplicate timestamps
     (gap 0) and gap-1/gap+1 neighbors."""
-    import datetime
     import random
 
     from onebrc_spark.operators.eventtime import evt_session_window
@@ -1266,16 +1276,17 @@ def test_session_window_exact_gap_boundary(spark, seed, tmp_path_factory):
     rng = random.Random(seed)
     gap = 1800
     base = 1_700_000_000
-    rows, eid = [], 0
+    rows, epochs, eid = [], [], 0
     for user in range(4):
         t = base + rng.randrange(0, 600)
         for _ in range(rng.randrange(5, 15)):
             # step distribution biased onto the boundary and its neighbors
             t += rng.choice([0, 1, gap - 1, gap, gap, gap + 1, rng.randrange(1, 4000)])
+            epochs.append(t)
             rows.append(
                 (
                     eid,
-                    datetime.datetime.utcfromtimestamp(t),
+                    _utc_dt(t),
                     user,
                     "view",
                     float(rng.randrange(0, 200)) / 2.0,
@@ -1292,8 +1303,8 @@ def test_session_window_exact_gap_boundary(spark, seed, tmp_path_factory):
 
     expect = set()
     by_user: dict = {}
-    for _, ts, u, _, v, _ in rows:
-        by_user.setdefault(u, []).append((int(ts.timestamp()), v))
+    for (_, _, u, _, v, _), s in zip(rows, epochs):
+        by_user.setdefault(u, []).append((s, v))
     for u, evs in by_user.items():
         evs.sort()
         sessions, cur = [], [evs[0]]
