@@ -19,6 +19,20 @@ JVM launches — so ensure_protobuf() must run BEFORE SparkSession creation
 (session.get_spark calls it first). tws_available() answers the question
 the TWS-backed query needs: will the WORKERS be able to import protobuf
 under the current session?
+
+Portability (VERDICT r9 #5): the Cloud-SDK location is a DEFAULT, not a
+requirement — override with ONEBRC_PROTOBUF_SDK_PATH (a directory whose
+contents are the `google/protobuf` package, i.e. it contains message.py).
+Degrade matrix:
+
+  protobuf source            ST6 execution path
+  -------------------------  ------------------------------------------
+  real site-package          transformWithStateInPandas (TWS)
+  vendored (SDK or override) transformWithStateInPandas (TWS)
+  absent                     legacy applyInPandasWithState fallback
+                             (evt_stateful_running_stats_tws degrades;
+                             both branches executed in
+                             tests/test_stateful_streaming.py)
 """
 
 from __future__ import annotations
@@ -28,7 +42,10 @@ import sys
 from pathlib import Path
 
 _SDK_PROTOBUF = Path(
-    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    os.environ.get(
+        "ONEBRC_PROTOBUF_SDK_PATH",
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf",
+    )
 )
 _VENDOR_DIR = Path("/tmp/onebrc_protobuf_vendor")
 
@@ -71,6 +88,8 @@ def ensure_protobuf() -> bool:
         "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
     )
     link = _VENDOR_DIR / "google" / "protobuf"
+    if link.is_symlink() and link.resolve() != _SDK_PROTOBUF.resolve():
+        link.unlink()  # stale vendor from a different (e.g. overridden) path
     if not link.exists():
         link.symlink_to(_SDK_PROTOBUF)
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
