@@ -68,9 +68,19 @@ EMB_QUERIES = ["sim_ann_ivf_sampled", "sim_ann_lsh_banded"]
 # union+window as-of join (J7), grouped exact medians with broadcast
 # join-backs (X16b), scaffold+LOCF windows (X10/W3).
 EVT_QUERIES = ["join_asof", "evt_anomaly_mad", "evt_gap_fill_locf"]
+# 100x program (VERDICT r9 #4): turn the two-point extrapolation into a
+# three-point measurement for the graded dedup family, and give the
+# eventtime family a data-bound top point (ADVICE r9: its 1x/10x timings
+# are fixed-cost dominated — all sub-second — so that ratio alone does not
+# measure scaling).
+QUERIES_100X = ["dedup_minhash_lsh", "dedup_cluster_components"]
+EVT_QUERIES_100X = EVT_QUERIES
 SCALE_ROOT = Path("/tmp/onebrc_docs_scale")
 REPLICAS = 10
 _ID_STRIDE = 100_000_000
+# Below this, a timing is fixed-cost (scheduler/JVM) dominated on this box
+# and a superlinearity ratio against it is not a scaling measurement.
+_OVERHEAD_FLOOR_SEC = 0.5
 
 
 def _base_fingerprint(base_sf_dir: str) -> str:
@@ -91,13 +101,15 @@ def _base_fingerprint(base_sf_dir: str) -> str:
     return "|".join(parts)
 
 
-def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
-    """Write sf1x (verbatim copy) and sf10x (token-bijection replicas),
-    both through the same Spark writer so file layout scales with data
-    (≈6 MiB/file at both points — split-count parity per byte)."""
+def build_corpora(spark, base_sf_dir: str) -> tuple[str, str, str]:
+    """Write sf1x (verbatim copy), sf10x (token-bijection replicas) and
+    sf100x (second-level bijection over sf10x — documents and events only),
+    all through the same Spark writer so file layout scales with data
+    (≈6 MiB/file at every point — split-count parity per byte)."""
     docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
     one = SCALE_ROOT / "sf1x"
     ten = SCALE_ROOT / "sf10x"
+    hundred = SCALE_ROOT / "sf100x"
     marker = SCALE_ROOT / "BASE_FINGERPRINT"
     fp = _base_fingerprint(base_sf_dir)
     # A marker that is absent-or-stale while corpora exist means the data's
@@ -107,7 +119,7 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
     if marker.exists():
         stale = marker.read_text() != fp
     else:
-        stale = one.exists() or ten.exists()
+        stale = one.exists() or ten.exists() or hundred.exists()
     if stale:
         import shutil
 
@@ -115,6 +127,7 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
               "corpora", file=sys.stderr)
         shutil.rmtree(one, ignore_errors=True)
         shutil.rmtree(ten, ignore_errors=True)
+        shutil.rmtree(hundred, ignore_errors=True)
     SCALE_ROOT.mkdir(parents=True, exist_ok=True)
     if not (one / "documents.parquet" / "_SUCCESS").exists():
         docs.repartition(2).write.mode("overwrite").parquet(
@@ -207,11 +220,72 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str]:
         full.repartition(20).write.mode("overwrite").parquet(
             str(ten / "events.parquet")
         )
+    # sf100x (VERDICT r9 #4): 10 second-level replicas OF the materialized
+    # sf10x corpus — documents and events only (the embedding family's 100x
+    # story is not part of the graded program). The second-level suffix is
+    # "~~j" (double tilde), NOT "~j": first-level replica (i=3, j=0) tokens
+    # end "~3" and a single-tilde second level would make replica (i=0, j=3)
+    # tokens end "~3" too — identical vocabularies, i.e. full cross-replica
+    # duplicate documents, a 2-way near-dup explosion instead of a scaling
+    # fixture. With "~~j" every (i, j) vocabulary is pairwise disjoint and
+    # within-replica structure stays bit-preserved, so the true pair set is
+    # exactly 100x the base. Events remap both id columns by a 10x-sized
+    # stride; sequences stay verbatim per user.
+    docs10 = spark.read.parquet(str(ten / "documents.parquet"))
+    if not (hundred / "documents.parquet" / "_SUCCESS").exists():
+        parts = []
+        for j in range(REPLICAS):
+            d = docs10.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(j * REPLICAS * _ID_STRIDE)
+            )
+            if j > 0:
+                d = d.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.when(t == "", t).otherwise(
+                                F.concat(t, F.lit(f"~~{j}"))
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
+                if "n_chars" in docs10.columns:
+                    d = d.withColumn("n_chars", F.length("text"))
+            parts.append(d)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(200).write.mode("overwrite").parquet(
+            str(hundred / "documents.parquet")
+        )
+    ev10 = spark.read.parquet(str(ten / "events.parquet"))
+    if not (hundred / "events.parquet" / "_SUCCESS").exists():
+        parts = []
+        for j in range(REPLICAS):
+            parts.append(
+                ev10.withColumn(
+                    "event_id",
+                    F.col("event_id") + F.lit(j * REPLICAS * _ID_STRIDE),
+                ).withColumn(
+                    "user_id",
+                    F.col("user_id") + F.lit(j * REPLICAS * _ID_STRIDE),
+                )
+            )
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(200).write.mode("overwrite").parquet(
+            str(hundred / "events.parquet")
+        )
     for tbl in ("documents.parquet", "embeddings.parquet", "events.parquet"):
         assert (one / tbl / "_SUCCESS").exists()
         assert (ten / tbl / "_SUCCESS").exists()
+    for tbl in ("documents.parquet", "events.parquet"):
+        assert (hundred / tbl / "_SUCCESS").exists()
     marker.write_text(fp)
-    return str(one), str(ten)
+    return str(one), str(ten), str(hundred)
 
 
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
@@ -246,7 +320,7 @@ def main() -> None:
 
     spark = get_spark("onebrc_docs_scale")
     spark.range(1).count()
-    one, ten = build_corpora(spark, args.base)
+    one, ten, hundred = build_corpora(spark, args.base)
 
     def census(d):
         r = (
@@ -418,23 +492,90 @@ def main() -> None:
             "result_rows_1x": rows1,
             "result_rows_10x": rows10,
             "superlinearity_docs": round(t10 / (REPLICAS * t1), 3),
+            # ADVICE r9: when the 1x time is below the fixed-cost floor the
+            # ratio above does not measure data-bound work — the 100x rows
+            # below carry the family's real scaling signal.
+            "overhead_dominated": t1 < _OVERHEAD_FLOOR_SEC,
         }
         print(
             f"# {name}: 1x {t1}s ({rows1} rows) | 10x {t10}s ({rows10} rows)"
             f" | superlinearity docs "
-            f"{evt_results[name]['superlinearity_docs']}x",
+            f"{evt_results[name]['superlinearity_docs']}x"
+            + (" (overhead-dominated 1x point)"
+               if evt_results[name]["overhead_dominated"] else ""),
             file=sys.stderr, flush=True,
         )
 
+    # --- 100x point (VERDICT r9 #4 + ADVICE r9) ---
+    # Dedup family: the three-point linearity measurement. Event family:
+    # the first data-bound pair (the 1x/10x event timings are sub-second —
+    # fixed-cost dominated — so their two-point ratio is vacuous; 100x puts
+    # the top point well above the floor). Ratios are reported against BOTH
+    # lower points; the bar applies to the vs-1x docs-normalized ratio, and
+    # to vs-10x only when the 10x point itself cleared the floor.
+    results_100x = {}
+    for name in QUERIES_100X:
+        t100, rows100 = time_query(spark, name, hundred)
+        base_row = results[name]
+        t1, t10 = base_row["sec_1x"], base_row["sec_10x"]
+        results_100x[name] = {
+            "sec_100x": t100,
+            "result_rows_100x": rows100,
+            "superlinearity_docs_vs_1x": round(t100 / (100 * t1), 3),
+            "superlinearity_vs_10x": round(t100 / (10 * t10), 3),
+            "low_point_overhead_dominated": t10 < _OVERHEAD_FLOOR_SEC,
+        }
+        if name == "dedup_minhash_lsh":
+            exp = 100 * base_row["result_rows_1x"]
+            drift = abs(rows100 - exp) / exp
+            assert drift < 0.05, (
+                f"{name}: 100x result rows {rows100} vs ~{exp} expected "
+                f"({drift:.1%} drift) — second-level bijection broken"
+            )
+        print(
+            f"# {name} @100x: {t100}s ({rows100} rows) | superlinearity "
+            f"vs 1x {results_100x[name]['superlinearity_docs_vs_1x']}x, "
+            f"vs 10x {results_100x[name]['superlinearity_vs_10x']}x",
+            file=sys.stderr, flush=True,
+        )
+    evt_results_100x = {}
+    for name in EVT_QUERIES_100X:
+        t100, rows100 = time_query(spark, name, hundred)
+        base_row = evt_results[name]
+        t1, t10 = base_row["sec_1x"], base_row["sec_10x"]
+        if name == "evt_anomaly_mad":
+            assert rows100 == base_row["result_rows_1x"], (name, rows100)
+        else:
+            assert rows100 == 100 * base_row["result_rows_1x"], (name, rows100)
+        evt_results_100x[name] = {
+            "sec_100x": t100,
+            "result_rows_100x": rows100,
+            "superlinearity_docs_vs_1x": round(t100 / (100 * t1), 3),
+            "superlinearity_vs_10x": round(t100 / (10 * t10), 3),
+            "low_point_overhead_dominated": t10 < _OVERHEAD_FLOOR_SEC,
+        }
+        print(
+            f"# {name} @100x: {t100}s ({rows100} rows) | superlinearity "
+            f"vs 1x {evt_results_100x[name]['superlinearity_docs_vs_1x']}x, "
+            f"vs 10x {evt_results_100x[name]['superlinearity_vs_10x']}x",
+            file=sys.stderr, flush=True,
+        )
+
+    n100, c100 = census(hundred)
+    assert n100 == 100 * n1, (n1, n100)
     doc = {
         "base": args.base,
         "docs_1x": n1,
         "docs_10x": n10,
+        "docs_100x": n100,
         "chars_1x": c1,
         "chars_10x": c10,
+        "chars_100x": c100,
         "queries": results,
+        "queries_100x": results_100x,
         "embedding_queries": emb_results,
         "event_queries": evt_results,
+        "event_queries_100x": evt_results_100x,
     }
 
     # Banded-recall structure at both scales, measured by the REGISTERED
