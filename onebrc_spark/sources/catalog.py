@@ -195,7 +195,28 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     return df.repartition(target)
 
 
+# (applicationId, sparkSession id) -> last-registered sf_dir. Keyed by both
+# so a new session (or a new app reusing a PID) never inherits stale views.
+_VIEWS_REGISTERED: dict[tuple[str, int], str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for the SQL surface."""
+    """Register every testdata table as a temp view for the SQL surface —
+    once per (session, sf_dir).
+
+    Every SQL-surface query calls this; before round 10 it unconditionally
+    rebuilt all 10 table DataFrames per call (~30 chatty py4j round-trips
+    per table: schema reader + footer-sniffed timestamp normalization +
+    finite_or_null). That is pure per-query fixed cost — the views are
+    deterministic given (sf_dir, table) — and it dominated the sub-second
+    SQL shapes when the r10 host's JVM round-trip latency grew (measured:
+    register_views 0.45 s warm vs sql_tpch_q14's 0.15 s of actual query).
+    Re-registration now happens only when the requested sf_dir CHANGES for
+    the session (bench warmup alternates sf0.001/sf0.1 per query — the memo
+    must invalidate on switch, not just on first call)."""
+    key = (spark.sparkContext.applicationId, id(spark))
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
+        return
     for name in schemas.TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[key] = sf_dir
