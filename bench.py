@@ -93,12 +93,14 @@ ONEBRC_ROWS = int(os.environ.get("ONEBRC_BENCH_ROWS", 50_000_000))
 ONEBRC_DATA = f"/tmp/onebrc_spark_bench/measurements_{ONEBRC_ROWS}"
 
 
-def _onebrc_text_seconds(spark) -> float:
+def _ensure_onebrc_data(spark) -> None:
+    """Generate the 1BRC text fixture if absent — called OUTSIDE the timed
+    calm window (generation takes ~1 min at 50M rows and would blow any
+    <2-min window; it is untimed setup, not measurement)."""
     import pathlib
 
-    from onebrc_spark.operators.aggregates import onebrc_aggregate
     from onebrc_spark.sources.generator import generate_measurements
-    from onebrc_spark.sources.onebrc import read_measurements_fast, write_measurements
+    from onebrc_spark.sources.onebrc import write_measurements
 
     if not pathlib.Path(ONEBRC_DATA, "_SUCCESS").exists():
         print(f"# generating {ONEBRC_ROWS} 1BRC rows → {ONEBRC_DATA}", file=sys.stderr)
@@ -106,6 +108,13 @@ def _onebrc_text_seconds(spark) -> float:
             generate_measurements(spark, ONEBRC_ROWS, seed=42, num_partitions=64),
             ONEBRC_DATA,
         )
+
+
+def _onebrc_text_seconds(spark) -> float:
+    from onebrc_spark.operators.aggregates import onebrc_aggregate
+    from onebrc_spark.sources.onebrc import read_measurements_fast
+
+    _ensure_onebrc_data(spark)
     # Text scans want the reference's own 16 MiB chunk granularity
     # (`rust_1brc/src/main.rs:21`): at this file size the 128m parquet
     # default yields ~7 splits — a 32-core box runs 4× faster with ~64.
@@ -209,18 +218,32 @@ def _probe_band(repo: Path) -> float:
     scale-independent) ever measured, floored at the idle-band default.
     VERDICT r9: the r9 headline artifact (probe 0.365-0.487 vs the ~0.19 s
     floor) printed 5 phantom regressions because nothing gated on the probe.
-    """
+
+    ADVICE r10: with NO calibrated artifacts the band IS the documented
+    trust ceiling (0.22 s), not 1.25x it — the multiplier applies only to a
+    measured host floor. And because min-over-artifacts is a one-way
+    ratchet pinned to the fastest host ever recorded, a legitimately slower
+    replacement host would see every run permanently demoted: set
+    ONEBRC_PROBE_FLOOR=<sec> to re-baseline (it replaces the artifact-min
+    floor; the band is then 1.25x the override)."""
+    override = os.environ.get("ONEBRC_PROBE_FLOOR")
+    if override:
+        return round(1.25 * float(override), 3)
     floors = [
         p for p in (
             _artifact_probe(_parse_artifact(f)) for f in repo.glob("BENCH_r*.json")
         ) if p
     ]
-    floor = min(floors) if floors else _PROBE_FLOOR_DEFAULT
-    return round(max(1.25 * floor, _PROBE_FLOOR_DEFAULT), 3)
+    if not floors:
+        return _PROBE_FLOOR_DEFAULT
+    return round(max(1.25 * min(floors), _PROBE_FLOOR_DEFAULT), 3)
 
 
 def compute_noise_block(
-    times: dict[str, float], samples: list, repo: Path | None = None
+    times: dict[str, float],
+    samples: list,
+    repo: Path | None = None,
+    query_probes: dict | None = None,
 ) -> dict:
     """Noise-normalized regression tracking (VERDICT r6 #1: three same-tree
     r6 measurements read 9.4/14.5/22.1 s — raw cross-round deltas are
@@ -236,21 +259,39 @@ def compute_noise_block(
                       survives the median).
     Per-query normalized ratio = raw_ratio / median_ratio; the regression
     list is computed on NORMALIZED ratios > 1.3. Raw ratios stay in the
-    stderr log for audit."""
+    stderr log for audit.
+
+    query_probes (VERDICT r10 #1, the chunked protocol): per-query
+    {"pre": s, "post": s, "clean": bool} probe stamps from the calm-window
+    gate. When provided, the calibration's headline spark_probe_sec (the
+    number future bands and reference selection key on) is the median over
+    ALL per-query probe readings — the conditions the numbers were actually
+    taken under — and `contended` means that median exceeds the band. A
+    regression flag is TRUSTED iff its own query's window was clean: the
+    trajectory may flap between queries without poisoning numbers taken
+    inside clean windows."""
     repo = repo or Path(__file__).resolve().parent
     band = _probe_band(repo)
+    probe_pool = [s["spark_probe_sec"] for s in samples]
+    if query_probes:
+        probe_pool = [
+            p[k] for p in query_probes.values() for k in ("pre", "post")
+            if p.get(k) is not None
+        ] or probe_pool
     cal = {
         "samples": samples,
         "cpu_spin_sec": round(_median([s["cpu_spin_sec"] for s in samples]), 3),
-        "spark_probe_sec": round(_median([s["spark_probe_sec"] for s in samples]), 3),
+        "spark_probe_sec": round(_median(probe_pool), 3),
         "probe_band": band,
         # Contended-run annotation (VERDICT r9 #1): a probe above the idle
         # band means every raw time in THIS artifact is load-inflated; its
         # regression flags are demoted to untrusted_regressions below, and
         # future runs will skip it as a noise reference.
-        "contended": round(_median([s["spark_probe_sec"] for s in samples]), 3) > band,
+        "contended": round(_median(probe_pool), 3) > band,
     }
     block = {"calibration": cal}
+    if query_probes:
+        block["query_probes"] = query_probes
     if cal["contended"]:
         print(
             f"# WARNING: this run is CONTENDED (spark_probe "
@@ -378,24 +419,70 @@ def compute_noise_block(
         "probe_ratio": probe_ratio,
         "normalized_regressions": regressions,
     }
-    if cal["contended"] and regressions:
-        # A contended current run cannot distinguish load from regression —
-        # the r9 artifact printed 5 phantom flags exactly this way. Keep the
-        # evidence (untrusted_regressions) but do not assert regressions.
-        block["noise"]["untrusted_regressions"] = regressions
-        block["noise"]["normalized_regressions"] = []
+    # Trust is per-query when the chunked gate ran (VERDICT r10 #1): a flag
+    # on a query timed inside its own clean window is evidence even if the
+    # run's trajectory flapped elsewhere; a flag on a query whose window was
+    # contended cannot distinguish load from regression (the r9 artifact
+    # printed 5 phantom flags exactly that way). Without per-query stamps,
+    # the whole-run contended bit demotes everything, as before.
+    def _trusted(name: str) -> bool:
+        if query_probes:
+            qp = query_probes.get(name)
+            return bool(qp and qp.get("clean"))
+        return not cal["contended"]
+
+    untrusted = [n for n in regressions if not _trusted(n)]
+    if untrusted:
+        block["noise"]["untrusted_regressions"] = untrusted
+        block["noise"]["normalized_regressions"] = [
+            n for n in regressions if n not in untrusted
+        ]
         print(
-            f"# {len(regressions)} flag(s) DEMOTED to untrusted (contended "
-            f"run, probe {cal['spark_probe_sec']}s > band "
-            f"{cal['probe_band']}s): {regressions} — re-run on an idle host",
+            f"# {len(untrusted)} flag(s) DEMOTED to untrusted (window/run "
+            f"contended, probe {cal['spark_probe_sec']}s vs band "
+            f"{cal['probe_band']}s): {untrusted} — re-run on an idle host",
             file=sys.stderr,
         )
-    elif regressions:
+    trusted = block["noise"]["normalized_regressions"]
+    if trusted:
         print(
-            f"# {len(regressions)} NORMALIZED regression(s) >1.3x: {regressions}",
+            f"# {len(trusted)} NORMALIZED regression(s) >1.3x: {trusted}",
             file=sys.stderr,
         )
     return block
+
+
+# --- Calm-window gate (VERDICT r10 #1) ---------------------------------
+# The monolithic ~13-min run could never fit this host's calm windows
+# (probe 0.10-0.22, lasting <2 min between co-tenant load flaps), so r9/r10
+# shipped contended artifacts. Each headline entry is now timed inside its
+# OWN window: pre-probe gate -> plan re-warm -> best-of-2 -> post-probe,
+# retried while contended, every number stamped with the probes it was
+# taken under (query_probes in the artifact). The wait budget is shared
+# across the run and env-tunable so the driver's invocation always
+# terminates: when it runs dry the entry is timed anyway and its stamp
+# says clean=false — honest degradation to the old behavior.
+CALM_WAIT_BUDGET = float(os.environ.get("ONEBRC_BENCH_CALM_WAIT", "900"))
+CALM_POLL_SLEEP = float(os.environ.get("ONEBRC_BENCH_CALM_POLL", "20"))
+_MAX_ATTEMPTS = 3
+
+
+def _wait_for_calm(spark, band: float, budget: dict) -> float:
+    """Poll the spark probe until it reads <= band or the shared calm-wait
+    budget runs dry; returns the last reading. budget = {"left": sec},
+    shared across the whole run so one stuck window can't starve the rest."""
+    probe = _spark_probe_seconds(spark)
+    while probe > band and budget["left"] > 0:
+        wait = min(CALM_POLL_SLEEP, budget["left"])
+        print(
+            f"# probe {probe:.3f}s > band {band}s — waiting {wait:.0f}s "
+            f"(calm budget {budget['left']:.0f}s left)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(wait)
+        budget["left"] -= wait
+        probe = _spark_probe_seconds(spark)
+    return probe
 
 
 def _minhash_pairs_build(spark, sf_dir):
@@ -452,50 +539,100 @@ def main() -> None:
     print(f"# warmup ({WARMUP_SF_DIR}): {time.time() - t0:.1f}s", file=sys.stderr)
 
     times: dict[str, float] = {}
-    warm, cold = _onebrc_text_seconds(spark)
+    query_probes: dict[str, dict] = {}
+    band = _probe_band(Path(__file__).resolve().parent)
+    budget = {"left": CALM_WAIT_BUDGET}
+
+    # 1BRC text benchmark inside its own gated window (generation, the ~1-min
+    # untimed setup, happens before the gate so it can't blow the window).
+    _ensure_onebrc_data(spark)
+    best_text = None
+    for attempt in range(1, 3):
+        pre = _wait_for_calm(spark, band, budget)
+        warm, cold = _onebrc_text_seconds(spark)
+        post = _spark_probe_seconds(spark)
+        if best_text is None or warm < best_text[0]:
+            best_text = (warm, cold, pre, post)
+        if (pre <= band and post <= band) or budget["left"] <= 0:
+            break
+        print(
+            f"# onebrc_text_scan_agg: window contended "
+            f"(pre {pre:.3f} post {post:.3f}) — retry {attempt}",
+            file=sys.stderr, flush=True,
+        )
+    warm, cold, pre, post = best_text
     times["onebrc_text_scan_agg"] = warm
     times["onebrc_text_scan_agg_cold"] = cold
+    query_probes["onebrc_text_scan_agg"] = {
+        "pre": round(pre, 3), "post": round(post, 3),
+        "clean": pre <= band and post <= band, "attempts": attempt,
+    }
     run_calibration(spark, cal_samples)  # mid-run sample
     for name in HEADLINE:
         fn = fn_for(name)
-        # Re-warm THIS plan immediately before timing: the JVM codegen cache
-        # holds ~100 compiled classes, so the batch warmup above can be
-        # evicted by later plans before the timed loop reaches this query —
-        # r2's apparent 1.3-2x "regressions" on untouched queries were this
-        # recompilation cost, not execution drift. A tiny re-warm restores
-        # the steady-state the header promises to measure.
-        fn(spark, WARMUP_SF_DIR).count()
-        # Best of two timed runs: single-shot times on a shared box showed
-        # 2-3x run-to-run swings on sub-second queries (GC pauses, page
-        # cache, scheduler noise) that read as phantom regressions across
-        # rounds; the minimum is the steady-state cost of the PLAN, which
-        # is what this bench certifies.
-        runs = []
-        for _ in range(2):
-            # ONLY the build entry clears the pair-set memo (each of its
-            # runs measures the cold build). Every other query leaves the
-            # cache alone: non-consumers never touch it, and the consumers
-            # in _KEEP_PAIR_CACHE deliberately run against the warm asset
-            # the build entry just paid for (see the HEADLINE note).
-            # dedup_cluster_components additionally clears the LABEL memo
-            # (clustering._COMPONENTS_CACHE) so each timed run measures the
-            # iterative resolution on the warm pair set, not a cache read —
-            # in a full drive the other three label consumers share the memo.
-            if name == "dedup_minhash_pairs_build":
-                clear_pair_cache()
-                clear_components_cache()  # labels derive from the pair set
-            elif name == "dedup_cluster_components":
-                clear_components_cache()
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            runs.append(time.time() - t0)
-        times[name] = round(min(runs), 3)
+        best = None
+        for attempt in range(1, _MAX_ATTEMPTS + 1):
+            pre = _wait_for_calm(spark, band, budget)
+            # Re-warm THIS plan immediately before timing: the JVM codegen
+            # cache holds ~100 compiled classes, so the batch warmup above
+            # can be evicted by later plans before the timed loop reaches
+            # this query — r2's apparent 1.3-2x "regressions" on untouched
+            # queries were this recompilation cost, not execution drift. A
+            # tiny re-warm restores the steady-state the header promises.
+            fn(spark, WARMUP_SF_DIR).count()
+            # Best of two timed runs: single-shot times on a shared box
+            # showed 2-3x run-to-run swings on sub-second queries (GC
+            # pauses, page cache, scheduler noise) that read as phantom
+            # regressions across rounds; the minimum is the steady-state
+            # cost of the PLAN, which is what this bench certifies.
+            runs = []
+            for _ in range(2):
+                # ONLY the build entry clears the pair-set memo (each of
+                # its runs measures the cold build). Every other query
+                # leaves the cache alone: non-consumers never touch it, and
+                # the consumers in _KEEP_PAIR_CACHE deliberately run
+                # against the warm asset the build entry just paid for (see
+                # the HEADLINE note). dedup_cluster_components additionally
+                # clears the LABEL memo (clustering._COMPONENTS_CACHE) so
+                # each timed run measures the iterative resolution on the
+                # warm pair set, not a cache read — in a full drive the
+                # other three label consumers share the memo.
+                if name == "dedup_minhash_pairs_build":
+                    clear_pair_cache()
+                    clear_components_cache()  # labels derive from the pairs
+                elif name == "dedup_cluster_components":
+                    clear_components_cache()
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                runs.append(time.time() - t0)
+            post = _spark_probe_seconds(spark)
+            sec = min(runs)
+            # keep the MINIMUM over attempts: contention only inflates, so
+            # the fastest attempt is the closest to the plan's true cost —
+            # and its window stamps are the ones the artifact reports
+            if best is None or sec < best[0]:
+                best = (sec, pre, post, n, runs, attempt)
+            if (pre <= band and post <= band) or budget["left"] <= 0:
+                break
+            print(
+                f"# {name}: window contended (pre {pre:.3f} post "
+                f"{post:.3f}) — retry {attempt}/{_MAX_ATTEMPTS}",
+                file=sys.stderr, flush=True,
+            )
+        sec, pre, post, n, runs, kept_attempt = best
+        times[name] = round(sec, 3)
+        query_probes[name] = {
+            "pre": round(pre, 3), "post": round(post, 3),
+            "clean": pre <= band and post <= band, "attempts": attempt,
+        }
         print(f"# {name}: {n} rows in {times[name]}s (runs: "
-              f"{', '.join(f'{r:.3f}' for r in runs)})", file=sys.stderr, flush=True)
+              f"{', '.join(f'{r:.3f}' for r in runs)}; window pre "
+              f"{pre:.3f} post {post:.3f} clean="
+              f"{query_probes[name]['clean']})", file=sys.stderr, flush=True)
 
     run_calibration(spark, cal_samples)  # end-of-run sample
-    noise_block = compute_noise_block(times, cal_samples)
+    noise_block = compute_noise_block(times, cal_samples, query_probes=query_probes)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -87,8 +87,13 @@ def onebrc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "onebrc_report",
     oracle="""
     WITH g AS (
-      SELECT user_id AS station, round(min(value), 1) AS mn,
-             round(max(value), 1) AS mx,
+      -- `+ 0` folds IEEE -0.0 to +0.0: DuckDB's round keeps the sign of a
+      -- tiny negative (round(-0.04, 1) = -0.0 -> '-0.0' in format) while
+      -- Spark's BigDecimal round has no signed zero ('0.0') — a planted
+      -- (-0.05, 0) min/max diverged the report string (r11 boundary test,
+      -- tests/test_boundary_properties.py::test_report_formatting_exact_half_ties)
+      SELECT user_id AS station, round(min(value), 1) + 0 AS mn,
+             round(max(value), 1) + 0 AS mx,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
              count(value) AS n
       FROM events GROUP BY user_id
@@ -943,7 +948,9 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            count(*) AS n,
-           round(corr(rq, rp), 4) AS spearman
+           -- + 0 folds -0.0: a spearman in (-5e-5, 0) rounds to DuckDB
+           -- -0.0 vs Spark's unsigned BigDecimal 0.0 (r11 boundary class)
+           round(corr(rq, rp), 4) + 0 AS spearman
     FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     survey_ref="A10,W1 (Spearman rank correlation: rank windows + Pearson corr)",

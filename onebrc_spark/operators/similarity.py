@@ -477,8 +477,11 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_label_centroid",
     oracle="""
     SELECT label, count(*) AS n_vecs,
-           round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS centroid_d1,
-           round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS centroid_d2
+           -- + 0 folds -0.0: centroid coords hover near zero, and a mean in
+           -- (-5e-5, 0) rounds to DuckDB -0.0 vs Spark's unsigned
+           -- BigDecimal 0.0 (r11 boundary class, see onebrc_report oracle)
+           round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0 AS centroid_d1,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 4) + 0 AS centroid_d2
     FROM embeddings GROUP BY label ORDER BY label
     """,
     survey_ref="X3",

@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 import glob
 import os
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -195,9 +196,14 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     return df.repartition(target)
 
 
-# (applicationId, sparkSession id) -> last-registered sf_dir. Keyed by both
-# so a new session (or a new app reusing a PID) never inherits stale views.
-_VIEWS_REGISTERED: dict[tuple[str, int], str] = {}
+# SparkSession -> last-registered sf_dir. Weak-keyed on the session OBJECT
+# (not id(spark): CPython reuses ids after GC, so a stop/recreate-session
+# pattern could alias a dead session's memo entry and skip registration —
+# temp views are per-session, so the skip fails later with
+# TABLE_OR_VIEW_NOT_FOUND). The entry dies with the session, structurally.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -214,9 +220,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Re-registration now happens only when the requested sf_dir CHANGES for
     the session (bench warmup alternates sf0.001/sf0.1 per query — the memo
     must invalidate on switch, not just on first call)."""
-    key = (spark.sparkContext.applicationId, id(spark))
-    if _VIEWS_REGISTERED.get(key) == sf_dir:
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
         return
     for name in schemas.TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_REGISTERED[key] = sf_dir
+    _VIEWS_REGISTERED[spark] = sf_dir

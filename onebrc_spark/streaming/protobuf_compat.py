@@ -41,13 +41,17 @@ import os
 import sys
 from pathlib import Path
 
-_SDK_PROTOBUF = Path(
-    os.environ.get(
-        "ONEBRC_PROTOBUF_SDK_PATH",
-        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf",
-    )
+_SDK_PROTOBUF_DEFAULT = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
 )
 _VENDOR_DIR = Path("/tmp/onebrc_protobuf_vendor")
+
+
+def _sdk_protobuf() -> Path:
+    """Resolve the vendor source at CALL time, not import time (ADVICE r10:
+    an env override set after this module was first imported — the normal
+    case when session.py imports us transitively — was a silent no-op)."""
+    return Path(os.environ.get("ONEBRC_PROTOBUF_SDK_PATH", _SDK_PROTOBUF_DEFAULT))
 
 # Set by get_spark at session-creation time: whether the session's JVM was
 # launched with a worker-importable protobuf (a real site-package, or the
@@ -81,17 +85,26 @@ def ensure_protobuf() -> bool:
         return True
     except ImportError:
         pass
-    if not _SDK_PROTOBUF.is_dir():
+    sdk = _sdk_protobuf()
+    if not sdk.is_dir():
         return False
     (_VENDOR_DIR / "google").mkdir(parents=True, exist_ok=True)
     (_VENDOR_DIR / "google" / "__init__.py").write_text(
         "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
     )
     link = _VENDOR_DIR / "google" / "protobuf"
-    if link.is_symlink() and link.resolve() != _SDK_PROTOBUF.resolve():
-        link.unlink()  # stale vendor from a different (e.g. overridden) path
+    if link.is_symlink():
+        if link.resolve() != sdk.resolve():
+            link.unlink()  # stale vendor from a different (e.g. overridden) path
+    elif link.exists():
+        # ADVICE r10: a REAL directory here (copy-based vendoring, tampered
+        # tmp) passed the symlink check and silently kept stale contents
+        # even when the override pointed elsewhere — remove it and relink.
+        import shutil
+
+        shutil.rmtree(link)
     if not link.exists():
-        link.symlink_to(_SDK_PROTOBUF)
+        link.symlink_to(sdk)
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
     existing = os.environ.get("PYTHONPATH", "")
     if str(_VENDOR_DIR) not in existing.split(os.pathsep):

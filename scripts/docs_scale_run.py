@@ -107,6 +107,20 @@ def build_corpora(spark, base_sf_dir: str) -> tuple[str, str, str]:
     all through the same Spark writer so file layout scales with data
     (≈6 MiB/file at every point — split-count parity per byte)."""
     docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
+    # Bijection invariant, asserted explicitly (ADVICE r10): the replica
+    # suffixes "~i" (sf10x) and "~~j" (sf100x) are pairwise-disjoint ONLY if
+    # no base token itself contains '~' — a base token 'x~' would get
+    # level-1 suffix '~3' yielding 'x~~3', colliding with the level-2
+    # (i=0,j=3) token 'x~~3' from base 'x' and planting cross-replica
+    # near-dups that only dedup_minhash_lsh's 5% drift assert would catch,
+    # indirectly. One cheap corpus pass makes the invariant explicit.
+    n_tilde = (
+        docs.filter(F.col("text").contains("~")).limit(1).count()
+    )
+    assert n_tilde == 0, (
+        "base corpus contains '~' — the replica token bijection "
+        "(~i / ~~j suffixes) would not be cross-replica disjoint"
+    )
     one = SCALE_ROOT / "sf1x"
     ten = SCALE_ROOT / "sf10x"
     hundred = SCALE_ROOT / "sf100x"

@@ -68,10 +68,21 @@ def test_probe_band_from_recorded_floor(tmp_path):
 
 def test_probe_band_default_when_no_calibration(tmp_path):
     _artifact(tmp_path / "BENCH_r01.json", _REF_Q, probe=None)
-    # floor falls back to the default -> band = 1.25 * default
-    assert bench._probe_band(tmp_path) == round(
-        1.25 * bench._PROBE_FLOOR_DEFAULT, 3
-    )
+    # ADVICE r10: with no calibrated artifacts, the band IS the documented
+    # trust ceiling (0.22), not 1.25x it — the multiplier applies only to a
+    # measured floor.
+    assert bench._probe_band(tmp_path) == bench._PROBE_FLOOR_DEFAULT
+
+
+def test_probe_band_env_override_rebaselines(tmp_path, monkeypatch):
+    """ADVICE r10: min-over-artifacts is a one-way ratchet pinned to the
+    fastest host ever recorded — a slower replacement host would be
+    permanently demoted. ONEBRC_PROBE_FLOOR replaces the artifact floor."""
+    _artifact(tmp_path / "BENCH_r01.json", _REF_Q, probe=0.188)
+    monkeypatch.setenv("ONEBRC_PROBE_FLOOR", "0.40")
+    assert bench._probe_band(tmp_path) == 0.5  # 1.25 * 0.40, artifact ignored
+    monkeypatch.delenv("ONEBRC_PROBE_FLOOR")
+    assert bench._probe_band(tmp_path) == 0.235  # back to the recorded floor
 
 
 def test_contended_reference_skipped_for_older_clean(tmp_path):
@@ -126,6 +137,57 @@ def test_cross_scale_reference_skipped(tmp_path):
     block = bench.compute_noise_block(dict(_CUR_REGRESSED),
                                       list(_CLEAN_SAMPLES), repo=tmp_path)
     assert "noise" not in block
+
+
+def _probes(names, clean=True, probe=None):
+    p = probe if probe is not None else (0.19 if clean else 0.45)
+    return {
+        n: {"pre": p, "post": p, "clean": clean, "attempts": 1} for n in names
+    }
+
+
+def test_query_probes_calibrate_from_windows(tmp_path):
+    """VERDICT r10 #1 (chunked protocol): with per-query probe stamps, the
+    artifact's headline spark_probe_sec / contended come from the windows
+    the numbers were actually taken in — a trajectory that flapped BETWEEN
+    queries (contended run_calibration samples) no longer poisons numbers
+    taken inside clean windows."""
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    qp = _probes(_CUR_STABLE, clean=True)
+    block = bench.compute_noise_block(
+        dict(_CUR_STABLE), list(_CONTENDED_SAMPLES), repo=tmp_path,
+        query_probes=qp,
+    )
+    assert block["calibration"]["contended"] is False
+    assert block["calibration"]["spark_probe_sec"] == 0.19
+    assert block["query_probes"] == qp
+
+
+def test_flag_trusted_iff_its_own_window_clean(tmp_path):
+    """Per-query trust: a regression flag on a query timed in a clean
+    window survives even when another query's window was contended; a flag
+    whose own window was contended is demoted."""
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    cur = dict(_CUR_STABLE, q0=3.0, q1=3.0)
+    qp = _probes(cur, clean=True)
+    qp["q1"] = {"pre": 0.5, "post": 0.6, "clean": False, "attempts": 3}
+    block = bench.compute_noise_block(
+        cur, list(_CLEAN_SAMPLES), repo=tmp_path, query_probes=qp
+    )
+    assert block["noise"]["normalized_regressions"] == ["q0"]
+    assert block["noise"]["untrusted_regressions"] == ["q1"]
+
+
+def test_all_windows_contended_demotes_everything(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    qp = _probes(_CUR_REGRESSED, clean=False)
+    block = bench.compute_noise_block(
+        dict(_CUR_REGRESSED), list(_CONTENDED_SAMPLES), repo=tmp_path,
+        query_probes=qp,
+    )
+    assert block["calibration"]["contended"] is True
+    assert block["noise"]["normalized_regressions"] == []
+    assert block["noise"]["untrusted_regressions"] == ["q0"]
 
 
 def test_probe_floor_uses_fullsweep_artifacts(tmp_path):

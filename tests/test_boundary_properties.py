@@ -243,3 +243,159 @@ def test_range_frame_exact_30day_boundary(spark, seed, tmp_path_factory):
     assert _oracle_rows("window_range_frame", d, ["orders"]) == expect, (
         "DuckDB oracle diverges from per-row reference"
     )
+
+
+# l_shipdate must exist in the planted parquet: the catalog's per-directory
+# timestamp-unit footer sniff requires the table's ts column physically
+# present even when the query never touches it.
+_LINEITEM_SCHEMA4 = (
+    "l_orderkey LONG, l_linenumber INT, l_extendedprice DOUBLE, "
+    "l_shipdate TIMESTAMP"
+)
+
+
+def _dec_round1(v: float) -> str:
+    """Shortest-decimal HALF_UP to 1 dp — the rounding BOTH engines
+    implement (Spark: BigDecimal.valueOf(double) + HALF_UP; DuckDB: decimal
+    round, probed live in this round): 12.35 -> '12.4' and -12.35 ->
+    '-12.4' even though the binary double is 12.34999…, where a
+    binary-value reference (python round()) would say 12.3. The reference
+    here is decimal-string rounding ON PURPOSE — it is the contract.
+
+    Zero is UNSIGNED in the contract: Spark's BigDecimal round has no
+    -0.0, and the DuckDB oracle folds its signed round output with `+ 0`
+    (the fold was ADDED when this test's first run caught the live
+    '-0.0' vs '0.0' report divergence on a planted (-0.05, 0) min)."""
+    import decimal
+
+    q = decimal.Decimal(repr(v)).quantize(
+        decimal.Decimal("0.1"), rounding=decimal.ROUND_HALF_UP
+    )
+    return "0.0" if q == 0 else str(q)
+
+
+def _mean1dp(cents_sum: int, n: int) -> str:
+    """The flagship integer half-away-from-zero mean, as a 1-dp string
+    (mirrors onebrc_aggregate's floor arithmetic; the engine's `+ 0.0`
+    folds a would-be -0.0 to 0.0)."""
+    t = (2 * abs(cents_sum) + 10 * n) // (20 * n)
+    m = t if cents_sum >= 0 else -t
+    if m == 0:
+        return "0.0"
+    sign = "-" if m < 0 else ""
+    return f"{sign}{abs(m) // 10}.{abs(m) % 10}"
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_report_formatting_exact_half_ties(spark, seed, tmp_path_factory):
+    """F1/F3/S8 (VERDICT r10 #5): the end-to-end report line on stations
+    whose min/max land EXACTLY on .x5 rounding ties (both signs) and whose
+    integer-cents mean lands exactly between tenths. The registry
+    normalizer and determinism lint MANAGE the Spark-vs-DuckDB rounding
+    divergence class; this test EXECUTES planted ties through
+    onebrc_report and pins that all three sides produce the same line:
+    HALF_UP away from zero on the shortest-decimal representation."""
+    from onebrc_spark.operators.aggregates import onebrc_report
+
+    rng = random.Random(seed)
+    per_station: dict[int, list[float]] = {
+        # min tie (positive .x5), max tie, both engines must say 12.4/3.6
+        1: [12.35, 3.55],
+        # negative min tie: -12.35 -> -12.4 (away from zero)
+        2: [-12.35, 3.55],
+        # mean tie between tenths: (12.30+12.40)/2 = 12.35 -> 12.4
+        3: [12.30, 12.40],
+        # negative mean tie: -12.35 -> -12.4
+        4: [-12.30, -12.40],
+        # near-zero band: -0.04 rounds to the '-0.0' line on all sides
+        5: [-0.04, -0.04],
+    }
+    for station in range(6, 6 + rng.randrange(2, 5)):
+        per_station[station] = [
+            float(rng.randrange(-20_000, 20_000)) / 100.0
+            for _ in range(rng.randrange(1, 6))
+        ]
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    for station, vals in per_station.items():
+        for v in vals:
+            rows.append((eid, _utc(base + eid), station, "view", v, "{}"))
+            eid += 1
+    d = _write(spark, tmp_path_factory, f"rep_{seed}", "events",
+               _EVENTS_SCHEMA, rows)
+
+    lines = []
+    for station in sorted(per_station):
+        vals = per_station[station]
+        cents = sum(round(v * 100) for v in vals)
+        lines.append(
+            f"{station}={_dec_round1(min(vals))}/"
+            f"{_mean1dp(cents, len(vals))}/{_dec_round1(max(vals))}"
+        )
+    expect = "{" + ", ".join(lines) + "}"
+
+    got = onebrc_report(spark, str(d)).collect()
+    assert len(got) == 1 and got[0]["report"] == expect, (
+        f"engine report diverges from decimal-HALF_UP reference:\n"
+        f"  got    {got[0]['report']!r}\n  expect {expect!r}"
+    )
+    oracle = _oracle_rows("onebrc_report", d, ["events"])
+    assert oracle == {(expect,)}, (
+        f"DuckDB oracle diverges from decimal-HALF_UP reference:\n"
+        f"  got    {oracle!r}\n  expect {expect!r}"
+    )
+
+
+@_SETTINGS
+@given(seed=st.integers(0, 2**31 - 1))
+def test_equidepth_ntile_bucket_edge_ties(spark, seed, tmp_path_factory):
+    """A10/W1 (VERDICT r10 #5): ntile bucket-edge ties in
+    agg_equidepth_histogram. Plants a duplicate-price run long enough to
+    straddle several bucket boundaries and a row count NOT divisible by 10
+    (the first n%10 buckets take the extra row — both engines implement
+    exactly that split), with the full (price, orderkey, linenumber)
+    tiebreak making the split deterministic. Triangle: engine, DuckDB
+    oracle, and an O(n) Python reference implementing the ntile contract
+    from scratch."""
+    from onebrc_spark.operators.aggregates import agg_equidepth_histogram
+
+    rng = random.Random(seed)
+    n_total = rng.randrange(41, 67)  # never divisible by 10 is NOT forced —
+    # divisible counts are a valid (boring) case; ties still bind
+    dup_price = float(rng.randrange(100, 5_000)) / 100.0
+    n_dup = rng.randrange(12, 20)  # spans >=2 bucket edges at these n
+    data = []
+    for i in range(n_total):
+        price = dup_price if i < n_dup else (
+            float(rng.randrange(100, 9_999_00)) / 100.0
+        )
+        data.append((i + 1, (i % 7) + 1, price))
+    rng.shuffle(data)  # physical order must not matter
+    ship = _utc(1_700_000_000)
+    rows = [(okey, ln, price, ship) for okey, ln, price in data]
+    d = _write(spark, tmp_path_factory, f"ntile_{seed}", "lineitem",
+               _LINEITEM_SCHEMA4, rows)
+
+    ordered = sorted(data, key=lambda r: (r[2], r[0], r[1]))
+    q, r = divmod(len(ordered), 10)
+    expect = set()
+    idx = 0
+    for b in range(1, 11):
+        size = q + (1 if b <= r else 0)
+        chunk = ordered[idx: idx + size]
+        idx += size
+        if not chunk:
+            continue
+        prices = [c[2] for c in chunk]
+        expect.add((b, len(chunk), min(prices), max(prices)))
+
+    got = {
+        (r2["bucket"], r2["n"], r2["lo"], r2["hi"])
+        for r2 in agg_equidepth_histogram(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from ntile-contract reference"
+    assert _oracle_rows("agg_equidepth_histogram", d, ["lineitem"]) == expect, (
+        "DuckDB oracle diverges from ntile-contract reference"
+    )

@@ -95,3 +95,37 @@ def test_register_views_memoized_and_invalidated_on_sf_switch(spark, monkeypatch
     monkeypatch.undo()
     catalog.register_views(spark, "/root/testdata/sf0.001")
     catalog._VIEWS_REGISTERED.clear()
+
+
+def test_register_views_memo_is_weak_per_session_object(spark):
+    """ADVICE r10: the memo used to key on (applicationId, id(spark));
+    CPython reuses object ids after GC, so a recreated session sharing the
+    applicationId could inherit a dead session's memo entry, skip
+    registration, and fail later with TABLE_OR_VIEW_NOT_FOUND (temp views
+    are per-session). Now a WeakKeyDictionary on the session object: a new
+    session never aliases an old one, and entries die with their session."""
+    import weakref
+
+    from onebrc_spark.sources import catalog
+
+    # structural: weak keys mean an entry can never outlive (and so never
+    # alias) its session object — the id-reuse hazard is gone by type
+    assert isinstance(catalog._VIEWS_REGISTERED, weakref.WeakKeyDictionary)
+    catalog._VIEWS_REGISTERED.clear()
+    catalog.register_views(spark, "/root/testdata/sf0.001")
+    s2 = spark.newSession()  # same applicationId, distinct session object
+    assert catalog._VIEWS_REGISTERED.get(s2) is None, (
+        "a fresh session must not inherit another session's memo entry"
+    )
+    catalog.register_views(s2, "/root/testdata/sf0.001")
+    # the views really exist in the NEW session (the failure the old keying
+    # risked was exactly this query erroring after a skipped registration)
+    assert s2.sql("SELECT count(*) AS n FROM region").first()["n"] > 0
+    assert len(catalog._VIEWS_REGISTERED) == 2
+    # NOTE: pyspark itself retains newSession() objects via an internal
+    # closure cell, so entries for them stay live — that's pyspark keeping
+    # the SESSION alive (entry still correct), not the memo leaking; the
+    # weak key frees the entry the moment pyspark ever lets go.
+    catalog._VIEWS_REGISTERED.clear()
+    catalog.register_views(spark, "/root/testdata/sf0.001")
+    catalog._VIEWS_REGISTERED.clear()

@@ -690,19 +690,27 @@ def test_anomaly_mad_join_backs_are_broadcast(spark):
     assert "Exchange SinglePartition" not in txt, txt[:3000]
 
 
-def test_overlap_containment_anti_join_broadcasts_hot_set(spark):
-    """dedup_overlap_containment's scale claims: the hot-gram exclusion is
-    a broadcast anti-join (the hot set is small by construction), the pair
-    join is an equi-join on gram (no BroadcastNestedLoopJoin / cartesian
-    all-pairs anywhere), and the gram wordcounts combine map-side."""
+def test_overlap_containment_single_explode_bounded_pairs(spark):
+    """dedup_overlap_containment's scale claims (r11 shape): the df cap is
+    a filter on size(docs) of the per-gram posting list, so there is no
+    hot-set df census or broadcast anti-join at all (the old shape
+    recomputed the corpus explode 4x across the census, the anti-join, and
+    both sides of a gram self-join); candidate pairs are generated
+    array-side from the bounded posting lists (no gram self-join, no
+    BroadcastNestedLoopJoin / cartesian anywhere); the three posting-list
+    consumers share one gram exchange at runtime via AQE stage reuse
+    (their subplans are identical up to the exchange — pinned here as: at
+    most 3 parquet scans in the static plan, identical scan text); and the
+    per-doc size census combines map-side."""
     from onebrc_spark.operators.dedup import dedup_overlap_containment
 
     df = dedup_overlap_containment(spark, SMOKE_SF_DIR)
     txt = explain_str(df, "simple")
-    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt[:3000]
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
     assert "CartesianProduct" not in txt, txt[:3000]
     assert "partial_count" in txt, txt[:2000]
+    # no per-branch df-census anti-join survives (the old 4x shape)
+    assert "LeftAnti" not in txt, txt[:3000]
 
 
 def test_curation_pipeline_one_pass_two_shuffles(spark):

@@ -130,44 +130,55 @@ def test_tws_query_fallback_path_matches_batch(spark, monkeypatch):
 
 
 def test_protobuf_sdk_path_env_override(monkeypatch, tmp_path):
-    """VERDICT r9 #5: the Cloud-SDK protobuf location is a default, not a
-    requirement — ONEBRC_PROTOBUF_SDK_PATH points the vendoring elsewhere,
-    and a stale vendor symlink from a different path is replaced. Reloads
-    the module under a patched env and restores it afterwards."""
-    import importlib
+    """VERDICT r9 #5 + ADVICE r10: the Cloud-SDK protobuf location is a
+    default, not a requirement — ONEBRC_PROTOBUF_SDK_PATH points the
+    vendoring elsewhere, is read at CALL time (setting it after import
+    works — no reload dance), and a stale vendor at a different path is
+    replaced whether it is a symlink OR a real directory (copy-based
+    vendoring / tampered tmp)."""
+    import shutil
 
-    from onebrc_spark.streaming import protobuf_compat as pc
+    from onebrc_spark.streaming import protobuf_compat as mod
 
     fake_sdk = tmp_path / "my_protobuf"
     fake_sdk.mkdir()
     monkeypatch.setenv("ONEBRC_PROTOBUF_SDK_PATH", str(fake_sdk))
+    # env read at call time — no importlib.reload required (ADVICE r10)
+    assert mod._sdk_protobuf() == fake_sdk
+    vendor_google = mod._VENDOR_DIR / "google"
+    vendor_google.mkdir(parents=True, exist_ok=True)
+    link = vendor_google / "protobuf"
+    other = tmp_path / "other"
+    other.mkdir()
     try:
-        mod = importlib.reload(pc)
-        assert mod._SDK_PROTOBUF == fake_sdk
-        # stale-symlink replacement: plant a vendor link at a different
-        # target and check ensure_protobuf would repoint it (exercise the
-        # guard directly; protobuf import outcome is environment-dependent)
-        vendor_google = mod._VENDOR_DIR / "google"
-        vendor_google.mkdir(parents=True, exist_ok=True)
-        link = vendor_google / "protobuf"
-        other = tmp_path / "other"
-        other.mkdir()
-        if link.is_symlink() or link.exists():
-            link.unlink()
-        link.symlink_to(other)
-        try:
-            import google.protobuf  # noqa: F401
+        import google.protobuf  # noqa: F401
 
-            already_importable = True
-        except ImportError:
-            already_importable = False
+        already_importable = True
+    except ImportError:
+        already_importable = False
+    for plant in ("symlink", "realdir"):
+        if link.is_symlink():
+            link.unlink()
+        elif link.exists():
+            shutil.rmtree(link)
+        if plant == "symlink":
+            link.symlink_to(other)
+        else:
+            # ADVICE r10's exact hole: a REAL directory passed the
+            # is_symlink() check and stale contents were silently kept
+            link.mkdir()
+            (link / "stale_marker.py").write_text("# stale\n")
         mod.ensure_protobuf()
         if already_importable:
-            # early-returns before the vendor block — the stale link stays
-            assert link.resolve() == other.resolve()
+            # early-returns before the vendor block — the stale plant stays
+            assert link.exists()
         else:
-            # vendoring path must repoint the stale link at the override
-            assert link.resolve() != other.resolve()
-    finally:
-        monkeypatch.delenv("ONEBRC_PROTOBUF_SDK_PATH", raising=False)
-        importlib.reload(pc)
+            # vendoring must repoint at the override, killing either plant
+            assert link.is_symlink() and link.resolve() == fake_sdk.resolve()
+    # cleanup: drop the planted vendor state so later sessions re-vendor
+    if link.is_symlink():
+        link.unlink()
+    elif link.exists():
+        shutil.rmtree(link)
+    monkeypatch.delenv("ONEBRC_PROTOBUF_SDK_PATH", raising=False)
+    mod.ensure_protobuf()
