@@ -100,6 +100,34 @@ def test_scale_docs_100x_point():
         f"100x pair-set drift {drift:.1%} — the second-level bijection no "
         f"longer preserves near-dup structure"
     )
+    # similarity family at 100x (VERDICT r10 #4): the family whose
+    # candidate-pair growth is the 100 TB risk. Same bars; plus the IVF
+    # audit must stay |Q|-row-bounded and the banded pair set must track
+    # the sign-flip bijection's exact-100x structure (5% recall tolerance).
+    s100 = doc["embedding_queries_100x"]
+    assert {"sim_ann_ivf_sampled", "sim_ann_lsh_banded_adapted_rows"} <= set(
+        s100
+    ), s100.keys()
+    for name, q in s100.items():
+        assert q["superlinearity_docs_vs_1x"] <= 1.3, (name, q)
+        if not q["low_point_overhead_dominated"]:
+            assert q["superlinearity_vs_10x"] <= 1.3, (name, q)
+    ivf = doc["embedding_queries"]["sim_ann_ivf_sampled"]
+    assert s100["sim_ann_ivf_sampled"]["result_rows_100x"] == (
+        ivf["result_rows_1x"]
+    ), "IVF audit output must stay |Q|-row-bounded at 100x"
+    ab = doc["embedding_queries"]["sim_ann_lsh_banded_adapted_rows"]
+    a100 = s100["sim_ann_lsh_banded_adapted_rows"]
+    assert a100["rows_per_band_100x"] > ab["rows_per_band_10x"], (
+        "the rows ≈ log2(N) + c design rule must deepen bands again at 100x"
+    )
+    exp = 100 * ab["result_rows_1x"]
+    if exp:
+        bdrift = abs(a100["result_rows_100x"] - exp) / exp
+        assert bdrift < 0.05, (
+            f"banded 100x pair drift {bdrift:.1%} — embedding sign-flip "
+            f"bijection no longer preserves cosine structure"
+        )
 
 
 def test_scale_docs_event_family():
