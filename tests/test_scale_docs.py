@@ -121,13 +121,12 @@ def test_scale_docs_100x_point():
     assert a100["rows_per_band_100x"] > ab["rows_per_band_10x"], (
         "the rows ≈ log2(N) + c design rule must deepen bands again at 100x"
     )
-    exp = 100 * ab["result_rows_1x"]
-    if exp:
-        bdrift = abs(a100["result_rows_100x"] - exp) / exp
-        assert bdrift < 0.05, (
-            f"banded 100x pair drift {bdrift:.1%} — embedding sign-flip "
-            f"bijection no longer preserves cosine structure"
-        )
+    # NO docs-style pair-drift assert here: at cos_min=0.30 in 64 dims,
+    # cross-replica background pairs (~0.8% of vector pairs for ANY
+    # orthogonal replica transform — cos std is 1/sqrt(64)) are inherent
+    # to the threshold semantics, so output mass grows ~N^2*P and only
+    # the TIME ratio is the scale claim (see scripts/docs_scale_run.py).
+    assert a100["result_rows_100x"] > ab["result_rows_10x"], (a100, ab)
 
 
 def test_scale_docs_event_family():
