@@ -419,6 +419,30 @@ def compute_noise_block(
         "probe_ratio": probe_ratio,
         "normalized_regressions": regressions,
     }
+    # Host-EPOCH shift detection (r11): the burst probe and the sustained
+    # median are independent host estimators, and when they move >=1.5x in
+    # OPPOSITE directions the reference was taken under a different host
+    # regime that the probe cannot normalize — measured live this round:
+    # r11 probe 0.112 vs r8's 0.188 (probe_ratio 0.60, host LESS contended
+    # at burst) while every query read a uniform ~1.36x slower (sustained
+    # co-tenant throughput loss the short probe slips between). Checking
+    # out the r8 TREE on the same day reproduced the r11-epoch numbers
+    # (median 1.53x vs its own artifact), proving the shift is the host,
+    # not the code. Flags against a cross-epoch reference stay recorded
+    # but the artifact says they need same-epoch adjudication.
+    if probe_ratio and (
+        (median_ratio >= 1.25 and probe_ratio <= median_ratio / 1.5)
+        or (median_ratio <= 0.8 and probe_ratio >= median_ratio * 1.5)
+    ):
+        block["noise"]["reference_epoch_shift"] = True
+        print(
+            f"# WARNING: probe_ratio {probe_ratio}x vs median_ratio "
+            f"{median_ratio:.2f}x — {ref_path.name} is from a different "
+            f"HOST EPOCH (sustained throughput shifted, burst probe did "
+            f"not); adjudicate any flag by re-running the reference TREE "
+            f"on this host",
+            file=sys.stderr,
+        )
     # Trust is per-query when the chunked gate ran (VERDICT r10 #1): a flag
     # on a query timed inside its own clean window is evidence even if the
     # run's trajectory flapped elsewhere; a flag on a query whose window was

@@ -197,3 +197,24 @@ def test_probe_floor_uses_fullsweep_artifacts(tmp_path):
     _artifact(tmp_path / "BENCH_r09.json", _REF_Q, probe=0.30)
     # floor = 0.15 -> band = max(0.1875, 0.22) = 0.22
     assert bench._probe_band(tmp_path) == 0.22
+
+
+def test_cross_epoch_reference_annotated(tmp_path):
+    """r11: probe_ratio and median_ratio moving >=1.5x in opposite
+    directions = the reference is from a different host EPOCH (sustained
+    throughput shifted while the burst probe did not — the r8-vs-r11
+    measured case: probe 0.60x, median 1.36x, r8 TREE re-run reproducing
+    the r11-epoch numbers). The artifact must say so."""
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.188)
+    cur = {k: v * 1.36 for k, v in _REF_Q.items()}  # uniform epoch shift
+    samples = [{"cpu_spin_sec": 0.13, "spark_probe_sec": 0.112}] * 3
+    block = bench.compute_noise_block(cur, samples, repo=tmp_path)
+    assert block["noise"]["reference_epoch_shift"] is True
+    assert block["noise"]["normalized_regressions"] == []  # uniform = no flags
+
+
+def test_same_epoch_reference_not_annotated(tmp_path):
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    block = bench.compute_noise_block(dict(_CUR_STABLE), list(_CLEAN_SAMPLES),
+                                      repo=tmp_path)
+    assert "reference_epoch_shift" not in block["noise"]
