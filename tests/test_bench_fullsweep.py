@@ -69,27 +69,30 @@ _ADJUDICATED: dict = {
     # landed on a calmer window. Three same-tree r9 sweeps also flagged
     # three DISJOINT sets before min-of-4 runs stabilized the artifact.
     #
-    # r10: the host ran 1.4-1.8x latency-degraded the whole round (sweep
-    # medians 1.664/1.444/1.465/1.755 vs r9 across FOUR same-tree sweeps;
-    # spark probes 0.35-0.45 vs the 0.21 floor while single-thread cpu_spin
-    # stayed at 0.136 — parallel/round-trip throughput, not CPU). The
-    # committed artifact is the calmest attempt; its residual flags are all
-    # queries whose code is UNTOUCHED this round (git diff r9..r10 touches
-    # neither similarity.py nor onebrc.py) and whose same-tree sweep values
-    # flap far beyond any code effect:
-    ("BENCH_r09_fullsweep.json", "BENCH_r10_fullsweep.json"): {
-        "sim_ann_ivf_sampled": "same-tree sweeps 2.556/5.249/5.162s; "
-            "isolation min-of-4 on the same host 2.474s = 1.39x raw vs r9 "
-            "= the sweep-median host factor exactly; similarity.py untouched",
-        "sim_ann_lsh": "same-tree sweeps 0.954/1.127/5.236/2.644s — 5.5x "
-            "same-position flap, unflagged in two of four attempts",
-        "sim_ann_lsh_banded": "same-tree sweeps 0.696/0.735/2.165/3.051s",
-        "sim_ann_recall_audit": "same-tree sweeps 0.727/0.609/1.845/4.444s",
-        "sim_embedding_quantize": "same-tree sweeps 0.240/0.172/0.517/1.419s",
-        "onebrc_permissive_quarantine": "same-tree sweeps 0.246/0.221/"
-            "0.342s; onebrc.py untouched",
-    },
+    # The r10 block (six degraded-host entries against the r9->r10 pair)
+    # EXPIRED with that pair and is removed (VERDICT r10 #2): the r11
+    # sweep is min-of-4 under the per-query probe gate (195/197 clean
+    # windows, artifact contended=false) and the r10->r11 comparison
+    # needs ZERO adjudications — the chunked protocol replaces post-hoc
+    # adjudication as the trust mechanism.
 }
+
+
+def test_fullsweep_min_of_4_probe_gated():
+    """VERDICT r10 #2: min-of-4 with per-query probe stamps is the floor
+    from r11 on — a future sweep silently dropping to min-of-2 or losing
+    the window stamps would re-open the flap class the r9/r10 episodes
+    documented."""
+    doc = json.loads(_sweeps()[-1].read_text())
+    assert doc["runs_per_query"] >= 4, doc["runs_per_query"]
+    assert doc["query_probes"], "per-query probe stamps missing"
+    n_contended = doc["calibration"]["n_contended_windows"]
+    n = len(doc["query_probes"])
+    assert n_contended <= 0.1 * n, (
+        f"{n_contended}/{n} contended windows — not a calm-window sweep; "
+        f"re-run with a larger ONEBRC_BENCH_CALM_WAIT"
+    )
+    assert doc["calibration"]["contended"] is False
 
 
 def test_fullsweep_no_normalized_regressions():
