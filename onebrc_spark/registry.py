@@ -135,242 +135,235 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 7): the correctness driver verifies the
+# Driver-coverage rotation (round 7; re-derived each round from the
+# recorded CORRECTNESS_r* artifacts): the correctness driver verifies the
 # FIRST 50 registry entries per round. Every query has ≥1 driver-green row
-# across rounds, so the window is staleness-driven (VERDICT r6 #2: rotate
-# the oldest-evidence third in): after the flagship pin and the twelve
-# rows that are NEW or whose code/oracle changed this round, the window is
-# exactly the queries with the OLDEST driver evidence — all 28 round-1
-# rows and 9 of the 16 remaining round-2 rows (window median last-green
-# age drops from ~3 rounds to 1). Slot 51+ holds the remainder oldest-first
-# (each entry's last driver-green round annotated), pre-ordering the r8
-# rotation. Every query not in the window stays pinned locally by
+# across rounds, so the window is staleness-driven (VERDICT r6 #2): after
+# the flagship pin and the rows whose code/oracle changed this round, the
+# window is exactly the queries with the OLDEST driver evidence. The r11
+# ordering was recomputed from CORRECTNESS_r01..r10 (last-green histogram:
+# 16×r6, 45×r7, 40×r8, 47×r9, 50×r10 — max age 4, the 197/50 structural
+# floor); the window takes all 16 r6 rows plus the oldest 29 r7 rows.
+# Slot 51+ holds the remainder stalest-first (each entry's last
+# driver-green round annotated), pre-ordering the r12 rotation. Every
+# query not in the window stays pinned locally by
 # tests/test_oracle_parity.py, which runs the same oracle comparison (plus
 # a driver-strict canonicalizer) over ALL queries, and by the freeze gate
 # (sf0.01 per-commit, sf0.1 end-of-round).
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-10 semantic changes — same-round proof: sql_recursive_cte
-    #     (the recursion's termination bound now rides the recursion as a
-    #     carried column instead of a per-level scalar subquery — ~27 fact
-    #     scans become 1; VERDICT r9 #7) and evt_stateful_running_stats_tws
-    #     (protobuf vendoring made env-overridable + stale-symlink repoint,
-    #     VERDICT r9 #5 — execution path, not semantics, but the TWS branch
-    #     selection depends on it).
-    "sql_recursive_cte",
-    "evt_stateful_running_stats_tws",
-    # (c) stalest-first (VERDICT r9 #3): ALL 18 rows whose last driver
-    #     evidence is round 5 ...
-    "sql_tpch_q14_shape",
-    "sql_tpch_q15_shape",
-    "sql_tpch_q17_shape",
-    "sql_tpch_q19_shape",
-    "sql_tpch_q22_shape",
-    "sql_tpch_q3_shape",
-    "sql_tpch_q5_shape",
-    "sql_tpch_q6_shape",
-    "sql_tpch_q7_shape",
-    "sql_tpch_q8_shape",
-    "sql_tpch_q9_shape",
-    "sql_udf_declared",
-    "storage_schema_evolution",
-    "text_cooccurrence_lift",
-    "text_langid",
-    "text_source_overlap",
-    "udf_grouped_map_zscore",
-    "udf_scalar_sigmoid",
-    #     ... and 29 of the 45 round-6 rows. The 16 round-6 rows held
-    #     back (slot 51+, first in line for r11) each carry independent
-    #     local evidence refreshed this round or pinned by a dedicated
-    #     suite: the three ST boundary ops got full engine+oracle+reference
-    #     triangle property tests this round (test_boundary_properties),
-    #     evt_anomaly_mad/text_repetition_profile/storage_compaction/
-    #     text_bpe_merge_pairs/text_boilerplate_clean have named property
-    #     suites, cdc_merge_upsert/dedup_incremental_admission/
-    #     text_bpe_merge_pairs sit in the per-round bench headline,
-    #     onebrc_generated is pinned by the generator property tests, and
-    #     the rest are covered by the curation/mlprep parity shards.
-    "agg_approx_percentile",
-    "agg_corr_covar",
-    "agg_equidepth_histogram",
-    "agg_rollup",
-    "agg_stats",
-    "agg_table_fingerprint",
-    "cdc_snapshot_diff",
-    "dedup_embedding_neardup",
-    "dedup_ngram_jaccard",
-    "dedup_overlap_containment",
-    "evt_dedup_by_id",
-    "evt_session_window",
-    "filter_predicates",
-    "fn_json",
-    "fn_map_roundtrip",
-    "fn_try_arithmetic",
-    "fn_url_parse",
-    "fn_variant_json",
-    "join_asof",
-    "ml_domain_cap",
-    "ml_token_budget",
+    # (b) round-11 semantic/oracle changes — same-round proof: the three
+    #     oracles that gained the signed-zero `+ 0` fold (onebrc_report,
+    #     agg_rank_correlation, sim_label_centroid — the planted-tie
+    #     boundary test caught DuckDB round() keeping -0.0 where Spark's
+    #     BigDecimal round cannot), and dedup_overlap_containment (the
+    #     single-explode posting-list restructure; oracle untouched but
+    #     the plan is new).
     "onebrc_report",
-    "setop_except",
-    "sim_knn_bruteforce",
-    "sort_multi_key",
-    "storage_bucketed_join",
-    "storage_csv_roundtrip",
-    "text_fingerprint",
-    "window_running_frames",
-    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
-    # stalest-first (last driver-green round ascending), pre-ordering the
-    # r11 rotation; every row stays pinned locally by
-    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
-    "cdc_merge_upsert",
-    "dedup_incremental_admission",
-    "dq_k_anonymity",
-    "dq_key_skew_profile",
-    "evt_anomaly_mad",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    "evt_watermark_late_drop",
-    "ml_curation_pipeline",
-    "ml_quality_upsample",
-    "onebrc_generated",
-    "sim_semantic_prune",
-    "storage_compaction",
-    "text_boilerplate_clean",
-    "text_bpe_merge_pairs",
-    "text_repetition_profile",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_min_by_max_by",
-    "agg_sum_count",
-    "dedup_keep_first",
-    "filter_null_semantics",
-    "fn_array_basics",
-    "fn_array_higher_order",
-    "fn_bitwise",
-    "fn_conditional",
-    "fn_datetime",
-    "fn_hash_digests",
-    "fn_math",
-    "fn_regexp",
-    "fn_strings",
-    "join_cross",
-    "join_full_outer",
-    "join_theta_nonequi",
-    "ml_shard_binpack",
-    "mm_decode_real",
-    "mm_decode_stats",
-    "mm_feature_extract",
-    "mm_resize",
-    "project_prune",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "sim_label_centroid",
-    "sort_global_dense_ids",
-    "sql_exists_correlated",
-    "storage_partitioned_pruning",
-    "text_boilerplate_segments",
-    "text_ngram_tf",
-    "text_tfidf_top_terms",
-    "text_token_count_bpe",
-    "topk_limit",
-    "udf_grouped_agg_geomean",
-    "unpivot_stack",
-    "window_distribution",
-    "window_first_last_nth",
-    "window_range_frame",
-    "window_ranking",
-    "agg_approx_count_distinct",
-    "agg_bitmap_distinct",
-    "agg_collect_sorted_list",
-    "agg_hll_sketch_merge",
-    "agg_partial_reaggregation",
     "agg_rank_correlation",
-    "agg_salted_twophase",
-    "agg_tpch_q1",
-    "dedup_exact_distinct",
-    "dq_constraint_audit",
-    "dq_observe_metrics",
-    "evt_gap_fill_lerp",
-    "evt_gap_fill_locf",
-    "evt_retention_cohorts",
-    "evt_transition_matrix",
-    "join_asof_forward",
-    "join_salted_skew",
-    "ml_contamination_ngram",
-    "ml_fixed_size_sample",
-    "ml_quantile_filter",
-    "ml_sequence_packing",
-    "ml_stratified_sample",
-    "mm_byte_stats_arrow",
-    "sim_lsh_candidate_stats",
-    "sql_lateral_topn",
-    "sql_tpch_q13_shape",
-    "sql_tpch_q18_shape",
-    "sql_tpch_q4_shape",
-    "src_python_datasource",
-    "storage_json_roundtrip",
-    "storage_orc_roundtrip",
-    "storage_zorder_layout",
-    "text_fuzzy_levenshtein",
-    "text_inverted_index",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_repetition_score",
-    "text_stopword_removal",
-    "udtf_chunk_documents",
-    "agg_cms_heavy_hitters",
-    "cdc_scd2_history",
-    "dedup_cluster_best_survivor",
-    "dedup_cluster_components",
-    "dedup_cluster_survivors",
-    "dedup_exact",
-    "dedup_graph_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall_audit",
-    "dedup_simhash",
-    "dq_column_profile",
-    "dq_snapshot_drift",
-    "evt_funnel",
-    "evt_stateful_running_stats",
-    "fn_collation_ci",
-    "fn_date_scaffold",
-    "join_broadcast_dims",
-    "join_inner_fact",
-    "join_left_outer",
-    "join_range_interval",
-    "join_semi_anti",
-    "ml_cluster_safe_split",
-    "ml_deterministic_shard",
-    "ml_hash_split",
-    "ml_source_mix",
-    "ml_temperature_mix",
-    "mm_frame_sample",
-    "onebrc_permissive_quarantine",
-    "pivot_status_matrix",
-    "sim_ann_ivf",
-    "sim_ann_ivf_sampled",
-    "sim_ann_lsh",
-    "sim_ann_lsh_banded",
-    "sim_ann_recall_audit",
-    "sim_embedding_quantize",
-    "sql_agg_filter_clause",
-    "sql_tpch_q10_shape",
-    "sql_tpch_q11_shape",
-    "sql_tpch_q12_shape",
-    "sql_tpch_q16_shape",
-    "sql_tpch_q20_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q2_shape",
-    "text_token_stats",
-    "text_unigram_rarity",
-    "window_lag_lead",
-    "window_topn_per_group",
+    "sim_label_centroid",
+    "dedup_overlap_containment",
+    # (c) stalest-first (VERDICT r10 #3): ALL 16 rows whose last driver
+    #     evidence is round 6 (age 4 — the structural staleness floor),
+    #     then the oldest round-7 rows fill the window to 50. Max
+    #     staleness drops back to <=3 once CORRECTNESS_r11 lands.
+    "cdc_merge_upsert",  # r6
+    "dedup_incremental_admission",  # r6
+    "dq_k_anonymity",  # r6
+    "dq_key_skew_profile",  # r6
+    "evt_anomaly_mad",  # r6
+    "evt_sliding_window",  # r6
+    "evt_tumbling_window",  # r6
+    "evt_watermark_late_drop",  # r6
+    "ml_curation_pipeline",  # r6
+    "ml_quality_upsample",  # r6
+    "onebrc_generated",  # r6
+    "sim_semantic_prune",  # r6
+    "storage_compaction",  # r6
+    "text_boilerplate_clean",  # r6
+    "text_bpe_merge_pairs",  # r6
+    "text_repetition_profile",  # r6
+    "agg_count_distinct",  # r7
+    "agg_cube",  # r7
+    "agg_grouping_sets",  # r7
+    "agg_histogram",  # r7
+    "agg_min_by_max_by",  # r7
+    "agg_sum_count",  # r7
+    "dedup_keep_first",  # r7
+    "filter_null_semantics",  # r7
+    "fn_array_basics",  # r7
+    "fn_array_higher_order",  # r7
+    "fn_bitwise",  # r7
+    "fn_conditional",  # r7
+    "fn_datetime",  # r7
+    "fn_hash_digests",  # r7
+    "fn_math",  # r7
+    "fn_regexp",  # r7
+    "fn_strings",  # r7
+    "join_cross",  # r7
+    "join_full_outer",  # r7
+    "join_theta_nonequi",  # r7
+    "ml_shard_binpack",  # r7
+    "mm_decode_real",  # r7
+    "mm_decode_stats",  # r7
+    "mm_feature_extract",  # r7
+    "mm_resize",  # r7
+    "project_prune",  # r7
+    "setop_except_all",  # r7
+    "setop_intersect",  # r7
+    "setop_intersect_all",  # r7
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # stalest-first (last driver-green round ascending, annotated),
+    # pre-ordering the r12 rotation; every row stays pinned locally by
+    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    "setop_union_all",  # r7
+    "sort_global_dense_ids",  # r7
+    "sql_exists_correlated",  # r7
+    "storage_partitioned_pruning",  # r7
+    "text_boilerplate_segments",  # r7
+    "text_ngram_tf",  # r7
+    "text_tfidf_top_terms",  # r7
+    "text_token_count_bpe",  # r7
+    "topk_limit",  # r7
+    "udf_grouped_agg_geomean",  # r7
+    "unpivot_stack",  # r7
+    "window_distribution",  # r7
+    "window_first_last_nth",  # r7
+    "window_range_frame",  # r7
+    "window_ranking",  # r7
+    "agg_approx_count_distinct",  # r8
+    "agg_bitmap_distinct",  # r8
+    "agg_collect_sorted_list",  # r8
+    "agg_hll_sketch_merge",  # r8
+    "agg_partial_reaggregation",  # r8
+    "agg_salted_twophase",  # r8
+    "agg_tpch_q1",  # r8
+    "dedup_exact_distinct",  # r8
+    "dq_constraint_audit",  # r8
+    "dq_observe_metrics",  # r8
+    "evt_gap_fill_lerp",  # r8
+    "evt_gap_fill_locf",  # r8
+    "evt_retention_cohorts",  # r8
+    "evt_transition_matrix",  # r8
+    "join_asof_forward",  # r8
+    "join_salted_skew",  # r8
+    "ml_contamination_ngram",  # r8
+    "ml_fixed_size_sample",  # r8
+    "ml_quantile_filter",  # r8
+    "ml_sequence_packing",  # r8
+    "ml_stratified_sample",  # r8
+    "mm_byte_stats_arrow",  # r8
+    "sim_lsh_candidate_stats",  # r8
+    "sql_lateral_topn",  # r8
+    "sql_tpch_q13_shape",  # r8
+    "sql_tpch_q18_shape",  # r8
+    "sql_tpch_q4_shape",  # r8
+    "src_python_datasource",  # r8
+    "storage_json_roundtrip",  # r8
+    "storage_orc_roundtrip",  # r8
+    "storage_zorder_layout",  # r8
+    "text_fuzzy_levenshtein",  # r8
+    "text_inverted_index",  # r8
+    "text_pii_redaction",  # r8
+    "text_quality_score",  # r8
+    "text_repetition_score",  # r8
+    "text_stopword_removal",  # r8
+    "udtf_chunk_documents",  # r8
+    "agg_cms_heavy_hitters",  # r9
+    "cdc_scd2_history",  # r9
+    "dedup_cluster_best_survivor",  # r9
+    "dedup_cluster_components",  # r9
+    "dedup_cluster_survivors",  # r9
+    "dedup_exact",  # r9
+    "dedup_graph_pagerank",  # r9
+    "dedup_minhash_lsh",  # r9
+    "dedup_minhash_recall_audit",  # r9
+    "dedup_simhash",  # r9
+    "dq_column_profile",  # r9
+    "dq_snapshot_drift",  # r9
+    "evt_funnel",  # r9
+    "evt_stateful_running_stats",  # r9
+    "fn_collation_ci",  # r9
+    "fn_date_scaffold",  # r9
+    "join_broadcast_dims",  # r9
+    "join_inner_fact",  # r9
+    "join_left_outer",  # r9
+    "join_range_interval",  # r9
+    "join_semi_anti",  # r9
+    "ml_cluster_safe_split",  # r9
+    "ml_deterministic_shard",  # r9
+    "ml_hash_split",  # r9
+    "ml_source_mix",  # r9
+    "ml_temperature_mix",  # r9
+    "mm_frame_sample",  # r9
+    "onebrc_permissive_quarantine",  # r9
+    "pivot_status_matrix",  # r9
+    "sim_ann_ivf",  # r9
+    "sim_ann_ivf_sampled",  # r9
+    "sim_ann_lsh",  # r9
+    "sim_ann_lsh_banded",  # r9
+    "sim_ann_recall_audit",  # r9
+    "sim_embedding_quantize",  # r9
+    "sql_agg_filter_clause",  # r9
+    "sql_tpch_q10_shape",  # r9
+    "sql_tpch_q11_shape",  # r9
+    "sql_tpch_q12_shape",  # r9
+    "sql_tpch_q16_shape",  # r9
+    "sql_tpch_q20_shape",  # r9
+    "sql_tpch_q21_shape",  # r9
+    "sql_tpch_q2_shape",  # r9
+    "text_token_stats",  # r9
+    "text_unigram_rarity",  # r9
+    "window_lag_lead",  # r9
+    "window_topn_per_group",  # r9
+    "agg_approx_percentile",  # r10
+    "agg_corr_covar",  # r10
+    "agg_equidepth_histogram",  # r10
+    "agg_rollup",  # r10
+    "agg_stats",  # r10
+    "agg_table_fingerprint",  # r10
+    "cdc_snapshot_diff",  # r10
+    "dedup_embedding_neardup",  # r10
+    "dedup_ngram_jaccard",  # r10
+    "evt_dedup_by_id",  # r10
+    "evt_session_window",  # r10
+    "evt_stateful_running_stats_tws",  # r10
+    "filter_predicates",  # r10
+    "fn_json",  # r10
+    "fn_map_roundtrip",  # r10
+    "fn_try_arithmetic",  # r10
+    "fn_url_parse",  # r10
+    "fn_variant_json",  # r10
+    "join_asof",  # r10
+    "ml_domain_cap",  # r10
+    "ml_token_budget",  # r10
+    "setop_except",  # r10
+    "sim_knn_bruteforce",  # r10
+    "sort_multi_key",  # r10
+    "sql_recursive_cte",  # r10
+    "sql_tpch_q14_shape",  # r10
+    "sql_tpch_q15_shape",  # r10
+    "sql_tpch_q17_shape",  # r10
+    "sql_tpch_q19_shape",  # r10
+    "sql_tpch_q22_shape",  # r10
+    "sql_tpch_q3_shape",  # r10
+    "sql_tpch_q5_shape",  # r10
+    "sql_tpch_q6_shape",  # r10
+    "sql_tpch_q7_shape",  # r10
+    "sql_tpch_q8_shape",  # r10
+    "sql_tpch_q9_shape",  # r10
+    "sql_udf_declared",  # r10
+    "storage_bucketed_join",  # r10
+    "storage_csv_roundtrip",  # r10
+    "storage_schema_evolution",  # r10
+    "text_cooccurrence_lift",  # r10
+    "text_fingerprint",  # r10
+    "text_langid",  # r10
+    "text_source_overlap",  # r10
+    "udf_grouped_map_zscore",  # r10
+    "udf_scalar_sigmoid",  # r10
+    "window_running_frames",  # r10
 ]
 
 
