@@ -399,3 +399,80 @@ def test_equidepth_ntile_bucket_edge_ties(spark, seed, tmp_path_factory):
     assert _oracle_rows("agg_equidepth_histogram", d, ["lineitem"]) == expect, (
         "DuckDB oracle diverges from ntile-contract reference"
     )
+
+
+_EMBEDDINGS_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+
+
+def test_centroid_signed_zero_fold(spark, tmp_path_factory):
+    """r11 signed-zero class, executed end-to-end for sim_label_centroid:
+    a label whose dim-1 mean lands in (-5e-5, 0) rounds to -0.0 in DuckDB
+    (repr '-0.0' in the driver hash) but +0.0 in Spark (BigDecimal has no
+    signed zero). The oracle's `+ 0` fold makes both sides 0.0."""
+    rows = [
+        # label 0: dim-1 mean = -0.00002 -> round(.,4) = signed zero tie
+        (1, [-0.00004, 0.5] + [0.0] * 62, 0),
+        (2, [0.0, 0.5] + [0.0] * 62, 0),
+        # label 1: ordinary values (control row)
+        (3, [0.25, -0.125] + [0.0] * 62, 1),
+    ]
+    d = _write(spark, tmp_path_factory, "centroid_zero", "embeddings",
+               _EMBEDDINGS_SCHEMA, rows)
+    from onebrc_spark.operators.similarity import sim_label_centroid
+
+    got = {
+        (r["label"], r["n_vecs"], repr(r["centroid_d1"]), repr(r["centroid_d2"]))
+        for r in sim_label_centroid(spark, str(d)).collect()
+    }
+    expect = {(0, 2, "0.0", "0.5"), (1, 1, "0.25", "-0.125")}
+    assert got == expect, got
+    oracle = {
+        (r[0], r[1], repr(float(r[2])), repr(float(r[3])))
+        for r in _oracle_rows("sim_label_centroid", d, ["embeddings"])
+    }
+    assert oracle == expect, (
+        f"DuckDB oracle leaks signed zero (the + 0 fold is gone?): {oracle}"
+    )
+
+
+def test_spearman_signed_zero_fold(spark, tmp_path_factory):
+    """r11 signed-zero class for agg_rank_correlation: a constructed rank
+    permutation of n=70 with sum(d^2) = 57156 gives spearman
+    1 - 6*57156/(70*(70^2-1)) = -1.7496e-5 — inside (-5e-5, 0), so
+    round(., 4) is the signed-zero tie. Permutations constrain sum(d^2)
+    to EVEN values, which makes n >= 70 the smallest grid where an
+    achievable value lands in the open interval (granularity
+    12/(n(n^2-1)); at n=60 the closest even sum overshoots to -5.56e-5).
+    DuckDB rounds to -0.0, Spark to 0.0; the oracle's `+ 0` folds them."""
+    n = 70
+    perm = list(range(n))
+    for a, b in [(i, n - 1 - i) for i in range(7)] + [(7, 32), (33, 40), (41, 44)]:
+        perm[a], perm[b] = perm[b], perm[a]
+    d2 = sum((i - perm[i]) ** 2 for i in range(n))
+    assert d2 == 57156 and -5e-5 < 1 - 6 * d2 / (n * (n * n - 1)) < 0
+    ship = _utc(1_700_000_000)
+    rows = [
+        # quantity ranks = i, price ranks = perm[i]; grid-friendly doubles
+        (i + 1, 1, "N", float(i), float(perm[i]), ship)
+        for i in range(n)
+    ]
+    schema = (
+        "l_orderkey LONG, l_linenumber INT, l_returnflag STRING, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_shipdate TIMESTAMP"
+    )
+    d = _write(spark, tmp_path_factory, "spearman_zero", "lineitem",
+               schema, rows)
+    from onebrc_spark.operators.aggregates import agg_rank_correlation
+
+    got = [
+        (r["l_returnflag"], r["n"], repr(r["spearman"]))
+        for r in agg_rank_correlation(spark, str(d)).collect()
+    ]
+    assert got == [("N", 70, "0.0")], got
+    oracle = [
+        (r[0], r[1], repr(float(r[2])))
+        for r in _oracle_rows("agg_rank_correlation", d, ["lineitem"])
+    ]
+    assert oracle == [("N", 70, "0.0")], (
+        f"DuckDB oracle leaks signed zero (the + 0 fold is gone?): {oracle}"
+    )
