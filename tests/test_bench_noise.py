@@ -218,3 +218,32 @@ def test_same_epoch_reference_not_annotated(tmp_path):
     block = bench.compute_noise_block(dict(_CUR_STABLE), list(_CLEAN_SAMPLES),
                                       repo=tmp_path)
     assert "reference_epoch_shift" not in block["noise"]
+
+
+def test_wait_for_calm_budget_mechanics(monkeypatch):
+    """r11 calm-window gate: the poll loop returns immediately on a calm
+    probe, drains the SHARED budget while contended (so one stuck window
+    cannot starve the rest of the run), and degrades to returning the last
+    contended reading once the budget is gone — bench.py must always
+    terminate under the driver."""
+    readings = iter([0.5, 0.45, 0.12])
+    slept = []
+    monkeypatch.setattr(bench, "_spark_probe_seconds", lambda s: next(readings))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    budget = {"left": 100.0}
+    probe = bench._wait_for_calm(None, band=0.235, budget=budget)
+    assert probe == 0.12 and len(slept) == 2
+    assert budget["left"] == 100.0 - sum(slept)
+
+    # exhausted budget: no sleep, first reading returned even if contended
+    readings = iter([0.5])
+    slept.clear()
+    probe = bench._wait_for_calm(None, band=0.235, budget={"left": 0.0})
+    assert probe == 0.5 and slept == []
+
+    # budget smaller than one poll: waits only what is left, then returns
+    readings = iter([0.5, 0.4])
+    slept.clear()
+    budget = {"left": 7.0}
+    probe = bench._wait_for_calm(None, band=0.235, budget=budget)
+    assert probe == 0.4 and slept == [7.0] and budget["left"] == 0.0
