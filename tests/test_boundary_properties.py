@@ -476,3 +476,63 @@ def test_spearman_signed_zero_fold(spark, tmp_path_factory):
     assert oracle == [("N", 70, "0.0")], (
         f"DuckDB oracle leaks signed zero (the + 0 fold is gone?): {oracle}"
     )
+
+
+_DOCUMENTS_SCHEMA = (
+    "doc_id LONG, source STRING, lang STRING, n_chars INT, text STRING"
+)
+
+
+def test_token_budget_exact_boundary(spark, tmp_path_factory):
+    """X11e: the admission bound is `cum <= 800` on exact-integer token
+    counts — a document whose running sum lands EXACTLY on the budget is
+    KEPT, and the next one drops. Plants the exact-landing case, the
+    one-over case (a doc whose admission would make cum = 801), and a
+    source whose first document alone exceeds the budget (n_kept = 0).
+    Triangle: engine, registered oracle, O(n) reference."""
+    from onebrc_spark.operators.mlprep import _TOKEN_BUDGET, ml_token_budget
+
+    assert _TOKEN_BUDGET == 800  # the plants below encode this bound
+    def doc(tokens: int) -> str:
+        return " ".join(f"t{i}" for i in range(tokens))
+
+    rows = [
+        # source a: 500 + 300 = exactly 800 (kept), then 1 (dropped at 801)
+        (1, "a", "en", 1, doc(500)),
+        (2, "a", "en", 1, doc(300)),
+        (3, "a", "en", 1, doc(1)),
+        # source b: 799 + 1 = exactly 800 via a 1-token doc, then 200 drops
+        (4, "b", "en", 1, doc(799)),
+        (5, "b", "en", 1, doc(1)),
+        (6, "b", "en", 1, doc(200)),
+        # source c: first doc alone is 801 — nothing admitted
+        (7, "c", "en", 1, doc(801)),
+    ]
+    d = _write(spark, tmp_path_factory, "budget_edge", "documents",
+               _DOCUMENTS_SCHEMA, rows)
+
+    expect = set()
+    for src in ("a", "b", "c"):
+        cum, kept, dropped, kept_tokens = 0, 0, 0, 0
+        for _, s, _, _, text in rows:
+            if s != src:
+                continue
+            n = len(text.split())
+            cum += n
+            if cum <= 800:
+                kept += 1
+                kept_tokens += n
+            else:
+                dropped += 1
+        expect.add((src, kept, dropped, kept_tokens))
+    assert ("a", 2, 1, 800) in expect and ("b", 2, 1, 800) in expect
+    assert ("c", 0, 1, 0) in expect
+
+    got = {
+        (r["source"], r["n_kept"], r["n_dropped"], r["kept_tokens"])
+        for r in ml_token_budget(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from per-row reference"
+    assert _oracle_rows("ml_token_budget", d, ["documents"]) == expect, (
+        "DuckDB oracle diverges from per-row reference"
+    )
