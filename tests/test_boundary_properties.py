@@ -536,3 +536,75 @@ def test_token_budget_exact_boundary(spark, tmp_path_factory):
     assert _oracle_rows("ml_token_budget", d, ["documents"]) == expect, (
         "DuckDB oracle diverges from per-row reference"
     )
+
+
+def test_hash_split_bucket_edges(spark, tmp_path_factory):
+    """X4 split contract at the exact bucket edges: bucket 11 is the LAST
+    train, 12 the FIRST val, 13 the last val, 14 the first test. Plants
+    doc_ids whose md5 first hex digit lands exactly on each edge (searched:
+    md5('22')[0]='b'=11, md5('0')[0]='c'=12, md5('10')[0]='d'=13,
+    md5('3')[0]='e'=14, md5('44')[0]='f'=15, md5('27')[0]='0'=0) and pins
+    all three sides on the per-split census."""
+    import hashlib
+
+    plants = {22: "train", 0: "val", 10: "val", 3: "test", 44: "test",
+              27: "train"}
+    for doc_id, split in plants.items():
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+        want = "train" if b < 12 else ("val" if b < 14 else "test")
+        assert want == split, (doc_id, b)
+    rows = [
+        (doc_id, "s", "en", 10 + doc_id, "x y z") for doc_id in plants
+    ]
+    d = _write(spark, tmp_path_factory, "split_edge", "documents",
+               _DOCUMENTS_SCHEMA, rows)
+    from onebrc_spark.operators.mlprep import ml_hash_split
+
+    expect = set()
+    for split in ("train", "val", "test"):
+        ids = [i for i, s in plants.items() if s == split]
+        expect.add((split, "en", len(ids), sum(10 + i for i in ids)))
+
+    got = {
+        (r["split"], r["lang"], r["n_docs"], r["total_chars"])
+        for r in ml_hash_split(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from bucket-edge reference"
+    assert _oracle_rows("ml_hash_split", d, ["documents"]) == expect, (
+        "DuckDB oracle diverges from bucket-edge reference"
+    )
+
+
+def test_domain_cap_exact_rank_tie(spark, tmp_path_factory):
+    """X11d: the cap is `row_number() <= 10` under (n_tokens DESC, doc_id)
+    — a source with EXACTLY 10 docs keeps all of them; an 11-doc source
+    drops precisely the one that loses the deterministic tiebreak. Plants
+    an all-equal-token-count source so the cut falls entirely on the
+    doc_id tiebreak (rank 10 = doc_id 10 kept, doc_id 11 dropped)."""
+    from onebrc_spark.operators.mlprep import _DOMAIN_CAP, ml_domain_cap
+
+    assert _DOMAIN_CAP == 10  # the plants below encode this cap
+    rows = []
+    # source a: 11 docs, ALL 5 tokens — the cut is purely the tiebreak
+    for i in range(1, 12):
+        rows.append((i, "a", "en", 1, "t1 t2 t3 t4 t5"))
+    # source b: exactly 10 docs, descending token counts (ranks = order)
+    for i in range(1, 11):
+        rows.append((100 + i, "b", "en", 1, " ".join(f"w{j}" for j in range(20 - i))))
+    d = _write(spark, tmp_path_factory, "cap_edge", "documents",
+               _DOCUMENTS_SCHEMA, rows)
+
+    expect = set()
+    for i in range(1, 11):  # doc 11 loses the tiebreak and drops
+        expect.add(("a", i, 5, i))
+    for i in range(1, 11):
+        expect.add(("b", 100 + i, 20 - i, i))
+
+    got = {
+        (r["source"], r["doc_id"], r["n_tokens"], r["rnk"])
+        for r in ml_domain_cap(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from cap-tie reference"
+    assert _oracle_rows("ml_domain_cap", d, ["documents"]) == expect, (
+        "DuckDB oracle diverges from cap-tie reference"
+    )
