@@ -12,6 +12,24 @@ class to the remaining window-family ops:
   W3   orders exactly 30/31 days apart + same-day peers in the RANGE frame
        (RANGE BETWEEN 30 PRECEDING is value-inclusive; peers share frames)
 
+Round 11 extends the class to numeric/rounding and admission ties
+(VERDICT r10 #5) — and the FIRST run of the report test found a live bug,
+the third round in a row this program has caught one: DuckDB round()
+keeps IEEE -0.0 (format '-0.0') where Spark's BigDecimal round has no
+signed zero, diverging the report string for any station min/max in
+(-0.05, 0); the oracles now fold with `+ 0` and the tests pin the fold:
+
+  F1/F3/S8  report min/mean/max on exact .x5 half-ties, both signs, plus
+            the signed-zero band, end-to-end through the formatted line
+  A10/W1    ntile bucket-edge ties (duplicate-price runs straddling
+            bucket boundaries, n not divisible by 10)
+  X3        sim_label_centroid mean in (-5e-5, 0) — the signed-zero fold
+  A10       agg_rank_correlation: a constructed n=70 rank permutation
+            landing spearman exactly in (-5e-5, 0)
+  X11e      token-budget admission with cum == budget exactly (kept)
+  X11d      domain cap cutting purely on the row_number tiebreak
+  X4        hash-split docs exactly on the 12/14 bucket edges
+
 Unlike tests/test_properties.py's suites (engine vs Python reference), each
 test here runs the FULL TRIANGLE on the planted data: the Spark query, the
 registered DuckDB oracle over views on the same parquet, and an O(n) per-row
