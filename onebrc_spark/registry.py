@@ -49,6 +49,15 @@ Registration rules (SURVEY §7.4 definition-of-done):
     order means identical bits — rounding them is what INTRODUCES
     divergence (Spark string-BigDecimal HALF_UP vs DuckDB binary round
     disagree on x.xxxx5);
+  - any oracle round(x, d) where x can be NEGATIVE near zero needs a `+ 0`
+    fold after it (r11 boundary find, caught live on onebrc_report): a
+    value in (-0.5·10^-d, 0) rounds to IEEE -0.0 in DuckDB — which the
+    driver hash renders '-0.0' and format() prints '-0.0' — while Spark's
+    BigDecimal round has no signed zero and emits +0.0. `x + 0` folds
+    -0.0 to +0.0 and is the identity everywhere else (NULL included).
+    Spark-side F.round never produces -0.0, so only the DuckDB side needs
+    the fold. Executed ties: tests/test_boundary_properties.py
+    (report band, sim_label_centroid mean, agg_rank_correlation spearman);
   - the same applies to EXACT-INTEGER RATIOS (round-5 audit): once the
     numerator is an exact integer, sum/count/scale is the identical double
     in both engines — emit it UNROUNDED. A final round(·, d) re-creates
