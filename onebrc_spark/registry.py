@@ -144,88 +144,32 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 7; re-derived each round from the
+# Driver-coverage rotation (round 12; re-derived each round from the
 # recorded CORRECTNESS_r* artifacts): the correctness driver verifies the
-# FIRST 50 registry entries per round. Every query has ≥1 driver-green row
+# FIRST 50 registry entries per round. Every query has >=1 driver-green row
 # across rounds, so the window is staleness-driven (VERDICT r6 #2): after
 # the flagship pin and the rows whose code/oracle changed this round, the
-# window is exactly the queries with the OLDEST driver evidence. The r11
-# ordering was recomputed from CORRECTNESS_r01..r10 (last-green histogram:
-# 16×r6, 45×r7, 40×r8, 47×r9, 50×r10 — max age 4, the 197/50 structural
-# floor); the window takes all 16 r6 rows plus the oldest 29 r7 rows.
-# Slot 51+ holds the remainder stalest-first (each entry's last
-# driver-green round annotated), pre-ordering the r12 rotation. Every
-# query not in the window stays pinned locally by
-# tests/test_oracle_parity.py, which runs the same oracle comparison (plus
-# a driver-strict canonicalizer) over ALL queries, and by the freeze gate
-# (sf0.01 per-commit, sf0.1 end-of-round).
+# window is exactly the queries with the OLDEST driver evidence. The r12
+# ordering was recomputed from CORRECTNESS_r01..r11 (last-green histogram:
+# 15 x r7, 38 x r8, 47 x r9, 47 x r10, 50 x r11 over the 197 registered
+# queries — max age 4, the 197/50 structural floor); the window takes all
+# 15 r7 rows plus the oldest 33 r8 rows. Slot 51+ holds the remainder
+# stalest-first (each entry's last driver-green round annotated),
+# pre-ordering the r13 rotation. Every query not in the window stays
+# pinned locally by tests/test_oracle_parity.py, which runs the same
+# oracle comparison (plus a driver-strict canonicalizer) over ALL queries,
+# and by the freeze gate (sf0.01 per-commit, sf0.1 end-of-round).
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-11 semantic/oracle changes — same-round proof: the three
-    #     oracles that gained the signed-zero `+ 0` fold (onebrc_report,
-    #     agg_rank_correlation, sim_label_centroid — the planted-tie
-    #     boundary test caught DuckDB round() keeping -0.0 where Spark's
-    #     BigDecimal round cannot), and dedup_overlap_containment (the
-    #     single-explode posting-list restructure; oracle untouched but
-    #     the plan is new).
-    "onebrc_report",
-    "agg_rank_correlation",
-    "sim_label_centroid",
+    # (b) round-12 plan change — same-round proof: dedup_overlap_containment
+    #     regained the hot-gram df census as a broadcast anti-join BEFORE the
+    #     posting-list collect_list (ADVICE r11 medium: bounded aggregation
+    #     buffers; oracle untouched but the plan is new).
     "dedup_overlap_containment",
-    # (c) stalest-first (VERDICT r10 #3): ALL 16 rows whose last driver
-    #     evidence is round 6 (age 4 — the structural staleness floor),
-    #     then the oldest round-7 rows fill the window to 50. Max
-    #     staleness drops back to <=3 once CORRECTNESS_r11 lands.
-    "cdc_merge_upsert",  # r6
-    "dedup_incremental_admission",  # r6
-    "dq_k_anonymity",  # r6
-    "dq_key_skew_profile",  # r6
-    "evt_anomaly_mad",  # r6
-    "evt_sliding_window",  # r6
-    "evt_tumbling_window",  # r6
-    "evt_watermark_late_drop",  # r6
-    "ml_curation_pipeline",  # r6
-    "ml_quality_upsample",  # r6
-    "onebrc_generated",  # r6
-    "sim_semantic_prune",  # r6
-    "storage_compaction",  # r6
-    "text_boilerplate_clean",  # r6
-    "text_bpe_merge_pairs",  # r6
-    "text_repetition_profile",  # r6
-    "agg_count_distinct",  # r7
-    "agg_cube",  # r7
-    "agg_grouping_sets",  # r7
-    "agg_histogram",  # r7
-    "agg_min_by_max_by",  # r7
-    "agg_sum_count",  # r7
-    "dedup_keep_first",  # r7
-    "filter_null_semantics",  # r7
-    "fn_array_basics",  # r7
-    "fn_array_higher_order",  # r7
-    "fn_bitwise",  # r7
-    "fn_conditional",  # r7
-    "fn_datetime",  # r7
-    "fn_hash_digests",  # r7
-    "fn_math",  # r7
-    "fn_regexp",  # r7
-    "fn_strings",  # r7
-    "join_cross",  # r7
-    "join_full_outer",  # r7
-    "join_theta_nonequi",  # r7
-    "ml_shard_binpack",  # r7
-    "mm_decode_real",  # r7
-    "mm_decode_stats",  # r7
-    "mm_feature_extract",  # r7
-    "mm_resize",  # r7
-    "project_prune",  # r7
-    "setop_except_all",  # r7
-    "setop_intersect",  # r7
-    "setop_intersect_all",  # r7
-    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
-    # stalest-first (last driver-green round ascending, annotated),
-    # pre-ordering the r12 rotation; every row stays pinned locally by
-    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    # (c) stalest-first (VERDICT r11 #2): ALL 15 rows whose last driver
+    #     evidence is round 7 (age 5 without this rotation), then the oldest
+    #     round-8 rows fill the window to 50.
     "setop_union_all",  # r7
     "sort_global_dense_ids",  # r7
     "sql_exists_correlated",  # r7
@@ -274,6 +218,10 @@ _PRIORITY = [
     "storage_zorder_layout",  # r8
     "text_fuzzy_levenshtein",  # r8
     "text_inverted_index",  # r8
+    # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
+    # stalest-first (last driver-green round ascending, annotated),
+    # pre-ordering the r13 rotation; every row stays pinned locally by
+    # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
     "text_pii_redaction",  # r8
     "text_quality_score",  # r8
     "text_repetition_score",  # r8
@@ -373,6 +321,54 @@ _PRIORITY = [
     "udf_grouped_map_zscore",  # r10
     "udf_scalar_sigmoid",  # r10
     "window_running_frames",  # r10
+    "agg_count_distinct",  # r11
+    "agg_cube",  # r11
+    "agg_grouping_sets",  # r11
+    "agg_histogram",  # r11
+    "agg_min_by_max_by",  # r11
+    "agg_rank_correlation",  # r11
+    "agg_sum_count",  # r11
+    "cdc_merge_upsert",  # r11
+    "dedup_incremental_admission",  # r11
+    "dedup_keep_first",  # r11
+    "dq_k_anonymity",  # r11
+    "dq_key_skew_profile",  # r11
+    "evt_anomaly_mad",  # r11
+    "evt_sliding_window",  # r11
+    "evt_tumbling_window",  # r11
+    "evt_watermark_late_drop",  # r11
+    "filter_null_semantics",  # r11
+    "fn_array_basics",  # r11
+    "fn_array_higher_order",  # r11
+    "fn_bitwise",  # r11
+    "fn_conditional",  # r11
+    "fn_datetime",  # r11
+    "fn_hash_digests",  # r11
+    "fn_math",  # r11
+    "fn_regexp",  # r11
+    "fn_strings",  # r11
+    "join_cross",  # r11
+    "join_full_outer",  # r11
+    "join_theta_nonequi",  # r11
+    "ml_curation_pipeline",  # r11
+    "ml_quality_upsample",  # r11
+    "ml_shard_binpack",  # r11
+    "mm_decode_real",  # r11
+    "mm_decode_stats",  # r11
+    "mm_feature_extract",  # r11
+    "mm_resize",  # r11
+    "onebrc_generated",  # r11
+    "onebrc_report",  # r11
+    "project_prune",  # r11
+    "setop_except_all",  # r11
+    "setop_intersect",  # r11
+    "setop_intersect_all",  # r11
+    "sim_label_centroid",  # r11
+    "sim_semantic_prune",  # r11
+    "storage_compaction",  # r11
+    "text_boilerplate_clean",  # r11
+    "text_bpe_merge_pairs",  # r11
+    "text_repetition_profile",  # r11
 ]
 
 

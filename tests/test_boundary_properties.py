@@ -30,6 +30,16 @@ signed zero, diverging the report string for any station min/max in
   X11d      domain cap cutting purely on the row_number tiebreak
   X4        hash-split docs exactly on the 12/14 bucket edges
 
+Round 12 extends it to the containment family (VERDICT r11 #5 — the r12
+census restructure changed the pair-generation path, so the classes most
+worth pinning on the new shape):
+
+  X2c       a doc pair landing EXACTLY on the 0.9 overlap threshold
+            (shared·10 == 9·min in exact integers — included), the
+            just-below pair (excluded), and the df cap edge: a gram at
+            df == cap survives the census (its full C(cap,2) clique is
+            real output), df == cap+1 vanishes entirely
+
 Unlike tests/test_properties.py's suites (engine vs Python reference), each
 test here runs the FULL TRIANGLE on the planted data: the Spark query, the
 registered DuckDB oracle over views on the same parquet, and an O(n) per-row
@@ -625,4 +635,88 @@ def test_domain_cap_exact_rank_tie(spark, tmp_path_factory):
     assert got == expect, "engine diverges from cap-tie reference"
     assert _oracle_rows("ml_domain_cap", d, ["documents"]) == expect, (
         "DuckDB oracle diverges from cap-tie reference"
+    )
+
+
+def test_containment_exact_threshold_tie(spark, tmp_path_factory):
+    """X2c (VERDICT r11 #5, on the r12 census shape): the admission bound
+    compares EXACT integers — shared·10 >= 9·min — so a pair landing
+    exactly AT overlap 0.9 is INCLUDED and there is no float boundary to
+    flip across engines. Plants:
+
+      * the exact tie: doc A with 10 distinct 3-grams, doc B sharing
+        exactly 9 of them (shared·10 = 90 = 9·min(10, 21)) — included,
+        overlap exactly 0.9;
+      * the just-below pair: C (10 grams) / D sharing exactly 8
+        (80 < 90) — excluded;
+      * the df-cap edge on the census the r12 restructure introduced:
+        64 single-gram docs sharing one gram (df == cap → kept; their
+        C(64,2) containment-1.0 clique is all real output) and 65 docs
+        sharing another (df == cap+1 → the gram vanishes, the docs have
+        zero kept grams and generate nothing).
+
+    Triangle: engine, registered oracle, O(n) per-row reference."""
+    from itertools import combinations
+
+    from onebrc_spark.operators.dedup import (
+        _CONTAIN_DF_CAP,
+        dedup_overlap_containment,
+    )
+
+    assert _CONTAIN_DF_CAP == 64  # the clique plants below encode the cap
+
+    def words(prefix: str, n: int) -> list[str]:
+        return [f"{prefix}{i}" for i in range(1, n + 1)]
+
+    a = words("a", 12)                       # 10 grams
+    b = words("a", 11) + words("b", 12)      # shares exactly 9 with A
+    c = words("c", 12)                       # 10 grams
+    dd = words("c", 10) + words("d", 12)     # shares exactly 8 with C
+    rows = [
+        (1, "s", "en", 1, " ".join(a)),
+        (2, "s", "en", 1, " ".join(b)),
+        (3, "s", "en", 1, " ".join(c)),
+        (4, "s", "en", 1, " ".join(dd)),
+    ]
+    # df == cap: kept — the whole clique is real containment-1.0 output
+    rows += [(200 + i, "s", "en", 1, "y1 y2 y3") for i in range(64)]
+    # df == cap + 1: the gram is hot, the docs contribute nothing
+    rows += [(300 + i, "s", "en", 1, "x1 x2 x3") for i in range(65)]
+    d = _write(spark, tmp_path_factory, "contain_tie", "documents",
+               _DOCUMENTS_SCHEMA, rows)
+
+    # O(n) reference over distinct word-3-gram sets
+    grams = {
+        doc_id: {
+            " ".join(t.split()[i : i + 3])
+            for i in range(len(t.split()) - 2)
+        }
+        for doc_id, _, _, _, t in rows
+    }
+    df_census: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            df_census[g] = df_census.get(g, 0) + 1
+    kept = {
+        doc_id: {g for g in gs if df_census[g] <= _CONTAIN_DF_CAP}
+        for doc_id, gs in grams.items()
+    }
+    expect = set()
+    for x, y in combinations(sorted(kept), 2):
+        shared = len(kept[x] & kept[y])
+        mn = min(len(kept[x]), len(kept[y]))
+        if shared and mn and shared * 10 >= 9 * mn:
+            expect.add((x, y, shared, len(kept[x]), len(kept[y]), shared / mn))
+    assert (1, 2, 9, 10, 21, 0.9) in expect          # the exact tie
+    assert not any(p[:2] == (3, 4) for p in expect)  # just-below excluded
+    assert sum(1 for p in expect if p[0] >= 200) == 64 * 63 // 2  # cap clique
+    assert not any(p[0] >= 300 or p[1] >= 300 for p in expect)   # hot gone
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["shared"], r["n_a"], r["n_b"], r["overlap"])
+        for r in dedup_overlap_containment(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from exact-tie reference"
+    assert _oracle_rows("dedup_overlap_containment", d, ["documents"]) == expect, (
+        "DuckDB oracle diverges from exact-tie reference"
     )

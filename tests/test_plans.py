@@ -690,18 +690,19 @@ def test_anomaly_mad_join_backs_are_broadcast(spark):
     assert "Exchange SinglePartition" not in txt, txt[:3000]
 
 
-def test_overlap_containment_single_explode_bounded_pairs(spark):
-    """dedup_overlap_containment's scale claims (r11 shape): the df cap is
-    a filter on size(docs) of the per-gram posting list, so there is no
-    hot-set df census or broadcast anti-join at all (the old shape
-    recomputed the corpus explode 4x across the census, the anti-join, and
-    both sides of a gram self-join); candidate pairs are generated
-    array-side from the bounded posting lists (no gram self-join, no
-    BroadcastNestedLoopJoin / cartesian anywhere); the three posting-list
-    consumers share one gram exchange at runtime via AQE stage reuse
-    (their subplans are identical up to the exchange — pinned here as: at
-    most 3 parquet scans in the static plan, identical scan text); and the
-    per-doc size census combines map-side."""
+def test_overlap_containment_census_bounds_posting_buffers(spark):
+    """dedup_overlap_containment's scale claims (r12 shape — ADVICE r11
+    medium): the hot-gram df census runs BEFORE the posting-list
+    aggregation and combines map-side (partial_count — the census shuffle
+    carries (gram, count) rows, never doc_ids), the hot set anti-joins out
+    as a BROADCAST hash join (map-side drop: a hot gram's doc_ids never
+    enter the posting-list exchange, and no collect_list buffer can exceed
+    the df cap), and candidate pairs are still generated array-side from
+    the bounded posting lists (no gram self-join, no
+    BroadcastNestedLoopJoin / cartesian / shuffled anti-join anywhere).
+    The r11 shape applied the cap AFTER collect_list, materializing a hot
+    gram's full posting list in one reducer buffer — unbounded per-key
+    memory on a skewed corpus."""
     from onebrc_spark.operators.dedup import dedup_overlap_containment
 
     df = dedup_overlap_containment(spark, SMOKE_SF_DIR)
@@ -709,8 +710,12 @@ def test_overlap_containment_single_explode_bounded_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
     assert "CartesianProduct" not in txt, txt[:3000]
     assert "partial_count" in txt, txt[:2000]
-    # no per-branch df-census anti-join survives (the old 4x shape)
-    assert "LeftAnti" not in txt, txt[:3000]
+    # the census anti-join is broadcast, never a shuffled SortMergeJoin
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt[:3000]
+    assert "SortMergeJoin" not in txt, txt[:3000]
+    # the posting-list aggregation consumes the anti-joined stream: the
+    # collect_list partial must sit ABOVE the LeftAnti join in plan text
+    assert txt.index("partial_collect_list") < txt.index("LeftAnti"), txt[:3000]
 
 
 def test_curation_pipeline_one_pass_two_shuffles(spark):
