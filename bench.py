@@ -121,13 +121,17 @@ def _onebrc_text_seconds(spark) -> float:
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     try:
-        # Three timed runs: the first eats JVM JIT/codegen first-touch
+        # Five timed runs: the first eats JVM JIT/codegen first-touch
         # (~5-7 s of fixed cost, amortized to nothing at the reference's
-        # 1e9-row scale); warm = best of the next two — single-shot warm
-        # times swing ±30% on a shared box (GC, page cache), which round 4
-        # measured as a phantom 1.3x "regression" on an untouched plan.
+        # 1e9-row scale); warm = MIN of the next four (VERDICT r11 #1:
+        # min-of-4 is the fullsweep standard, and the r11 clean artifact's
+        # only trusted flag sat on a best-of-2 text-scan number whose
+        # 1.14x same-epoch tree-pair delta could not be adjudicated at
+        # protocol grade) — single-shot warm times swing ±30% on a shared
+        # box (GC, page cache), which round 4 measured as a phantom 1.3x
+        # "regression" on an untouched plan.
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = onebrc_aggregate(
                 read_measurements_fast(spark, ONEBRC_DATA), "station", "measure"
@@ -172,6 +176,50 @@ def _spark_probe_seconds(spark) -> float:
         "bit_xor(xxhash64(id)) AS s"
     ).collect()
     return time.time() - t0
+
+
+def _jvm_gc_millis(spark) -> int:
+    """Cumulative JVM GC wall-millis since JVM start, summed over all
+    GarbageCollectorMXBeans — the delta across a probe tells whether a
+    reading was inflated by the JVM collecting this process's own garbage
+    rather than by host load."""
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    total = 0
+    it = beans.iterator()
+    while it.hasNext():
+        t = it.next().getCollectionTime()
+        if t > 0:
+            total += t
+    return int(total)
+
+
+def _jvm_system_gc(spark) -> None:
+    spark._jvm.System.gc()
+
+
+def _gc_adjudicated_post_probe(spark, band: float) -> tuple[float, dict | None]:
+    """Post-probe with GC self-noise adjudication (VERDICT r11 #3): the
+    minhash-build entry's post-probe read ~0.32 s on every attempt in both
+    r11 clean runs while standalone replications were clean — hypothesis:
+    trailing JVM GC from the heavy persist+materialize lands inside the
+    probe. Mechanism, now measured per-probe: take the probe with a GC
+    MXBean delta around it; if it reads contended AND at least half the
+    overage is measured in-process GC time, the reading is SELF-noise, not
+    host load — flush with System.gc() (outside any timed window) and
+    re-probe once. Returns (post, evidence) where evidence (recorded in
+    the stamp as `gc_flush`) carries the first reading and its measured GC
+    overlap, so a flushed stamp is backed by numbers, not a waiver."""
+    g0 = _jvm_gc_millis(spark)
+    post = _spark_probe_seconds(spark)
+    gc_ms = _jvm_gc_millis(spark) - g0
+    if post <= band or gc_ms < 0.5 * (post - band) * 1000:
+        return post, None
+    _jvm_system_gc(spark)
+    post2 = _spark_probe_seconds(spark)
+    return post2, {"first_post": round(post, 3), "gc_ms_in_first": gc_ms}
 
 
 def run_calibration(spark, samples: list) -> None:
@@ -430,9 +478,15 @@ def compute_noise_block(
     # (median 1.53x vs its own artifact), proving the shift is the host,
     # not the code. Flags against a cross-epoch reference stay recorded
     # but the artifact says they need same-epoch adjudication.
+    # ADVICE r11: the divergence test additionally requires the probe to
+    # be near-flat or opposite-signed (<=1.1x on the slow branch, >=0.9x
+    # on the fast one) — the old ratio-only condition also fired when both
+    # estimators moved the SAME way (median 3.0x with probe 1.9x is a
+    # genuine broad slowdown plus load, not a cross-epoch artifact) and
+    # would have annotated a real regression epoch as noise.
     if probe_ratio and (
-        (median_ratio >= 1.25 and probe_ratio <= median_ratio / 1.5)
-        or (median_ratio <= 0.8 and probe_ratio >= median_ratio * 1.5)
+        (median_ratio >= 1.25 and probe_ratio <= min(median_ratio / 1.5, 1.1))
+        or (median_ratio <= 0.8 and probe_ratio >= max(median_ratio * 1.5, 0.9))
     ):
         block["noise"]["reference_epoch_shift"] = True
         print(
@@ -574,9 +628,9 @@ def main() -> None:
     for attempt in range(1, 3):
         pre = _wait_for_calm(spark, band, budget)
         warm, cold = _onebrc_text_seconds(spark)
-        post = _spark_probe_seconds(spark)
+        post, text_gc = _gc_adjudicated_post_probe(spark, band)
         if best_text is None or warm < best_text[0]:
-            best_text = (warm, cold, pre, post)
+            best_text = (warm, cold, pre, post, text_gc)
         if (pre <= band and post <= band) or budget["left"] <= 0:
             break
         print(
@@ -584,13 +638,21 @@ def main() -> None:
             f"(pre {pre:.3f} post {post:.3f}) — retry {attempt}",
             file=sys.stderr, flush=True,
         )
-    warm, cold, pre, post = best_text
+    warm, cold, pre, post, text_gc = best_text
     times["onebrc_text_scan_agg"] = warm
     times["onebrc_text_scan_agg_cold"] = cold
-    query_probes["onebrc_text_scan_agg"] = {
+    # BOTH text-scan keys get the window's stamp (ADVICE r11): the cold
+    # number is timed in the same gated window, and a stampless key is
+    # permanently demoted by _trusted whenever query_probes is present —
+    # a genuine cold-scan regression could never flag.
+    text_stamp = {
         "pre": round(pre, 3), "post": round(post, 3),
         "clean": pre <= band and post <= band, "attempts": attempt,
     }
+    if text_gc:
+        text_stamp["gc_flush"] = text_gc
+    query_probes["onebrc_text_scan_agg"] = text_stamp
+    query_probes["onebrc_text_scan_agg_cold"] = dict(text_stamp)
     run_calibration(spark, cal_samples)  # mid-run sample
     for name in HEADLINE:
         fn = fn_for(name)
@@ -630,13 +692,13 @@ def main() -> None:
                 df = fn(spark, SF_DIR)
                 n = df.count()
                 runs.append(time.time() - t0)
-            post = _spark_probe_seconds(spark)
+            post, gc_flush = _gc_adjudicated_post_probe(spark, band)
             sec = min(runs)
             # keep the MINIMUM over attempts: contention only inflates, so
             # the fastest attempt is the closest to the plan's true cost —
             # and its window stamps are the ones the artifact reports
             if best is None or sec < best[0]:
-                best = (sec, pre, post, n, runs, attempt)
+                best = (sec, pre, post, n, runs, attempt, gc_flush)
             if (pre <= band and post <= band) or budget["left"] <= 0:
                 break
             print(
@@ -644,12 +706,14 @@ def main() -> None:
                 f"{post:.3f}) — retry {attempt}/{_MAX_ATTEMPTS}",
                 file=sys.stderr, flush=True,
             )
-        sec, pre, post, n, runs, kept_attempt = best
+        sec, pre, post, n, runs, kept_attempt, gc_flush = best
         times[name] = round(sec, 3)
         query_probes[name] = {
             "pre": round(pre, 3), "post": round(post, 3),
             "clean": pre <= band and post <= band, "attempts": attempt,
         }
+        if gc_flush:
+            query_probes[name]["gc_flush"] = gc_flush
         print(f"# {name}: {n} rows in {times[name]}s (runs: "
               f"{', '.join(f'{r:.3f}' for r in runs)}; window pre "
               f"{pre:.3f} post {post:.3f} clean="

@@ -64,6 +64,7 @@ def main() -> None:
 
     from bench import (  # noqa: E402 (repo-root module)
         CALM_POLL_SLEEP,
+        _gc_adjudicated_post_probe,
         _median,
         _probe_band,
         _spark_probe_seconds,
@@ -115,13 +116,16 @@ def main() -> None:
                     t0 = time.time()
                     q.fn(spark, args.sf_dir).count()
                     runs.append(time.time() - t0)
-                # the post-probe chains into the NEXT query's pre-probe
-                post = _spark_probe_seconds(spark)
+                # the post-probe chains into the NEXT query's pre-probe;
+                # GC-adjudicated (VERDICT r11 #3): a contended reading
+                # whose overage is measured in-process GC is flushed with
+                # System.gc() and re-taken, evidence kept in the stamp
+                post, gc_flush = _gc_adjudicated_post_probe(spark, band)
                 probe = post
                 probe_readings += [pre, post]
                 sec = min(runs)
                 if best is None or sec < best[0]:
-                    best = (sec, pre, post)
+                    best = (sec, pre, post, gc_flush)
                 clean = pre <= band and post <= band
                 if clean or budget["left"] <= 0 or attempts >= 2:
                     break
@@ -130,15 +134,30 @@ def main() -> None:
                     f"{post:.3f}) — one retry",
                     file=sys.stderr, flush=True,
                 )
-            sec, pre, post = best
+            sec, pre, post, gc_flush = best
             times[name] = round(sec, 3)
             query_probes[name] = {
                 "pre": round(pre, 3), "post": round(post, 3),
                 "clean": pre <= band and post <= band, "attempts": attempts,
             }
+            if gc_flush:
+                query_probes[name]["gc_flush"] = gc_flush
         except Exception as exc:  # record, don't abort the sweep
             times[name] = None
             print(f"# {name}: ERROR {exc}", file=sys.stderr)
+            # ADVICE r11: a failing query never reaches its post-probe, so
+            # without a refresh the NEXT query's pre-probe gate would
+            # consume a stale reading taken BEFORE this query ran (and
+            # wait_calm returns it immediately if it was in-band,
+            # misrepresenting the next entry's actual window). Re-probe
+            # now and stamp the errored entry clean=None — "no verdict",
+            # distinct from a measured-contended window.
+            probe = _spark_probe_seconds(spark)
+            probe_readings.append(probe)
+            query_probes[name] = {
+                "pre": None, "post": round(probe, 3), "clean": None,
+                "attempts": attempts, "err": True,
+            }
         if (i + 1) % 50 == 0:
             run_calibration(spark, cal)  # noise trajectory through the sweep
         print(f"# [{i + 1}/{len(all_q)}] {name}: {times[name]}s "

@@ -75,6 +75,17 @@ _ADJUDICATED: dict = {
     # windows, artifact contended=false) and the r10->r11 comparison
     # needs ZERO adjudications — the chunked protocol replaces post-hoc
     # adjudication as the trust mechanism.
+    ("BENCH_r11_fullsweep.json", "BENCH_r12_fullsweep.json"): {
+        # DELIBERATE restructure, not drift (ADVICE r11 medium): the
+        # hot-gram df census + broadcast anti-join now runs BEFORE the
+        # posting-list collect_list, bounding every aggregation buffer at
+        # the df cap and keeping hot-gram doc_ids out of the posting
+        # exchange — at the price of a second explode pass + census
+        # exchange. Same-session min-of-4: old shape 2.38 s vs new 4.21 s
+        # at sf0.1, ~1.9 -> ~3.0 s at sf0.01 (SCALING.md, 'Asymmetric
+        # containment' — cost of boundedness, accepted).
+        "dedup_overlap_containment": "r12 census restructure, SCALING.md",
+    },
 }
 
 

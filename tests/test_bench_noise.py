@@ -247,3 +247,66 @@ def test_wait_for_calm_budget_mechanics(monkeypatch):
     budget = {"left": 7.0}
     probe = bench._wait_for_calm(None, band=0.235, budget=budget)
     assert probe == 0.4 and slept == [7.0] and budget["left"] == 0.0
+
+
+def test_same_direction_slowdown_not_annotated_as_epoch(tmp_path):
+    """ADVICE r11: median 3.0x slower WITH probe 1.9x slower is a genuine
+    broad slowdown plus load, not a cross-epoch artifact — the ratio-only
+    condition (probe <= median/1.5) used to fire here and would have
+    adjudicated a real regression epoch away. The detector now also
+    requires the probe to be near-flat (<=1.1x) on the slow branch."""
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.19)
+    cur = {k: v * 3.0 for k, v in _REF_Q.items()}
+    samples = [{"cpu_spin_sec": 0.25, "spark_probe_sec": 0.19 * 1.9}] * 3
+    block = bench.compute_noise_block(cur, samples, repo=tmp_path)
+    assert "reference_epoch_shift" not in block.get("noise", {})
+
+
+def test_fast_branch_requires_probe_not_slower(tmp_path):
+    """Mirror of the slow branch: median 0.5x (host twice as fast) with the
+    probe ALSO much faster (0.3x — same direction) is a uniform host
+    speedup, not an epoch artifact; the fast branch requires the probe to
+    stay >=0.9x. The true opposite-signed case (probe 1.2x slower while
+    the median halves) still annotates."""
+    _artifact(tmp_path / "BENCH_r08.json", _REF_Q, probe=0.20)
+    cur = {k: v * 0.5 for k, v in _REF_Q.items()}
+    same_dir = [{"cpu_spin_sec": 0.1, "spark_probe_sec": 0.06}] * 3
+    block = bench.compute_noise_block(cur, same_dir, repo=tmp_path)
+    assert "reference_epoch_shift" not in block.get("noise", {})
+    opposite = [{"cpu_spin_sec": 0.1, "spark_probe_sec": 0.24}] * 3
+    block = bench.compute_noise_block(cur, opposite, repo=tmp_path)
+    assert block["noise"]["reference_epoch_shift"] is True
+
+
+def test_gc_adjudicated_post_probe(monkeypatch):
+    """VERDICT r11 #3: a contended post-probe whose overage is measured
+    in-process GC time gets flushed (System.gc) and re-taken once, with
+    the first reading and its GC overlap recorded as evidence; a
+    contended reading WITHOUT GC overlap is host load and stands; a clean
+    reading never triggers the flush."""
+    band = 0.235
+    gc_calls = []
+    monkeypatch.setattr(bench, "_jvm_system_gc", lambda s: gc_calls.append(1))
+
+    # clean: no flush, no evidence
+    monkeypatch.setattr(bench, "_spark_probe_seconds", lambda s: 0.12)
+    monkeypatch.setattr(bench, "_jvm_gc_millis", lambda s: 0)
+    post, ev = bench._gc_adjudicated_post_probe(None, band)
+    assert post == 0.12 and ev is None and not gc_calls
+
+    # contended with GC covering >=50% of the overage: flush + re-probe
+    probes = iter([0.32, 0.13])
+    gcs = iter([1000, 1070])  # 70 ms GC inside a 85 ms overage
+    monkeypatch.setattr(bench, "_spark_probe_seconds", lambda s: next(probes))
+    monkeypatch.setattr(bench, "_jvm_gc_millis", lambda s: next(gcs))
+    post, ev = bench._gc_adjudicated_post_probe(None, band)
+    assert post == 0.13 and gc_calls == [1]
+    assert ev == {"first_post": 0.32, "gc_ms_in_first": 70}
+
+    # contended but GC-free: host load — reading stands, no flush
+    gc_calls.clear()
+    monkeypatch.setattr(bench, "_spark_probe_seconds", lambda s: 0.32)
+    gcs = iter([500, 510])  # 10 ms GC << 42.5 ms (half the overage)
+    monkeypatch.setattr(bench, "_jvm_gc_millis", lambda s: next(gcs))
+    post, ev = bench._gc_adjudicated_post_probe(None, band)
+    assert post == 0.32 and ev is None and not gc_calls
