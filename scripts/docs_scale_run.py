@@ -75,6 +75,13 @@ EVT_QUERIES = ["join_asof", "evt_anomaly_mad", "evt_gap_fill_locf"]
 # measure scaling).
 QUERIES_100X = ["dedup_minhash_lsh", "dedup_cluster_components"]
 EVT_QUERIES_100X = EVT_QUERIES
+# 100x text-curation rows (VERDICT r11 #4): the boilerplate df census and
+# the BPE pair explode are the two text shapes whose candidate growth
+# could bend at web scale — the same reason the embedding family was the
+# r10 target. Both are char-dominated kernels (segment hashing / pair
+# census), so the bar applies to the CHAR-normalized ratio, like their
+# 10x rows.
+TEXT_QUERIES_100X = ["text_boilerplate_segments", "text_bpe_merge_pairs"]
 SCALE_ROOT = Path("/tmp/onebrc_docs_scale")
 REPLICAS = 10
 _ID_STRIDE = 100_000_000
@@ -590,6 +597,43 @@ def main() -> None:
             f"vs 10x {results_100x[name]['superlinearity_vs_10x']}x",
             file=sys.stderr, flush=True,
         )
+    # --- text-curation family at 100x (VERDICT r11 #4) ---
+    # Char accounting: the "~~j" suffixes inflate chars beyond 100x of the
+    # base exactly as the 10x suffixes did, so the family's bar rides the
+    # char-normalized ratio (segment hashing and pair censuses do work per
+    # CHAR, not per doc). Structure asserts pin the no-interaction
+    # property: the boilerplate ledger stays one row per source (sources
+    # are replica-invariant; every per-replica segment vocabulary is
+    # disjoint, so dfs are preserved per replica), and the BPE census's
+    # LIMIT-bounded output stays fixed-size at any corpus.
+    n100_pre, c100_pre = census(hundred)
+    text_results_100x = {}
+    for name in TEXT_QUERIES_100X:
+        t100, rows100 = time_query(spark, name, hundred)
+        base_row = results[name]
+        t1, t10 = base_row["sec_1x"], base_row["sec_10x"]
+        assert rows100 == base_row["result_rows_1x"], (
+            f"{name}: 100x output shape changed ({rows100} vs "
+            f"{base_row['result_rows_1x']} rows) — the ledger/top-k output "
+            f"is corpus-size-invariant by construction; the replica fixture "
+            f"interacted across replicas"
+        )
+        text_results_100x[name] = {
+            "sec_100x": t100,
+            "result_rows_100x": rows100,
+            "superlinearity_docs_vs_1x": round(t100 / (100 * t1), 3),
+            "superlinearity_chars_vs_1x": round(t100 / ((c100_pre / c1) * t1), 3),
+            "superlinearity_vs_10x": round(t100 / ((c100_pre / c10) * t10), 3),
+            "low_point_overhead_dominated": t10 < _OVERHEAD_FLOOR_SEC,
+        }
+        print(
+            f"# {name} @100x: {t100}s ({rows100} rows) | superlinearity "
+            f"chars vs 1x "
+            f"{text_results_100x[name]['superlinearity_chars_vs_1x']}x, "
+            f"vs 10x {text_results_100x[name]['superlinearity_vs_10x']}x",
+            file=sys.stderr, flush=True,
+        )
+
     evt_results_100x = {}
     for name in EVT_QUERIES_100X:
         t100, rows100 = time_query(spark, name, hundred)
@@ -687,7 +731,7 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
-    n100, c100 = census(hundred)
+    n100, c100 = n100_pre, c100_pre
     assert n100 == 100 * n1, (n1, n100)
     doc = {
         "base": args.base,
@@ -699,6 +743,7 @@ def main() -> None:
         "chars_100x": c100,
         "queries": results,
         "queries_100x": results_100x,
+        "text_queries_100x": text_results_100x,
         "embedding_queries": emb_results,
         "embedding_queries_100x": emb_results_100x,
         "event_queries": evt_results,

@@ -127,6 +127,23 @@ def test_scale_docs_100x_point():
     # to the threshold semantics, so output mass grows ~N^2*P and only
     # the TIME ratio is the scale claim (see scripts/docs_scale_run.py).
     assert a100["result_rows_100x"] > ab["result_rows_10x"], (a100, ab)
+    # text-curation family at 100x (VERDICT r11 #4): the boilerplate df
+    # census and the BPE pair explode — char-dominated kernels, so the bar
+    # rides the char-normalized ratio like their 10x rows; output shape
+    # must stay corpus-size-invariant (per-source ledger / LIMIT top-k),
+    # which is the no-cross-replica-interaction witness.
+    t100 = doc["text_queries_100x"]
+    assert {"text_boilerplate_segments", "text_bpe_merge_pairs"} <= set(
+        t100
+    ), t100.keys()
+    for name, q in t100.items():
+        assert q["superlinearity_chars_vs_1x"] <= 1.3, (name, q)
+        if not q["low_point_overhead_dominated"]:
+            assert q["superlinearity_vs_10x"] <= 1.3, (name, q)
+        assert (
+            q["result_rows_100x"]
+            == doc["queries"][name]["result_rows_1x"]
+        ), (name, q)
 
 
 def test_scale_docs_event_family():
