@@ -131,8 +131,14 @@ def main() -> None:
         print(f"# tree {name} = {sha[:12]} at {wt}", file=sys.stderr)
 
     results: dict[str, list[dict]] = {n: [] for n in trees}
+    order = list(trees.items())
     for rep in range(args.reps):
-        for name, wt in trees.items():
+        # ABBA counterbalancing: the first pair run of this session showed a
+        # MONOTONE within-session drift (+~0.15 s per successive JVM on both
+        # trees) — a fixed A,B interleave hands tree A the earlier, faster
+        # position every rep and manufactures a tree delta out of pure
+        # position. Reversing the order each rep balances the positions.
+        for name, wt in (order if rep % 2 == 0 else list(reversed(order))):
             code = _RUNNER.format(rows=args.rows, band=band, runs=args.runs,
                                   calm_wait=args.calm_wait)
             t0 = time.time()
