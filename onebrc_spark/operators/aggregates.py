@@ -948,9 +948,12 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            count(*) AS n,
-           -- + 0 folds -0.0: a spearman in (-5e-5, 0) rounds to DuckDB
-           -- -0.0 vs Spark's unsigned BigDecimal 0.0 (r11 boundary class)
-           round(corr(rq, rp), 4) + 0 AS spearman
+           -- floor quantizer, not round() (r12, similarity.cos_round6):
+           -- immune to the decimal-vs-binary tie divergence on short-repr
+           -- correlations (integer-rank corr is a small-denominator
+           -- rational - exactly the reachable-tie class) and
+           -- structurally -0.0-free, subsuming the r11 signed-zero fold
+           floor(corr(rq, rp) * 10000 + 0.5) / 10000 AS spearman
     FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     survey_ref="A10,W1 (Spearman rank correlation: rank windows + Pearson corr)",
@@ -978,7 +981,7 @@ def agg_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("rq", "rp"), 4).alias("spearman"),
+            (F.floor(F.corr("rq", "rp") * 10000 + F.lit(0.5)) / 10000).alias("spearman"),
         )
         .orderBy("l_returnflag")
     )

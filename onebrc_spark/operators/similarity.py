@@ -114,6 +114,39 @@ def _cos_sql(a: str, b: str) -> str:
     return _COS_SQL.format(a=a, b=b, dim=EMBEDDING_DIM)
 
 
+def cos_round6(c: Column) -> Column:
+    """6-dp cosine quantization that is DETERMINISTIC ACROSS ENGINES:
+    floor(x·1e6 + 0.5)/1e6 — binary float ops only, so two engines holding
+    the same (or ±1-ulp-noisy) double take the same branch everywhere
+    except within noise of a scaled .5 boundary.
+
+    round(x, 6) is NOT that function (r12 boundary find, the program's
+    fourth live catch): Spark's Round goes through BigDecimal.valueOf —
+    i.e. the DECIMAL SHORTEST-STRING view of x — with HALF_UP, while
+    DuckDB rounds the BINARY value; for a double whose shortest repr lands
+    exactly on a 7th-digit 5 the two views disagree on which side of the
+    tie x sits. Measured: 10,108 of the 900,000 ties k/1e7 (k ≡ 5 mod 10)
+    diverge — e.g. round(0.1250005, 6) = 0.125001 in Spark, 0.125 in
+    DuckDB, confirmed live, and such cosines are exactly constructible
+    from integer-coordinate embeddings (planted in
+    tests/test_boundary_properties.py::test_cosine_round_tie_divergence).
+    The fixtures' random cosines never land on short-repr ties, which is
+    why ten rounds of green CORRECTNESS never saw it. Same idiom as the
+    sim_embedding_quantize quantizer (floor(x·1e9 + 0.5), :728), which
+    documented this exact hazard for round() at registration time.
+
+    Semantics note: at negative half-ties floor(x·1e6 + 0.5) rounds
+    toward +inf where round() rounds away from zero — an acceptable,
+    documented difference because BOTH engines now compute the identical
+    expression."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _cos6_sql(a: str, b: str) -> str:
+    """DuckDB twin of cos_round6(cosine(a, b)) — see cos_round6."""
+    return f"(floor(({_cos_sql(a, b)}) * 1000000 + 0.5) / 1000000)"
+
+
 @query(
     "sim_knn_bruteforce",
     oracle=f"""
@@ -121,7 +154,7 @@ def _cos_sql(a: str, b: str) -> str:
                WHERE vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.qid, e.vec_id AS nid,
-             round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+             {_cos6_sql('q.qv', 'e.embedding')} AS cos_sim
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
     ), ranked AS (
       SELECT qid, nid, cos_sim,
@@ -151,7 +184,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -352,7 +385,7 @@ def sim_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
-             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+             {_cos6_sql('a.embedding', 'b.embedding')} AS cos_sim
       FROM bucketed a JOIN bucketed b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
@@ -383,7 +416,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _ANN_COS_MIN)
         .orderBy("id_a", "id_b")
@@ -409,7 +442,7 @@ def _banded_pairs_sql() -> str:
     )
     , verified AS (
       SELECT id_a, id_b,
-             round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+             {_cos6_sql('ea.embedding', 'eb.embedding')} AS cos_sim
       FROM cand
       JOIN embeddings ea ON ea.vec_id = id_a
       JOIN embeddings eb ON eb.vec_id = id_b
@@ -462,7 +495,7 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias(
                 "cos_sim"
             ),
         )
@@ -477,11 +510,14 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_label_centroid",
     oracle="""
     SELECT label, count(*) AS n_vecs,
-           -- + 0 folds -0.0: centroid coords hover near zero, and a mean in
-           -- (-5e-5, 0) rounds to DuckDB -0.0 vs Spark's unsigned
-           -- BigDecimal 0.0 (r11 boundary class, see onebrc_report oracle)
-           round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0 AS centroid_d1,
-           round(avg(CAST(embedding[2] AS DOUBLE)), 4) + 0 AS centroid_d2
+           -- floor quantizer, not round() (r12, see cos_round6): immune to
+           -- the decimal-vs-binary tie divergence on short-repr means AND
+           -- structurally -0.0-free (floor of a +0.5-shifted value in
+           -- [0,1) is +0), subsuming the r11 signed-zero fold
+           floor(avg(CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000
+             AS centroid_d1,
+           floor(avg(CAST(embedding[2] AS DOUBLE)) * 10000 + 0.5) / 10000
+             AS centroid_d2
     FROM embeddings GROUP BY label ORDER BY label
     """,
     survey_ref="X3",
@@ -497,8 +533,10 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("centroid_d1"),
-            F.round(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("centroid_d2"),
+            (F.floor(F.avg(F.element_at("embedding", 1).cast("double"))
+                     * 10000 + F.lit(0.5)) / 10000).alias("centroid_d1"),
+            (F.floor(F.avg(F.element_at("embedding", 2).cast("double"))
+                     * 10000 + F.lit(0.5)) / 10000).alias("centroid_d2"),
         )
         .orderBy("label")
     )
@@ -512,7 +550,7 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), pairs AS (
       SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
-             round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+             {_cos6_sql('a.embedding', 'b.embedding')} AS cos_sim
       FROM bucketed a JOIN bucketed b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
@@ -541,7 +579,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("keep_id"),
             F.col("b.vec_id").alias("drop_id"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _NEARDUP_COS_MIN)
         .orderBy("keep_id", "drop_id")
@@ -594,7 +632,7 @@ def _ivf_cells_sql() -> str:
           FROM celled WHERE vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cos_sim
+             {_cos6_sql('q.qv', 'c.embedding')} AS cos_sim
       FROM q JOIN celled c ON c.cell = q.qcell AND c.vec_id <> q.qid
     ), ranked AS (
       SELECT qid, nid, cos_sim,
@@ -659,7 +697,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -953,7 +991,7 @@ def _ivf_trained_sql(fit_src: str | None = None) -> str:
           FROM celled WHERE vec_id < {_N_QUERIES}),
     scored AS (
       SELECT q.qid, c.vec_id AS nid,
-             round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cos_sim
+             {_cos6_sql('q.qv', 'c.embedding')} AS cos_sim
       FROM q JOIN celled c
         ON (c.cell = q.qcell OR c.cell = q.qcell2) AND c.vec_id <> q.qid
     ),
@@ -966,7 +1004,7 @@ def _ivf_trained_sql(fit_src: str | None = None) -> str:
     ),
     exact_scored AS (
       SELECT q.qid, e.vec_id AS nid,
-             round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+             {_cos6_sql('q.qv', 'e.embedding')} AS cos_sim
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
     ),
     exact AS (
@@ -1114,7 +1152,7 @@ def _ivf_probe2_audit(
     ).select(
         "qid",
         F.col("vec_id").alias("nid"),
-        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     ivf = (
@@ -1129,7 +1167,7 @@ def _ivf_probe2_audit(
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
         )
     )
     exact = (
@@ -1432,8 +1470,9 @@ _SEMPRUNE_KEEP = 0.8  # keep the 80% most central vectors per cluster
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN rn > ceil({_SEMPRUNE_KEEP} * n_vecs)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
-           round(min(CASE WHEN rn <= ceil({_SEMPRUNE_KEEP} * n_vecs)
-                          THEN cos_c END), 6) AS min_kept_cos
+           floor(min(CASE WHEN rn <= ceil({_SEMPRUNE_KEEP} * n_vecs)
+                          THEN cos_c END) * 1000000 + 0.5) / 1000000
+             AS min_kept_cos
     FROM scored GROUP BY label ORDER BY label
     """,
     survey_ref="X3c (semantic pruning: per-cluster centroid-distance dedup)",
@@ -1523,7 +1562,7 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_vecs").cast("long").alias("n_vecs"),
             F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
             F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_pruned"),
-            F.round(F.min(F.when(kept, F.col("cos_c"))), 6).alias("min_kept_cos"),
+            cos_round6(F.min(F.when(kept, F.col("cos_c")))).alias("min_kept_cos"),
         )
         .orderBy("label")
     )
@@ -1568,7 +1607,7 @@ def _recall_audit_sql() -> str:
     ), truth AS (
       SELECT q.qid, e.vec_id
       FROM q JOIN embeddings e ON e.vec_id <> q.qid
-      WHERE round({_cos_sql('q.qv', 'e.embedding')}, 6) >= {_AUDIT_COS_MIN}
+      WHERE {_cos6_sql('q.qv', 'e.embedding')} >= {_AUDIT_COS_MIN}
     ), cbands AS (
       {corpus_bands}
     ), qbands AS (
@@ -1633,7 +1672,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     truth = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("embedding")), 6))
+        .withColumn("cos_sim", cos_round6(cosine(F.col("qv"), F.col("embedding"))))
         .filter(F.col("cos_sim") >= _AUDIT_COS_MIN)
         .select("qid", "vec_id")
     )

@@ -57,7 +57,25 @@ Registration rules (SURVEY §7.4 definition-of-done):
     -0.0 to +0.0 and is the identity everywhere else (NULL included).
     Spark-side F.round never produces -0.0, so only the DuckDB side needs
     the fold. Executed ties: tests/test_boundary_properties.py
-    (report band, sim_label_centroid mean, agg_rank_correlation spearman);
+    (report band);
+  - STRONGER (r12 boundary find, the program's fourth live catch): for a
+    rounded output whose input can land EXACTLY on a short-repr decimal
+    tie — any rational with a small denominator: cosines of
+    integer-coordinate vectors, integer-rank correlations, means of
+    integer sums — round(x, d) itself diverges across engines even on
+    BIT-IDENTICAL doubles, because Spark's Round reads the DECIMAL
+    shortest-string view (BigDecimal.valueOf, HALF_UP) while DuckDB
+    rounds the BINARY value: measured live, round(0.1250005, 6) =
+    0.125001 in Spark vs 0.125 in DuckDB, and 10,108 of the 900,000
+    k/1e7 7th-digit-5 ties diverge. Quantize with floor(x·scale + 0.5)/
+    scale instead (similarity.cos_round6 + its _cos6_sql twin; the
+    sim_embedding_quantize idiom) — binary ops only, identical in both
+    engines, and structurally -0.0-free (subsumes the `+ 0` fold at the
+    converted sites: similarity cos_sim family, sim_label_centroid,
+    agg_rank_correlation). round(·, d) remains legal only for grid-safe
+    values (e.g. onebrc_report's 0.1-grid temperatures, whose decimal
+    expansion cannot carry a digit-(d+1) 5). Planted end-to-end:
+    tests/test_boundary_properties.py::test_cosine_round_tie_divergence;
   - the same applies to EXACT-INTEGER RATIOS (round-5 audit): once the
     numerator is an exact integer, sum/count/scale is the identical double
     in both engines — emit it UNROUNDED. A final round(·, d) re-creates
@@ -167,6 +185,21 @@ _PRIORITY = [
     #     posting-list collect_list (ADVICE r11 medium: bounded aggregation
     #     buffers; oracle untouched but the plan is new).
     "dedup_overlap_containment",
+    #     ... and the ten queries whose oracle/engine text gained the
+    #     r12 floor quantizer (cos_round6 / floor(x*scale+0.5)/scale -
+    #     the round() decimal-vs-binary tie divergence, see the
+    #     rulebook entry above): same-round driver proof takes
+    #     precedence over staleness, per the r11 precedent.
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_lsh_banded",
+    "sim_label_centroid",
+    "dedup_embedding_neardup",
+    "sim_ann_ivf",
+    "sim_ann_ivf_sampled",
+    "sim_semantic_prune",
+    "sim_ann_recall_audit",
+    "agg_rank_correlation",
     # (c) stalest-first (VERDICT r11 #2): ALL 15 rows whose last driver
     #     evidence is round 7 (age 5 without this rotation), then the oldest
     #     round-8 rows fill the window to 50.
@@ -256,11 +289,6 @@ _PRIORITY = [
     "mm_frame_sample",  # r9
     "onebrc_permissive_quarantine",  # r9
     "pivot_status_matrix",  # r9
-    "sim_ann_ivf",  # r9
-    "sim_ann_ivf_sampled",  # r9
-    "sim_ann_lsh",  # r9
-    "sim_ann_lsh_banded",  # r9
-    "sim_ann_recall_audit",  # r9
     "sim_embedding_quantize",  # r9
     "sql_agg_filter_clause",  # r9
     "sql_tpch_q10_shape",  # r9
@@ -281,7 +309,6 @@ _PRIORITY = [
     "agg_stats",  # r10
     "agg_table_fingerprint",  # r10
     "cdc_snapshot_diff",  # r10
-    "dedup_embedding_neardup",  # r10
     "dedup_ngram_jaccard",  # r10
     "evt_dedup_by_id",  # r10
     "evt_session_window",  # r10
@@ -296,7 +323,6 @@ _PRIORITY = [
     "ml_domain_cap",  # r10
     "ml_token_budget",  # r10
     "setop_except",  # r10
-    "sim_knn_bruteforce",  # r10
     "sort_multi_key",  # r10
     "sql_recursive_cte",  # r10
     "sql_tpch_q14_shape",  # r10
@@ -326,7 +352,6 @@ _PRIORITY = [
     "agg_grouping_sets",  # r11
     "agg_histogram",  # r11
     "agg_min_by_max_by",  # r11
-    "agg_rank_correlation",  # r11
     "agg_sum_count",  # r11
     "cdc_merge_upsert",  # r11
     "dedup_incremental_admission",  # r11
@@ -363,8 +388,6 @@ _PRIORITY = [
     "setop_except_all",  # r11
     "setop_intersect",  # r11
     "setop_intersect_all",  # r11
-    "sim_label_centroid",  # r11
-    "sim_semantic_prune",  # r11
     "storage_compaction",  # r11
     "text_boilerplate_clean",  # r11
     "text_bpe_merge_pairs",  # r11

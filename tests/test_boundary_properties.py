@@ -39,6 +39,12 @@ worth pinning on the new shape):
             just-below pair (excluded), and the df cap edge: a gram at
             df == cap survives the census (its full C(cap,2) clique is
             real output), df == cap+1 vanishes entirely
+  X3        the FOURTH live catch: an integer-coordinate vector pair
+            whose cosine lands bit-exactly on double('0.1250005') —
+            Spark round(·,6) reads the decimal shortest-string (HALF_UP
+            → 0.125001) while DuckDB rounds the binary value (→ 0.125);
+            the similarity family now quantizes with floor(x·1e6+0.5)
+            (cos_round6), planted end-to-end through sim_knn_bruteforce
 
 Unlike tests/test_properties.py's suites (engine vs Python reference), each
 test here runs the FULL TRIANGLE on the planted data: the Spark query, the
@@ -720,3 +726,97 @@ def test_containment_exact_threshold_tie(spark, tmp_path_factory):
     assert _oracle_rows("dedup_overlap_containment", d, ["documents"]) == expect, (
         "DuckDB oracle diverges from exact-tie reference"
     )
+
+
+_EMBEDDINGS_SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+
+
+def test_cosine_round_tie_divergence(spark, tmp_path_factory):
+    """X3 (r12 boundary find — the program's FOURTH live catch): Spark's
+    round() goes through BigDecimal.valueOf, i.e. the DECIMAL
+    shortest-string view of the double, with HALF_UP; DuckDB rounds the
+    BINARY value. For a double whose shortest repr lands exactly on a
+    7th-digit 5 the views disagree: round(0.1250005, 6) = 0.125001 in
+    Spark vs 0.125 in DuckDB (measured: 10,108 of the 900,000 k/1e7 ties
+    diverge). Such cosines are EXACTLY constructible from
+    integer-coordinate embeddings — u = (237, 3116, 0...), v = (-1339,
+    503, 2862, 55, 1, 0...) give dot = 1250005, |u||v| = 1e7, every
+    intermediate double exact, so cosine() lands bit-exactly on
+    double('0.1250005') in both engines. The similarity family therefore
+    quantizes with floor(x·1e6 + 0.5)/1e6 (cos_round6 — binary ops only,
+    identical in both engines; the sim_embedding_quantize idiom), and this
+    test pins (a) the planted divergence in the raw primitives, (b)
+    end-to-end agreement of sim_knn_bruteforce engine/oracle/O(n)
+    reference on the planted tie."""
+    import math
+
+    import duckdb as _duck
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.operators.similarity import _KNN_K, sim_knn_bruteforce
+
+    u = [237.0, 3116.0] + [0.0] * 62
+    v = [-1339.0, 503.0, 2862.0, 55.0, 1.0] + [0.0] * 59
+    dot = sum(a * b for a, b in zip(u, v))
+    na, nb = math.sqrt(sum(a * a for a in u)), math.sqrt(sum(b * b for b in v))
+    assert (dot, na * nb) == (1250005.0, 1e7)  # exact construction
+    tie = dot / (na * nb)
+    assert repr(tie) == "0.1250005"
+
+    # (a) the primitive divergence this class is about, asserted live
+    spark_round = spark.range(1).select(
+        F.round(F.lit(tie), 6).alias("r")
+    ).collect()[0]["r"]
+    duck_round = _duck.sql(f"select round({tie!r}::DOUBLE, 6)").fetchone()[0]
+    assert spark_round == 0.125001 and duck_round == 0.125, (
+        spark_round,
+        duck_round,
+    )  # if either engine changes its round semantics, revisit cos_round6
+
+    # (b) the registered query on the planted pair: engine, oracle and a
+    # floor-quantized O(n) reference must agree on the emitted cos_sim.
+    # vec 0 is the only query (vec_id < 10); 10..12 are its neighbor pool
+    # (fewer than _KNN_K+... so every neighbor ranks).
+    w = [3125.0] + [0.0] * 63  # cos(u, w) = 237/3125... exact but unplanted
+    rows = [
+        (0, u, 0),
+        (10, v, 0),   # the planted 0.1250005 tie
+        (11, w, 0),
+        (12, [0.0, 3200.0] + [0.0] * 62, 0),  # cos = 3116*3200/1e7 = 0.99712
+    ]
+    d = _write(spark, tmp_path_factory, "cos_tie", "embeddings",
+               _EMBEDDINGS_SCHEMA, rows)
+
+    def quant6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = set()
+    ranked = []
+    for vid, vec, _ in rows[1:]:
+        c = sum(a * b for a, b in zip(u, vec))
+        n2 = math.sqrt(sum(x * x for x in vec))
+        ranked.append((vid, quant6(c / (na * n2))))
+    ranked.sort(key=lambda t: (-t[1], t[0]))
+    for rn, (vid, cs) in enumerate(ranked[:_KNN_K], start=1):
+        expect.add((0, vid, cs, rn))
+    assert (0, 10, 0.125, 1 + len([1 for _, c in ranked if c > 0.125])) in expect
+
+    got = {
+        (r["qid"], r["nid"], r["cos_sim"], r["rn"])
+        for r in sim_knn_bruteforce(spark, str(d)).collect()
+    }
+    assert got == expect, "engine diverges from floor-quantized reference"
+    assert _oracle_rows("sim_knn_bruteforce", d, ["embeddings"]) == expect, (
+        "DuckDB oracle diverges from floor-quantized reference"
+    )
+
+    # threshold tie at 0.38 (dedup_embedding_neardup's bound): the exact
+    # 0.3799995 cosine quantizes to 380000/1e6 in BOTH engines — included
+    tie38 = 3799995 / 1e7
+    s38 = spark.range(1).select(
+        (F.floor(F.lit(tie38) * 1000000 + F.lit(0.5)) / 1000000).alias("q")
+    ).collect()[0]["q"]
+    d38 = _duck.sql(
+        f"select floor({tie38!r}::DOUBLE * 1000000 + 0.5) / 1000000"
+    ).fetchone()[0]
+    assert s38 == d38 == 0.38 and s38 >= 0.38
