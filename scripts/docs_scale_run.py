@@ -455,6 +455,7 @@ def main() -> None:
         _STATS_BANDS,
         _STATS_ROWS,
         banded_lsh_buckets,
+        cos_round6,
         cosine,
     )
     from onebrc_spark.sources.catalog import load_table, spread  # noqa: E402
@@ -473,8 +474,8 @@ def main() -> None:
             .select(
                 F.col("a.vec_id").alias("id_a"),
                 F.col("b.vec_id").alias("id_b"),
-                F.round(
-                    cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                cos_round6(
+                    cosine(F.col("a.embedding"), F.col("b.embedding"))
                 ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= _ANN_COS_MIN)
