@@ -144,3 +144,36 @@ def test_lint_catches_the_round4_escape_shapes():
     m2 = _BANNED.search("round(avg(count(x)), 2)")
     assert m2
     assert _EXEMPT_OPERAND.search("count(x)), 2)")
+
+
+def test_no_round_on_cosine_or_tie_reachable_outputs():
+    """r12 rule (registry.py, 'STRONGER'): round(x, d) diverges across
+    engines on bit-identical doubles whose shortest repr lands on a
+    digit-(d+1) 5 — Spark rounds the DECIMAL shortest-string view
+    (BigDecimal HALF_UP), DuckDB the BINARY value (measured live:
+    round(0.1250005, 6) = 0.125001 vs 0.125). Tie-reachable inputs
+    (cosines of integer-coordinate vectors, integer-rank correlations,
+    means of integer sums) must use the floor quantizer
+    (similarity.cos_round6 / floor(x*scale + 0.5)/scale) instead. This
+    lint pins the conversion: no F.round over cosine()/corr() and no SQL
+    round( over the cosine macro may reappear in the similarity module or
+    on the spearman output."""
+    repo = Path(__file__).resolve().parents[1]
+    sim = (repo / "onebrc_spark/operators/similarity.py").read_text()
+    agg = (repo / "onebrc_spark/operators/aggregates.py").read_text()
+    assert not re.search(r"F\.round\(\s*cosine\(", sim), (
+        "F.round over cosine() reintroduces the decimal-vs-binary tie "
+        "divergence — use cos_round6 (registry rule, r12)"
+    )
+    assert not re.search(r"round\(\{_cos_sql", sim), (
+        "SQL round( over the cosine macro — use _cos6_sql (registry rule)"
+    )
+    assert not re.search(r"F\.round\(\s*F\.corr", agg), (
+        "F.round over corr() — integer-rank correlations are "
+        "small-denominator rationals, exactly the reachable-tie class; "
+        "use the floor quantizer (registry rule, r12)"
+    )
+    # the quantizer itself must be in use (guards against deleting the
+    # helper and 'simplifying' back to round in one sweep)
+    assert sim.count("cos_round6(") >= 9, "cos_round6 call sites vanished"
+    assert sim.count("_cos6_sql(") >= 9, "_cos6_sql oracle sites vanished"
