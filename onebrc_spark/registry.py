@@ -171,7 +171,9 @@ _REGISTRY: dict[str, Query] = {}
 # ordering was recomputed from CORRECTNESS_r01..r11 (last-green histogram:
 # 15 x r7, 38 x r8, 47 x r9, 47 x r10, 50 x r11 over the 197 registered
 # queries — max age 4, the 197/50 structural floor); the window takes all
-# 15 r7 rows plus the oldest 33 r8 rows. Slot 51+ holds the remainder
+# 15 r7 rows, the 10 rows whose oracle/engine text gained the r12 floor
+# quantizer (same-round proof precedence, r11 precedent), and the oldest
+# 23 r8 rows. Slot 51+ holds the remainder
 # stalest-first (each entry's last driver-green round annotated),
 # pre-ordering the r13 rotation. Every query not in the window stays
 # pinned locally by tests/test_oracle_parity.py, which runs the same
