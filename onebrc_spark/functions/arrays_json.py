@@ -16,16 +16,26 @@ from onebrc_spark.schemas import EVENT_PROPS
 from onebrc_spark.sources.catalog import load_table
 
 
+def _fq(c, scale: float):
+    """Floor-quantizer floor(x·scale + 0.5)/scale — the engine-deterministic
+    replacement for round(x, d) on off-grid doubles (r12 boundary find; see
+    similarity.cos_round6 / dedup.jac_round4 for the full derivation). The
+    embeddings' float32-sourced values are off-grid, so round()'s
+    decimal-view-vs-binary tie divergence is reachable here in principle."""
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 @query(
     "fn_array_basics",
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                 'sum'), 4) AS vec_sum,
-           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                 'max'), 6) AS vec_max,
+           floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS first_val,
+           floor(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 'sum') * 10000 + 0.5) / 10000 AS vec_sum,
+           floor(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 'max') * 1000000 + 0.5) / 1000000 AS vec_max,
            CASE WHEN list_contains([label, label + 1], 3) THEN 1 ELSE 0 END
              AS has_label
     FROM embeddings ORDER BY vec_id
@@ -36,18 +46,21 @@ def fn_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size / element access / aggregate / array_contains over array<float>.
 
     Sums accumulate in DOUBLE on both engines (floats cast up before adding)
-    so the 4-dp rounded values hash-match.
+    so the quantized values hash-match. r13 round() sweep: the output
+    quantization uses the floor form (_fq) — float32-sourced doubles are
+    off-grid, so round(x, d)'s decimal-view/binary tie divergence (r12
+    boundary find, see dedup.jac_round4) is reachable in principle.
     """
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-        F.round(
-            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("vec_sum"),
-        F.round(F.array_max(dbl), 6).alias("vec_max"),
+        _fq(F.element_at("embedding", 1).cast("double"), 1e6).alias("first_val"),
+        _fq(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 1e4).alias(
+            "vec_sum"
+        ),
+        _fq(F.array_max(dbl), 1e6).alias("vec_max"),
         # membership against a FIXED probe (3): true only for labels 2 and
         # 3 — the prior form array_contains([label, label+1], label) was a
         # tautology that could never fail (round-5 non-vacuity sweep)
@@ -64,11 +77,12 @@ def fn_array_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_higher_order",
     oracle="""
     SELECT vec_id,
-           round(list_aggregate(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4)
-             AS sq_sum,
+           floor(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+                 * 10000 + 0.5) / 10000 AS sq_sum,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
-           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS smallest
+           floor(CAST(list_sort(embedding)[1] AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS smallest
     FROM embeddings ORDER BY vec_id
     """,
     survey_ref="F9",
@@ -78,15 +92,16 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both engines cast each float element to DOUBLE before squaring/summing
     (identical sequential accumulation order over the 64-element list) so the
-    4-dp rounded sums match exactly.
+    quantized sums match exactly; floor-quantized, not round()-ed — see
+    fn_array_basics.
     """
     e = load_table(spark, sf_dir, "embeddings")
     sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
     return e.select(
         "vec_id",
-        F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4).alias("sq_sum"),
+        _fq(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 1e4).alias("sq_sum"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
-        F.round(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias(
+        _fq(F.element_at(F.sort_array("embedding"), 1).cast("double"), 1e6).alias(
             "smallest"
         ),
     ).orderBy("vec_id")
@@ -180,6 +195,7 @@ def fn_date_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact integer cents before the sum (registry quantization rule)
             (
                 F.coalesce(
+                    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                     F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
                     F.lit(0),
                 )
@@ -274,6 +290,7 @@ def fn_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         F.col("mk") == "v",
+                        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                         F.round(F.col("mv") / 2.0 * 100).cast("long"),
                     )
                 )

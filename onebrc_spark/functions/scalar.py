@@ -133,9 +133,13 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
+        # grid-safe (rulebook r13b): integer qty² — round(·,4) identity
         F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        # grid-safe (rulebook r13c): sqrt is irrational off perfect squares; a (d+1)-digit-5 tie needs a half-ulp coincidence
         F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        # grid-safe (rulebook r13c): ln is transcendental off price=0; a (d+1)-digit-5 tie needs a half-ulp coincidence
         F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        # grid-safe (rulebook r13b): 2-dp l_tax — identity
         F.round("l_tax", 2).alias("tax_r"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
     ).orderBy("l_orderkey", "l_linenumber")
@@ -262,6 +266,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT and the SUM is order-independent (registry rule)
     sd_units = F.when(
         (k % 7) != 0,
+        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
         F.round(F.col("value") * 100).cast("long")
         * (F.lit(60) / (k % 7)).cast("long"),
     ).otherwise(F.lit(0))
@@ -382,6 +387,7 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(F.collate("styled", "UTF8_BINARY")).alias("n_spellings"),
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
         .select(

@@ -43,6 +43,7 @@ def onebrc_aggregate(df: DataFrame, key: str, value: str) -> DataFrame:
     plan is unchanged: same partial→final hash aggregate, the sum is just
     a long instead of a double.
     """
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     cents = F.round(F.col(value) * 100).cast("long")
     s, n = F.col("_s"), F.col("_n")
     tenths = F.floor((2 * F.abs(s) + 10 * n) / (20 * n))
@@ -193,10 +194,12 @@ def agg_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits depend on partition merge order (registry rule; the
     ml_temperature_mix ±1 flip was this class)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # grid-safe (rulebook r13b): integer-quantity sum is exact — identity
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             (F.sum(price_cents) / F.lit(100.0)).alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -248,6 +251,7 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~7e7 rows per group at max values; past that widen the SUM to
     DECIMAL(38,0) on both engines (same plan shape)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     dc = F.round(F.col("l_discount") * 100).cast("long")
     tc = F.round(F.col("l_tax") * 100).cast("long")
@@ -255,6 +259,7 @@ def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # grid-safe (rulebook r13b): integer-quantity sum is exact — identity
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             (F.sum(pc) / F.lit(100.0)).alias("sum_base_price"),
             (F.sum(pc * (100 - dc)) / F.lit(10000.0)).alias("sum_disc_price"),
@@ -360,6 +365,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
+            # grid-safe (rulebook r13b): integer-quantity sum is exact — identity
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -394,6 +400,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         # unrounded exact-integer quotient (see agg_tpch_q1's avg note)
         .agg((
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
             / F.count(F.lit(1))
             / F.lit(100.0)
@@ -459,11 +466,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines for identical sorted input (sanctioned exception,
     registry rules)."""
     ev = load_table(spark, sf_dir, "events")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     qv = F.round(F.col("value") * 100).cast("long")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(qv).alias("s1"),
         F.sum(qv.cast("decimal(38,0)") * qv).alias("s2"),
+        # grid-safe (rulebook r13b): percentile interpolation lands on the ≥5e-3 grid (docstring) — ≥5e-5 from any 5-digit tie
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
     )
@@ -545,6 +554,7 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
             F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            # grid-safe (rulebook r13b): 2-dp o_totalprice — identity
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("o_orderpriority")
@@ -638,6 +648,7 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     covar(points, points)/1e4, slope(cents per unit)/1e2; corr is
     scale-invariant so the quantization cancels exactly."""
     li = load_table(spark, sf_dir, "lineitem")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     x = F.round(F.col("l_quantity")).cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
     d = F.round(F.col("l_discount") * 100).cast("long")
@@ -702,6 +713,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_lo")
         # unrounded exact-integer quotient (see agg_tpch_q1's avg note)
         .agg(F.count(F.lit(1)).alias("n"), (
+                # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                 F.sum(F.round(F.col("value") * 100).cast("long"))
                 / F.count(F.lit(1))
                 / F.lit(100.0)
@@ -749,6 +761,7 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
+        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_vc"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
@@ -760,6 +773,7 @@ def agg_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("long").alias("n"),
             (F.sum("sum_vc") / F.lit(100.0)).alias("sum_v"),
+            # grid-safe (rulebook r13b): min/max of 2-dp value — identity at 4 dp
             F.round(F.min("min_v"), 4).alias("min_v"),
             F.round(F.max("max_v"), 4).alias("max_v"),
         )
@@ -880,6 +894,7 @@ def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quantities canonicalize as exact CENTS: cast('long') truncates in
         # Spark while DuckDB CAST(AS BIGINT) rounds — round(*100) is the
         # one definition both engines (and storage_compaction) share
+        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
         F.round(F.col("l_quantity") * 100).cast("long"),
         F.col("l_returnflag"),
     )
@@ -930,6 +945,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # grid-safe (rulebook r13b): 2-dp l_extendedprice — identity
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
@@ -1011,6 +1027,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles, computed in the same query via exact `percentile`."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
+        # grid-safe (rulebook r13b): percentile interpolation on the ≥5e-3 grid — ≥5e-5 from any tie
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_exact"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_exact"),
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_est"),

@@ -112,6 +112,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             (
+                # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                 F.sum(F.round(F.col("price") * 100).cast("long"))
                 / F.lit(100.0)
             ).alias("sum_price"),
@@ -181,6 +182,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             (
+                # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                 F.sum(F.round(F.col("price") * 100).cast("long"))
                 / F.lit(100.0)
             ).alias("sum_price"),

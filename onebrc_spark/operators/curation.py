@@ -324,7 +324,7 @@ _TFIDF_TOPK = 3
                                 ORDER BY score DESC, term) AS rn
       FROM scored
     )
-    SELECT source, term, round(score, 4) AS score, rn
+    SELECT source, term, floor(score * 10000 + 0.5) / 10000 AS score, rn
     FROM ranked WHERE rn <= {_TFIDF_TOPK}
     ORDER BY source, rn
     """,
@@ -359,6 +359,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "term",
+            # grid-safe round: tf·ln(n/df) is 0 exactly (df = n) or
+            # irrational (Lindemann) — a 7th-digit-5 shortest-repr tie
+            # needs a half-ulp coincidence (measure-zero; rulebook's
+            # transcendental exception). The 4-dp OUTPUT re-round below is
+            # the tie-reachable one and uses the floor quantizer.
             F.round(
                 F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
             ).alias("score"),
@@ -368,7 +373,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TFIDF_TOPK)
-        .select("source", "term", F.round("score", 4).alias("score"), "rn")
+        # floor-quantized, NOT round(·, 4): score is itself a 6-dp rounded
+        # value, so x.xxxx50 inputs land EXACTLY on the 5th-digit tie where
+        # Spark's decimal-view HALF_UP and DuckDB's binary round diverge
+        # (r12 boundary find — the double-rounding case; P≈1% per score).
+        .select(
+            "source",
+            "term",
+            (F.floor(F.col("score") * 10000.0 + F.lit(0.5)) / 10000.0).alias("score"),
+            "rn",
+        )
         .orderBy("source", "rn")
     )
 

@@ -73,6 +73,24 @@ def _affine_sql(base_expr: str, seed: int) -> str:
 _WORDS = lambda c: F.split(c, " ")  # noqa: E731
 
 
+def jac_round4(c: Column) -> Column:
+    """4-dp Jaccard quantization that is deterministic across engines:
+    floor(x·1e4 + 0.5)/1e4 — binary ops only, the similarity.cos_round6
+    idiom (r12 boundary find, registry rulebook). round(x, 4) is
+    TIE-REACHABLE here: jaccard = k/union is a small-denominator rational,
+    and any union divisible by 32·5 lands values like 1/160 = 0.00625 /
+    0.70005 = 14001/20000 exactly on a 5th-digit-5 shortest-repr tie where
+    Spark's decimal-view HALF_UP and DuckDB's binary round disagree.
+    Positive domain (jaccard ∈ [0, 1]), so the floor form equals
+    round-half-up everywhere and is -0.0-free."""
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def _jac4_sql(expr: str) -> str:
+    """DuckDB twin of jac_round4 — see jac_round4."""
+    return f"(floor(({expr}) * 10000 + 0.5) / 10000)"
+
+
 def word_3grams(text_col: Column) -> Column:
     """Distinct word-3-gram shingles of a text column (shared by the
     Jaccard and MinHash dedup operators; DuckDB twin is the range/
@@ -163,9 +181,10 @@ def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+           floor(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
                  / (len(a.gset) + len(b.gset)
-                    - len(list_intersect(a.gset, b.gset))), 4) AS jaccard
+                    - len(list_intersect(a.gset, b.gset)))
+                 * 10000 + 0.5) / 10000 AS jaccard
     FROM grams a JOIN grams b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
@@ -243,7 +262,7 @@ def _jaccard_pairs_exact(g: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            jac_round4(jac).alias("jaccard"),
         )
     )
 
@@ -300,7 +319,7 @@ def _jaccard_pairs_lsh_fallback(g: DataFrame, threshold: float) -> DataFrame:
         candidates.join(ga, "doc_a")
         .join(gb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_round4(jac).alias("jaccard"))
     )
 
 
@@ -388,19 +407,27 @@ def minhash_candidates_ctes() -> str:
 def minhash_pairs_sql() -> str:
     """DuckDB SELECT yielding (doc_a, doc_b, jaccard) MinHash-LSH near-dup
     pairs — the dedup_minhash_lsh oracle body, exposed so downstream oracles
-    (cluster components, survivors) can embed the same edge set."""
+    (cluster components, survivors) can embed the same edge set.
+
+    r13: the WHERE filters on the RAW ratio (matching the Spark side's
+    unrounded `jac >= τ` filter exactly — the old rounded-value filter
+    could admit jac ∈ [τ−5e-5, τ) pairs Spark rejects, reachable once
+    word-set unions exceed ~2e4 at corpus scale) and the output column is
+    quantized with the tie-safe floor form (see jac_round4)."""
     return f"""
     WITH {minhash_candidates_ctes()}, verified AS (
       SELECT doc_a, doc_b,
-             round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                   / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 4)
-               AS jaccard
+             CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))
+               AS jac_raw
       FROM candidates
       JOIN words wa ON wa.doc_id = doc_a
       JOIN words wb ON wb.doc_id = doc_b
     )
-    SELECT doc_a, doc_b, jaccard FROM verified
-    WHERE jaccard >= {_MINHASH_THRESHOLD}
+    SELECT doc_a, doc_b,
+           floor(jac_raw * 10000 + 0.5) / 10000 AS jaccard
+    FROM verified
+    WHERE jac_raw >= {_MINHASH_THRESHOLD}
     """
 
 
@@ -710,7 +737,7 @@ def minhash_verify_pairs(ws: DataFrame, candidates: DataFrame) -> DataFrame:
         candidates.join(wa, "doc_a")
         .join(wb, "doc_b")
         .filter(jac >= _MINHASH_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac_round4(jac).alias("jaccard"))
     )
 
 

@@ -54,6 +54,7 @@ def join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
@@ -84,6 +85,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("sum_bal"),
         )
         .orderBy("r_name")
@@ -121,6 +123,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a raw double sum's low bits follow partition merge order
             (
                 F.coalesce(
+                    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                     F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
                     F.lit(0),
                 )

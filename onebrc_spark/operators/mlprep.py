@@ -307,6 +307,7 @@ def ml_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is a narrow projection + filter — the text never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     weight = F.round(F.sqrt(F.col("n_total").cast("double")) * 1000).cast("long")
     z = counts.agg(
         F.sum(weight).alias("denom_i"),

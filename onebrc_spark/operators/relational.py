@@ -47,6 +47,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
+            # grid-safe (rulebook r13b): 2-dp o_totalprice — identity
             F.round("o_totalprice", 2).alias("total"),
             "o_orderstatus",
             "o_orderpriority",
@@ -102,6 +103,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-key ascending sort (O1) is covered by onebrc_flagship."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
+        # grid-safe (rulebook r13b): 2-dp c_acctbal — identity
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     ).orderBy(F.desc("c_mktsegment"), F.desc("acctbal"), F.asc("c_custkey"))
 
@@ -122,6 +124,7 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at any scale."""
     o = load_table(spark, sf_dir, "orders")
     return (
+        # grid-safe (rulebook r13b): 2-dp o_totalprice — identity
         o.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
         .orderBy(F.desc("total"), F.asc("o_orderkey"))
         .limit(25)
@@ -146,6 +149,7 @@ def project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .select(
             "l_orderkey",
+            # grid-safe (rulebook r13b): 2-dp × 2-dp product on the 1e-4 grid — round(·,4) identity
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
         )
         .orderBy("l_orderkey", "net")
@@ -345,6 +349,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_negative"),
+        # grid-safe (rulebook r13b): min/max of 2-dp value — identity at 4 dp
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
@@ -524,6 +529,7 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension surface for the curation pipeline."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
+        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.month("o_orderdate") % 2).cast("long").alias("snap"),
     )

@@ -1391,6 +1391,7 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x_d(x)))
     )
     scale = F.lit(127.0) / F.col("maxabs")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     q_of = lambda x: F.round(x_d(x) * scale)  # noqa: E731
     per_vec = (
         e.withColumn("maxabs", maxabs)
@@ -1508,6 +1509,7 @@ def sim_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(
             F.col("embedding"),
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             lambda x: F.round(x.cast("double") * _SEMPRUNE_SCALE).cast("long"),
         ).alias("q"),
     )

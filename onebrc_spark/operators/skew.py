@@ -60,6 +60,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = salted.groupBy("l_returnflag", "salt").agg(
         F.sum("l_quantity").alias("p_qty"),
         F.sum(
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             F.round(F.col("l_extendedprice") * 100).cast("long")
             * (100 - F.round(F.col("l_discount") * 100).cast("long"))
         ).alias("p_rev"),
@@ -112,6 +113,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             (
+                # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                 / F.lit(100.0)
             ).alias("total_price"),

@@ -142,6 +142,7 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onebrc_spark.sources.catalog import load_table
 
     o = load_table(spark, sf_dir, "orders")
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     pc = F.round(F.col("o_totalprice") * 100).cast("long")
     pv = (
         o.withColumn("pc", pc)
@@ -183,6 +184,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)",
         )
+        # grid-safe (rulebook r13b): 2-dp acctbal / integer nationkey — round(·,2) identity
         .select("c_custkey", "metric", F.round("value", 2).alias("value"))
         .orderBy("c_custkey", "metric")
     )

@@ -45,6 +45,7 @@ def udf_scalar_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     same closed-form math in SQL — both engines evaluate IEEE double exp."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
+        # grid-safe (rulebook r13c): sigmoid is transcendental off value=0 (sigmoid(0)=0.5, 1 digit); a (d+1)-digit-5 tie needs a half-ulp coincidence
         "event_id", F.round(_sigmoid_scaled("value"), 6).alias("sig")
     ).orderBy("event_id")
 
@@ -74,6 +75,7 @@ def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return (
         ev.groupBy("event_type")
+        # grid-safe (rulebook r13c): exp∘avg∘ln transcendental off the all-equal 2-dp degenerate; a (d+1)-digit-5 tie needs a half-ulp coincidence
         .agg(F.round(_geo_mean("value"), 4).alias("geo_mean"))
         .orderBy("event_type")
     )
@@ -137,6 +139,7 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of its group mean rounds to ±0.0 depending on which side the
         # engine's summation lands (seen at sf0.1: pandas mean vs DuckDB
         # window avg disagree by one ulp, flipping the sign of a ~1e-15 z).
+        # grid-safe (rulebook r13c): √variance denominator irrational off degenerate groups; a (d+1)-digit-5 tie needs a half-ulp coincidence
         (F.round("zscore", 4) + 0.0).alias("zscore"),
     ).orderBy("user_id", "event_id")
 

@@ -133,12 +133,14 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     frame = w.rowsBetween(-4, 0)
+    # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.select(
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
+            # grid-safe (rulebook r13b): integer-quantity running sum exact — identity
             F.round(
                 F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
             ).alias("running_qty"),
@@ -178,6 +180,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_mktsegment",
             "c_custkey",
+            # grid-safe (rulebook r13b): 2-dp c_acctbal — identity
             F.round("c_acctbal", 2).alias("acctbal"),
             F.row_number().over(w).alias("rn"),
         )
@@ -289,6 +292,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             (
+                # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
                 / F.lit(100.0)
             ).alias("spend_30d"),

@@ -76,6 +76,27 @@ Registration rules (SURVEY §7.4 definition-of-done):
     values (e.g. onebrc_report's 0.1-grid temperatures, whose decimal
     expansion cannot carry a digit-(d+1) 5). Planted end-to-end:
     tests/test_boundary_properties.py::test_cosine_round_tie_divergence;
+  - r13 round() sweep adjudication (VERDICT r12 #6) — every F.round site
+    in the engine now carries either the floor quantizer or a grid-safety
+    tag referencing one of three arguments: (a) INT-ROUND — round(x) to an
+    integer is engine-safe for ANY input, because every .5 tie is an
+    exactly-representable dyadic double (k.5 is always a double), so the
+    decimal shortest-repr view and the binary value COINCIDE at ties, and
+    Spark's BigDecimal HALF_UP and DuckDB's C round() both take exact
+    halves away from zero — this covers the whole cents-quantization idiom
+    round(x·100)::long regardless of grid; (b) GRID-IDENTITY — the input
+    sits on a decimal grid at least as coarse as 10^-d with ≥half-grid
+    margin to any (d+1)-digit tie (2-dp prices under round(·,2); integer
+    sums; percentile midpoints on the 5e-3 grid under round(·,4)), so the
+    round is the identity on the exact value and the computed double is
+    within ulps of it; (c) IRRATIONAL — the value is transcendental/
+    irrational (ln, sqrt, exp compositions), so a (d+1)-digit-5 shortest
+    repr requires the double within half-ulp of that decimal — a
+    measure-zero coincidence frozen out by the content-addressed fixtures
+    (the sanctioned transcendental exception above). Values that are
+    small-denominator RATIONALS (jaccard k/n, double-rounded 6-dp scores,
+    cosines of integer vectors) satisfy none of these and use the floor
+    quantizer (dedup.jac_round4, similarity.cos_round6, arrays_json._fq);
   - the same applies to EXACT-INTEGER RATIOS (round-5 audit): once the
     numerator is an exact integer, sum/count/scale is the identical double
     in both engines — emit it UNROUNDED. A final round(·, d) re-creates
@@ -162,136 +183,86 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Driver-coverage rotation (round 12; re-derived each round from the
+# Driver-coverage rotation (round 13; re-derived each round from the
 # recorded CORRECTNESS_r* artifacts): the correctness driver verifies the
 # FIRST 50 registry entries per round. Every query has >=1 driver-green row
 # across rounds, so the window is staleness-driven (VERDICT r6 #2): after
 # the flagship pin and the rows whose code/oracle changed this round, the
-# window is exactly the queries with the OLDEST driver evidence. The r12
-# ordering was recomputed from CORRECTNESS_r01..r11 (last-green histogram:
-# 15 x r7, 38 x r8, 47 x r9, 47 x r10, 50 x r11 over the 197 registered
-# queries — max age 4, the 197/50 structural floor); the window takes all
-# 15 r7 rows, the 10 rows whose oracle/engine text gained the r12 floor
-# quantizer (same-round proof precedence, r11 precedent), and the oldest
-# 23 r8 rows. Slot 51+ holds the remainder
-# stalest-first (each entry's last driver-green round annotated),
-# pre-ordering the r13 rotation. Every query not in the window stays
-# pinned locally by tests/test_oracle_parity.py, which runs the same
-# oracle comparison (plus a driver-strict canonicalizer) over ALL queries,
-# and by the freeze gate (sf0.01 per-commit, sf0.1 end-of-round).
+# window is exactly the queries with the OLDEST driver evidence. The r13
+# window (VERDICT r12 #1 + #6) = the flagship, the 11 rows whose
+# engine/oracle text changed in the r13 round() sweep (the jac_round4
+# Jaccard quantizer + its minhash_pairs_sql consumers, the _fq array
+# quantizers, the tfidf double-round fix — same-round proof precedence,
+# r11/r12 precedent), ALL 15 rows whose last driver evidence is round 8
+# (age 5 without this rotation), and the oldest 23 round-9 rows.
+# Slot 51+ holds the remainder stalest-first (each entry's last
+# driver-green round annotated), pre-ordering the r14 rotation. Every
+# query not in the window stays pinned locally by
+# tests/test_oracle_parity.py, which runs the same oracle comparison
+# (plus a driver-strict canonicalizer) over ALL queries, and by the
+# freeze gate (sf0.01 per-commit, sf0.1 end-of-round).
 _PRIORITY = [
     # (a) pinned every round: the flagship (also the entry() smoke)
     "onebrc_flagship",
-    # (b) round-12 plan change — same-round proof: dedup_overlap_containment
-    #     regained the hot-gram df census as a broadcast anti-join BEFORE the
-    #     posting-list collect_list (ADVICE r11 medium: bounded aggregation
-    #     buffers; oracle untouched but the plan is new).
-    "dedup_overlap_containment",
-    #     ... and the ten queries whose oracle/engine text gained the
-    #     r12 floor quantizer (cos_round6 / floor(x*scale+0.5)/scale -
-    #     the round() decimal-vs-binary tie divergence, see the
-    #     rulebook entry above): same-round driver proof takes
-    #     precedence over staleness, per the r11 precedent.
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_lsh_banded",
-    "sim_label_centroid",
-    "dedup_embedding_neardup",
-    "sim_ann_ivf",
-    "sim_ann_ivf_sampled",
-    "sim_semantic_prune",
-    "sim_ann_recall_audit",
-    "agg_rank_correlation",
-    # (c) stalest-first (VERDICT r11 #2): ALL 15 rows whose last driver
-    #     evidence is round 7 (age 5 without this rotation), then the oldest
-    #     round-8 rows fill the window to 50.
-    "setop_union_all",  # r7
-    "sort_global_dense_ids",  # r7
-    "sql_exists_correlated",  # r7
-    "storage_partitioned_pruning",  # r7
-    "text_boilerplate_segments",  # r7
-    "text_ngram_tf",  # r7
-    "text_tfidf_top_terms",  # r7
-    "text_token_count_bpe",  # r7
-    "topk_limit",  # r7
-    "udf_grouped_agg_geomean",  # r7
-    "unpivot_stack",  # r7
-    "window_distribution",  # r7
-    "window_first_last_nth",  # r7
-    "window_range_frame",  # r7
-    "window_ranking",  # r7
-    "agg_approx_count_distinct",  # r8
-    "agg_bitmap_distinct",  # r8
-    "agg_collect_sorted_list",  # r8
-    "agg_hll_sketch_merge",  # r8
-    "agg_partial_reaggregation",  # r8
-    "agg_salted_twophase",  # r8
-    "agg_tpch_q1",  # r8
-    "dedup_exact_distinct",  # r8
-    "dq_constraint_audit",  # r8
-    "dq_observe_metrics",  # r8
-    "evt_gap_fill_lerp",  # r8
-    "evt_gap_fill_locf",  # r8
-    "evt_retention_cohorts",  # r8
-    "evt_transition_matrix",  # r8
-    "join_asof_forward",  # r8
-    "join_salted_skew",  # r8
-    "ml_contamination_ngram",  # r8
-    "ml_fixed_size_sample",  # r8
-    "ml_quantile_filter",  # r8
-    "ml_sequence_packing",  # r8
-    "ml_stratified_sample",  # r8
-    "mm_byte_stats_arrow",  # r8
-    "sim_lsh_candidate_stats",  # r8
-    "sql_lateral_topn",  # r8
-    "sql_tpch_q13_shape",  # r8
-    "sql_tpch_q18_shape",  # r8
-    "sql_tpch_q4_shape",  # r8
-    "src_python_datasource",  # r8
-    "storage_json_roundtrip",  # r8
-    "storage_orc_roundtrip",  # r8
-    "storage_zorder_layout",  # r8
-    "text_fuzzy_levenshtein",  # r8
-    "text_inverted_index",  # r8
+    # (b) r13 engine/oracle text changes (same-round proof): the round()
+    #     sweep conversions — dedup jac_round4 (+ the raw-ratio minhash
+    #     WHERE, whose SQL is embedded by the five cluster oracles), the
+    #     fn_array _fq quantizers, and the tfidf 4-dp double-round fix.
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall_audit",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
+    "dedup_cluster_best_survivor",
+    "dedup_graph_pagerank",
+    "ml_cluster_safe_split",
+    "fn_array_basics",
+    "fn_array_higher_order",
+    "text_tfidf_top_terms",
+    # (c) stalest-first: ALL 15 rows whose last driver evidence is r8
+    "sql_lateral_topn",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q18_shape",
+    "sql_tpch_q4_shape",
+    "src_python_datasource",
+    "storage_json_roundtrip",
+    "storage_orc_roundtrip",
+    "storage_zorder_layout",
+    "text_fuzzy_levenshtein",
+    "text_inverted_index",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_repetition_score",
+    "text_stopword_removal",
+    "udtf_chunk_documents",
+    #     ... and the oldest 23 round-9 rows fill the window to 50.
+    "agg_cms_heavy_hitters",
+    "cdc_scd2_history",
+    "dedup_exact",
+    "dedup_simhash",
+    "dq_column_profile",
+    "dq_snapshot_drift",
+    "evt_funnel",
+    "evt_stateful_running_stats",
+    "fn_collation_ci",
+    "fn_date_scaffold",
+    "join_broadcast_dims",
+    "join_inner_fact",
+    "join_left_outer",
+    "join_range_interval",
+    "join_semi_anti",
+    "ml_deterministic_shard",
+    "ml_hash_split",
+    "ml_source_mix",
+    "ml_temperature_mix",
+    "mm_frame_sample",
+    "onebrc_permissive_quarantine",
+    "pivot_status_matrix",
+    "sim_embedding_quantize",
     # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
     # stalest-first (last driver-green round ascending, annotated),
-    # pre-ordering the r13 rotation; every row stays pinned locally by
+    # pre-ordering the r14 rotation; every row stays pinned locally by
     # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
-    "text_pii_redaction",  # r8
-    "text_quality_score",  # r8
-    "text_repetition_score",  # r8
-    "text_stopword_removal",  # r8
-    "udtf_chunk_documents",  # r8
-    "agg_cms_heavy_hitters",  # r9
-    "cdc_scd2_history",  # r9
-    "dedup_cluster_best_survivor",  # r9
-    "dedup_cluster_components",  # r9
-    "dedup_cluster_survivors",  # r9
-    "dedup_exact",  # r9
-    "dedup_graph_pagerank",  # r9
-    "dedup_minhash_lsh",  # r9
-    "dedup_minhash_recall_audit",  # r9
-    "dedup_simhash",  # r9
-    "dq_column_profile",  # r9
-    "dq_snapshot_drift",  # r9
-    "evt_funnel",  # r9
-    "evt_stateful_running_stats",  # r9
-    "fn_collation_ci",  # r9
-    "fn_date_scaffold",  # r9
-    "join_broadcast_dims",  # r9
-    "join_inner_fact",  # r9
-    "join_left_outer",  # r9
-    "join_range_interval",  # r9
-    "join_semi_anti",  # r9
-    "ml_cluster_safe_split",  # r9
-    "ml_deterministic_shard",  # r9
-    "ml_hash_split",  # r9
-    "ml_source_mix",  # r9
-    "ml_temperature_mix",  # r9
-    "mm_frame_sample",  # r9
-    "onebrc_permissive_quarantine",  # r9
-    "pivot_status_matrix",  # r9
-    "sim_embedding_quantize",  # r9
     "sql_agg_filter_clause",  # r9
     "sql_tpch_q10_shape",  # r9
     "sql_tpch_q11_shape",  # r9
@@ -311,7 +282,6 @@ _PRIORITY = [
     "agg_stats",  # r10
     "agg_table_fingerprint",  # r10
     "cdc_snapshot_diff",  # r10
-    "dedup_ngram_jaccard",  # r10
     "evt_dedup_by_id",  # r10
     "evt_session_window",  # r10
     "evt_stateful_running_stats_tws",  # r10
@@ -365,8 +335,6 @@ _PRIORITY = [
     "evt_tumbling_window",  # r11
     "evt_watermark_late_drop",  # r11
     "filter_null_semantics",  # r11
-    "fn_array_basics",  # r11
-    "fn_array_higher_order",  # r11
     "fn_bitwise",  # r11
     "fn_conditional",  # r11
     "fn_datetime",  # r11
@@ -394,6 +362,54 @@ _PRIORITY = [
     "text_boilerplate_clean",  # r11
     "text_bpe_merge_pairs",  # r11
     "text_repetition_profile",  # r11
+    "agg_approx_count_distinct",  # r12
+    "agg_bitmap_distinct",  # r12
+    "agg_collect_sorted_list",  # r12
+    "agg_hll_sketch_merge",  # r12
+    "agg_partial_reaggregation",  # r12
+    "agg_rank_correlation",  # r12
+    "agg_salted_twophase",  # r12
+    "agg_tpch_q1",  # r12
+    "dedup_embedding_neardup",  # r12
+    "dedup_exact_distinct",  # r12
+    "dedup_overlap_containment",  # r12
+    "dq_constraint_audit",  # r12
+    "dq_observe_metrics",  # r12
+    "evt_gap_fill_lerp",  # r12
+    "evt_gap_fill_locf",  # r12
+    "evt_retention_cohorts",  # r12
+    "evt_transition_matrix",  # r12
+    "join_asof_forward",  # r12
+    "join_salted_skew",  # r12
+    "ml_contamination_ngram",  # r12
+    "ml_fixed_size_sample",  # r12
+    "ml_quantile_filter",  # r12
+    "ml_sequence_packing",  # r12
+    "ml_stratified_sample",  # r12
+    "mm_byte_stats_arrow",  # r12
+    "setop_union_all",  # r12
+    "sim_ann_ivf",  # r12
+    "sim_ann_ivf_sampled",  # r12
+    "sim_ann_lsh",  # r12
+    "sim_ann_lsh_banded",  # r12
+    "sim_ann_recall_audit",  # r12
+    "sim_knn_bruteforce",  # r12
+    "sim_label_centroid",  # r12
+    "sim_lsh_candidate_stats",  # r12
+    "sim_semantic_prune",  # r12
+    "sort_global_dense_ids",  # r12
+    "sql_exists_correlated",  # r12
+    "storage_partitioned_pruning",  # r12
+    "text_boilerplate_segments",  # r12
+    "text_ngram_tf",  # r12
+    "text_token_count_bpe",  # r12
+    "topk_limit",  # r12
+    "udf_grouped_agg_geomean",  # r12
+    "unpivot_stack",  # r12
+    "window_distribution",  # r12
+    "window_first_last_nth",  # r12
+    "window_range_frame",  # r12
+    "window_ranking",  # r12
 ]
 
 

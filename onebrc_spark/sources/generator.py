@@ -42,6 +42,7 @@ def _unit_uniform(tag: str, sid: Column, seed: int) -> Column:
 def station_table(spark: SparkSession, seed: int = 42) -> DataFrame:
     """Deterministic 413-row (station, mean_temp, sigma) dim table."""
     sid = F.col("id")
+    # grid-safe: the only 2-digit ties of this /412 rational are k.25/k.75 — dyadic, both engines round half away
     mean = F.round(
         F.lit(MEAN_LO) + (F.lit(MEAN_HI - MEAN_LO) * sid) / F.lit(NUM_STATIONS - 1), 1
     )
@@ -87,6 +88,7 @@ def generate_measurements_ca(
     # to +0.0 — DuckDB preserves the sign bit through round(), Spark doesn't.
     return picked.join(F.broadcast(dim), "station_id").select(
         "station",
+        # grid-safe (rulebook r13c): Box-Muller z is transcendental; a (d+1)-digit-5 tie needs a half-ulp coincidence
         (F.round(F.col("mean_temp") + F.col("z") * F.col("sigma"), 1) + 0.0).alias(
             "measure"
         ),
@@ -153,6 +155,7 @@ def generate_measurements(
         picked.join(F.broadcast(dim), "station_id")
         .select(
             "station",
+            # grid-safe (rulebook r13c): Box-Muller z is transcendental; a (d+1)-digit-5 tie needs a half-ulp coincidence
             F.round(F.col("mean_temp") + F.col("z") * F.col("sigma"), 1).alias(
                 "measure"
             ),

@@ -96,6 +96,9 @@ def format_report(agg: DataFrame) -> DataFrame:
         F.format_string(
             "%s=%.1f/%.1f/%.1f",
             F.col("station"),
+            # grid-safe: mean is on the 0.1 grid (identity); min/max 2-dp ties k.x5 scale
+            # exactly onto the dyadic half — ×10 re-rounds onto the tie (exhaustive check:
+            # tests/test_boundary_properties.py) — where both engines round half away
             F.round(F.col("min"), 1),
             F.round(F.col("mean"), 1),
             F.round(F.col("max"), 1),
@@ -177,6 +180,7 @@ def onebrc_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + single aggregation, no shuffle beyond the 4-group merge."""
     s = load_table(spark, sf_dir, "supplier")
     cents_str = (
+        # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
         F.round(F.col("s_acctbal") * 100).cast("bigint").cast("string")
     )
     line = (

@@ -170,6 +170,7 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("measure").alias("min_measure"),
             F.max("measure").alias("max_measure"),
+            # grid-safe int-round (rulebook r13a): .5 ties are exact dyadics; both engines round half away
             F.sum(F.round(F.col("measure") * 10).cast("long")).alias("sum_dm"),
         )
         .orderBy("station")

@@ -151,11 +151,21 @@ def main() -> None:
             # wait_calm returns it immediately if it was in-band,
             # misrepresenting the next entry's actual window). Re-probe
             # now and stamp the errored entry clean=None — "no verdict",
-            # distinct from a measured-contended window.
-            probe = _spark_probe_seconds(spark)
-            probe_readings.append(probe)
+            # distinct from a measured-contended window. The re-probe gets
+            # its own guard (ADVICE r12): if the query failed because the
+            # Spark session/JVM died, the probe raises too — fall back to
+            # post=None rather than aborting the whole record-don't-abort
+            # sweep.
+            try:
+                probe = _spark_probe_seconds(spark)
+                probe_readings.append(probe)
+                post_val = round(probe, 3)
+            except Exception as probe_exc:
+                print(f"# {name}: post-probe also failed: {probe_exc}",
+                      file=sys.stderr)
+                post_val = None
             query_probes[name] = {
-                "pre": None, "post": round(probe, 3), "clean": None,
+                "pre": None, "post": post_val, "clean": None,
                 "attempts": attempts, "err": True,
             }
         if (i + 1) % 50 == 0:

@@ -820,3 +820,73 @@ def test_cosine_round_tie_divergence(spark, tmp_path_factory):
         f"select floor({tie38!r}::DOUBLE * 1000000 + 0.5) / 1000000"
     ).fetchone()[0]
     assert s38 == d38 == 0.38 and s38 >= 0.38
+
+
+def test_jaccard_round_tie_divergence(spark):
+    """X2 (r13 round() sweep): jaccard = k/union is a small-denominator
+    rational, so it lands EXACTLY on 5th-digit-5 shortest-repr ties —
+    14001/20000 = 0.70005 (binary below the decimal tie: Spark's
+    decimal-view HALF_UP says 0.7001, DuckDB's binary round says 0.7) and
+    1/160 = 0.00625. The dedup family therefore quantizes with
+    jac_round4 = floor(x·1e4 + 0.5)/1e4 (dedup.py), and the minhash
+    oracle's WHERE now filters on the RAW ratio like the Spark side.
+    This pins (a) the primitive divergence, (b) engine agreement of the
+    quantizer on the planted ties."""
+    import duckdb as _duck
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.operators.dedup import jac_round4
+
+    tie = 14001 / 20000
+    assert repr(tie) == "0.70005"
+    spark_round = spark.range(1).select(
+        F.round(F.lit(tie), 4).alias("r")
+    ).collect()[0]["r"]
+    duck_round = _duck.sql(f"select round({tie!r}::DOUBLE, 4)").fetchone()[0]
+    assert spark_round == 0.7001 and duck_round == 0.7, (spark_round, duck_round)
+
+    for num, den, want in [(14001, 20000, 0.7), (1, 160, 0.0063),
+                           (16001, 20000, 0.8001), (13, 160, 0.0813)]:
+        x = num / den
+        s = spark.range(1).select(
+            jac_round4(F.lit(x)).alias("q")
+        ).collect()[0]["q"]
+        d = _duck.sql(
+            f"select floor({x!r}::DOUBLE * 10000 + 0.5) / 10000"
+        ).fetchone()[0]
+        assert s == d == want, (num, den, s, d, want)
+
+
+def test_report_round1_grid_tie_rescale_property(spark):
+    """S8/F1 (r13 round() sweep adjudication for the flagship report's
+    round(min/max, 1) over 2-dp values): every d=1 tie of a 2-dp grid
+    value k.x5 survives because fl(fl(m/100)·10) re-rounds EXACTLY onto
+    the dyadic half m/10 (halves are always representable), where Spark's
+    decimal HALF_UP and DuckDB's C round() both go half away from zero.
+    Property checked here over the full ±1e4.x5 grid (the ±1e5 sweep ran
+    at adjudication time with zero violations); live engine agreement
+    spot-checked on the classically dangerous values (0.15's binary sits
+    BELOW the decimal tie — the d≥4 analogue of this is exactly the
+    cos_round6 divergence, but at d=1 the rescale collapses the gap)."""
+    from decimal import Decimal
+
+    import duckdb as _duck
+    from pyspark.sql import functions as F
+
+    for m in range(5, 1_000_001, 10):
+        for sgn in (1, -1):
+            x = sgn * m / 100.0
+            tie = float(Decimal(sgn * m) / 10)
+            assert x * 10.0 == tie, (sgn * m, x)
+
+    probes = [0.15, -0.15, 1.15, 2.15, 0.05, -0.05, 999.95, -999.95, 0.25]
+    srow = spark.range(1).select(
+        *[F.round(F.lit(p), 1).alias(f"r{i}") for i, p in enumerate(probes)]
+    ).collect()[0]
+    import math as _m
+
+    for i, p in enumerate(probes):
+        duck = _duck.sql(f"select round({p!r}::DOUBLE, 1)").fetchone()[0]
+        # half away from zero on the exact dyadic tie, in BOTH engines
+        want = _m.floor(abs(p) * 10 + 0.5) / 10 * (1 if p > 0 else -1)
+        assert srow[f"r{i}"] == duck == want, (p, srow[f"r{i}"], duck, want)
