@@ -933,10 +933,31 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: truth is the blocked all-pairs join (bounded per block — the
     dedup_ngram_jaccard budget applies); at 100 TB an audit like this runs
     on a block-sample, not the full corpus — the query shape is unchanged,
-    only the input is sampled."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    only the input is sampled (minhash_recall_audit_frame is that protocol,
+    executable: scripts/docs_scale_run.py runs it on a deterministic
+    lang×len_bucket block sample of the 100x replica corpus)."""
+    return minhash_recall_audit_frame(
+        spread(load_table(spark, sf_dir, "documents"), spark)
+    )
+
+
+def minhash_recall_audit_frame(
+    d: DataFrame, truth_side: DataFrame | None = None
+) -> DataFrame:
+    """dedup_minhash_recall_audit's body over an ARBITRARY documents frame —
+    the audit-on-a-sample protocol the query docstring promises for 100 TB.
+
+    `truth_side` (default: d) restricts the quadratic TRUTH join to a
+    sampled sub-frame while the candidate machinery (digest collapse,
+    banding, occupancy cap) still runs on the FULL frame — i.e. recall of
+    the production index, measured on an affordable truth sample. That is
+    the deployable shape: truth cost is quadratic-per-block over the
+    sample only, candidate cost is the production pipeline you were
+    already paying. Record the sample fraction next to any sampled ppm
+    (docs_scale_run.py does)."""
+    dt = d if truth_side is None else truth_side
     gset = word_3grams(F.col("text"))
-    docs = d.select(
+    docs = dt.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
