@@ -1255,8 +1255,11 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape (r12 — ADVICE r11 medium, refining the r11 single-explode
     restructure of VERDICT r10 #7): a cheap df CENSUS (map-side-combinable
     count per gram — the shuffle carries (gram, partial_count) rows, never
-    doc_ids) identifies the hot grams, and a BROADCAST anti-join drops
-    them from the exploded stream BEFORE the posting-list aggregation.
+    doc_ids) identifies the hot grams, and an anti-join drops them from
+    the exploded stream BEFORE the posting-list aggregation (join
+    strategy left to AQE — r13: the hot vocabulary GROWS with the corpus,
+    so the r12 broadcast HINT was itself a scale-killer, caught live by
+    the 100x scale point; see the inline comment).
     The r11 shape applied the cap as a filter on size(docs) AFTER
     collect_list, which materialized the full posting list of a hot gram
     (a corpus-wide boilerplate 3-gram has df in the millions) in a single
@@ -1285,8 +1288,7 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-gram census: count per gram == df (grams are distinct per doc).
     # Partial counts combine map-side, so the exchange carries one
     # (gram, count) row per distinct gram per map partition — hot grams
-    # are identified without ever moving their doc_ids. The hot SET is
-    # small (boilerplate vocabulary, not the corpus) → broadcast.
+    # are identified without ever moving their doc_ids.
     # count("doc_id"), not count(*): doc_id is non-null so the semantics
     # are identical, but keeping doc_id live in the census branch defeats
     # column pruning there, so its scan+spread subplan stays canonically
@@ -1300,7 +1302,19 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _CONTAIN_DF_CAP)
         .select("gram")
     )
-    kept = g.join(F.broadcast(hot), "gram", "left_anti")
+    # NO broadcast hint (r13 — caught live by the 100x scale point): the
+    # hot set is the corpus's boilerplate VOCABULARY, which GROWS with the
+    # corpus — the r12 hint OOM'd the 16g driver at a mere 500k docs
+    # (~300k hot grams after java-object inflation), and at 100 TB it
+    # would be billions of grams. Left to AQE: below the 64m threshold
+    # the runtime plan still converts to the broadcast map-side drop
+    # (pinned in tests/test_plans.py), above it a shuffled anti-join on
+    # gram — which is co-partitioned with the census output AND with the
+    # downstream posting-list groupBy(gram), so the fallback costs one
+    # gram exchange of (doc_id, gram) rows, never doc_ids of hot grams
+    # into an aggregation buffer. The buffer bound is the census
+    # CONTRACT either way; only the drop's join strategy adapts.
+    kept = g.join(hot, "gram", "left_anti")
     # The per-doc sizes and the pair census both read this posting-list
     # diamond. No persist: the consumers' subplans are identical up to the
     # gram exchange, so AQE's runtime stage reuse executes the
@@ -1340,8 +1354,19 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # SHUFFLE_HASH hints (r13 — the second live catch of the 100x scale
+    # point): BOTH sides of the size joins are corpus-sized (`shared` is
+    # the pair census, `sizes` has one row per doc), but Catalyst's static
+    # estimate of the post-explode pair aggregate came out under the 64m
+    # threshold and planned `shared` as a BuildLeft BROADCAST — at 100x
+    # that collected a ~50M-row pair census through the driver
+    # (maxResultSize/heap abort, reproduced in a fresh session; AQE did
+    # not demote the statically planned BHJ). A shuffled hash join is the
+    # only strategy whose memory is partition-bounded when both sides
+    # scale with the corpus; the hint sits on `sizes` (the smaller,
+    # one-row-per-doc side) so it becomes the per-partition build side.
+    sa = sizes.hint("shuffle_hash").alias("sa")
+    sb = sizes.hint("shuffle_hash").alias("sb")
     n_min = F.least(F.col("sa.n_kept"), F.col("sb.n_kept"))
     return (
         shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))

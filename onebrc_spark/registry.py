@@ -207,7 +207,10 @@ _PRIORITY = [
     # (b) r13 engine/oracle text changes (same-round proof): the round()
     #     sweep conversions — dedup jac_round4 (+ the raw-ratio minhash
     #     WHERE, whose SQL is embedded by the five cluster oracles), the
-    #     fn_array _fq quantizers, and the tfidf 4-dp double-round fix.
+    #     fn_array _fq quantizers, the tfidf 4-dp double-round fix, and
+    #     the containment plan's two 100x-caught join-strategy fixes
+    #     (no hot-set broadcast hint; SHJ size joins).
+    "dedup_overlap_containment",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_recall_audit",
@@ -258,11 +261,11 @@ _PRIORITY = [
     "mm_frame_sample",
     "onebrc_permissive_quarantine",
     "pivot_status_matrix",
-    "sim_embedding_quantize",
     # ---- slot 51+ (driver verifies the FIRST 50) — remainder ordered
     # stalest-first (last driver-green round ascending, annotated),
     # pre-ordering the r14 rotation; every row stays pinned locally by
     # tests/test_oracle_parity.py and the freeze gate at sf0.01/sf0.1. ----
+    "sim_embedding_quantize",  # r9
     "sql_agg_filter_clause",  # r9
     "sql_tpch_q10_shape",  # r9
     "sql_tpch_q11_shape",  # r9
@@ -372,7 +375,6 @@ _PRIORITY = [
     "agg_tpch_q1",  # r12
     "dedup_embedding_neardup",  # r12
     "dedup_exact_distinct",  # r12
-    "dedup_overlap_containment",  # r12
     "dq_constraint_audit",  # r12
     "dq_observe_metrics",  # r12
     "evt_gap_fill_lerp",  # r12

@@ -692,17 +692,22 @@ def test_anomaly_mad_join_backs_are_broadcast(spark):
 
 def test_overlap_containment_census_bounds_posting_buffers(spark):
     """dedup_overlap_containment's scale claims (r12 shape — ADVICE r11
-    medium): the hot-gram df census runs BEFORE the posting-list
-    aggregation and combines map-side (partial_count — the census shuffle
-    carries (gram, count) rows, never doc_ids), the hot set anti-joins out
-    as a BROADCAST hash join (map-side drop: a hot gram's doc_ids never
-    enter the posting-list exchange, and no collect_list buffer can exceed
-    the df cap), and candidate pairs are still generated array-side from
-    the bounded posting lists (no gram self-join, no
-    BroadcastNestedLoopJoin / cartesian / shuffled anti-join anywhere).
-    The r11 shape applied the cap AFTER collect_list, materializing a hot
-    gram's full posting list in one reducer buffer — unbounded per-key
-    memory on a skewed corpus."""
+    medium; r13: both 100x live catches folded in): the hot-gram df census
+    runs BEFORE the posting-list aggregation and combines map-side
+    (partial_count — the census shuffle carries (gram, count) rows, never
+    doc_ids), the hot set anti-joins out BEFORE collect_list (map-side
+    drop while the vocabulary is broadcastable; the r13 change leaves the
+    strategy to AQE because the hot vocabulary GROWS with the corpus and
+    a broadcast HINT OOM'd the driver at the 100x scale point), candidate
+    pairs are still generated array-side from the bounded posting lists
+    (no gram self-join, no BroadcastNestedLoopJoin / cartesian), and —
+    the r13 second catch — the size joins are SHUFFLED hash joins: both
+    sides (pair census, per-doc sizes) are corpus-sized, and Catalyst's
+    static under-estimate of the post-explode aggregate used to plan
+    `shared` as a BuildLeft broadcast, collecting a ~50M-row pair census
+    through the driver at 100x. The r11 shape applied the cap AFTER
+    collect_list, materializing a hot gram's full posting list in one
+    reducer buffer — unbounded per-key memory on a skewed corpus."""
     from onebrc_spark.operators.dedup import dedup_overlap_containment
 
     df = dedup_overlap_containment(spark, SMOKE_SF_DIR)
@@ -710,9 +715,18 @@ def test_overlap_containment_census_bounds_posting_buffers(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt[:3000]
     assert "CartesianProduct" not in txt, txt[:3000]
     assert "partial_count" in txt, txt[:2000]
-    # the census anti-join is broadcast, never a shuffled SortMergeJoin
-    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt, txt[:3000]
+    assert "LeftAnti" in txt, txt[:3000]
+    # no sort barrier anywhere (the anti-join stays hash-based at this SF's
+    # static estimate; the size joins are hinted SHJ, never SMJ)
     assert "SortMergeJoin" not in txt, txt[:3000]
+    # the two size joins must be ShuffledHashJoin — partition-bounded
+    # memory when both sides scale with the corpus (r13 100x catch)
+    assert txt.count("ShuffledHashJoin") == 2, txt[:3000]
+    # the pair census must NOT be a broadcast build side: every
+    # BroadcastExchange in the (pre-AQE-reuse) plan text is the
+    # vocabulary-sized hot-gram set feeding a LeftAnti — the diamond
+    # repeats once per consumer branch until runtime exchange reuse
+    assert txt.count("BroadcastExchange") == txt.count("LeftAnti"), txt[:3000]
     # the posting-list aggregation consumes the anti-joined stream: the
     # collect_list partial must sit ABOVE the LeftAnti join in plan text
     assert txt.index("partial_collect_list") < txt.index("LeftAnti"), txt[:3000]
