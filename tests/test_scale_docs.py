@@ -211,3 +211,90 @@ def test_scale_docs_recall_audit_structure():
     # 713 vs 740 at 10x). Bound the drift instead of pinning 10x.
     s1, s10 = ra["1x"]["strong"]["n_truth"], ra["10x"]["strong"]["n_truth"]
     assert abs(s10 - 10 * s1) / (10 * s1) < 0.10, (s1, s10)
+
+
+def test_scale_docs_containment():
+    """X2c three-point rows (VERDICT r12 #2): the token bijection is EXACT
+    for containment (literal word-3-grams, no hashing anywhere in the
+    plan), so the pair set must be EXACTLY kx — any deviation means the
+    fixture interacted across replicas. Bars as usual; plus the hot-gram
+    stress corpus (one gram with df = 20,000 >> cap 64 over 20k injected
+    one-gram docs): the census-bounded plan must return the base corpus's
+    exact pair set (the hot gram is excluded, never joined) at a cost
+    bounded by the 10x corpus run — the pre-r12 posting-list plan would
+    have buffered C(20000,2) ~ 2.0e8 candidate pairs on that one gram."""
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    c = doc["containment"]
+    assert c["result_rows_1x"] > 0, c
+    assert c["result_rows_10x"] == 10 * c["result_rows_1x"], c
+    assert c["result_rows_100x"] == 100 * c["result_rows_1x"], c
+    assert c["superlinearity_docs_10x_vs_1x"] <= 1.3, c
+    assert c["superlinearity_docs_vs_1x"] <= 1.3, c
+    if not c["low_point_overhead_dominated"]:
+        assert c["superlinearity_vs_10x"] <= 1.3, c
+    hs = c["hot_gram_stress"]
+    assert hs["result_rows"] == c["result_rows_1x"], hs
+    assert hs["hot_gram_df"] > 100 * hs["df_cap"], hs
+    assert hs["sec"] <= c["sec_10x"], (
+        "hot-gram corpus (1x + 20k one-gram docs) must cost less than the "
+        "10x corpus — the census scan is linear, the buffer is bounded",
+        hs,
+        c,
+    )
+
+
+def test_scale_docs_recall_100x_truth_sample():
+    """The 100x minhash-recall point (VERDICT r12 #3, text side), via the
+    deployable audit-on-a-sample shape: truth restricted to replicas
+    {0, 43} (one verbatim vocabulary, one doubly-suffixed), candidates
+    from the FULL 100x production pipeline. Bar: borderline recall at
+    least the 10x measured value (933,333 ppm — the number the r12
+    VERDICT set as the floor), strong near-total, sub near-zero."""
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    ra = doc["recall_audit"]
+    s = ra["100x_truth_sample"]
+    assert s["truth_replicas"] == [0, 43], s
+    classes = s["classes"]
+    assert classes["strong"]["recall_ppm"] >= 990_000, classes
+    assert classes["sub"]["recall_ppm"] <= 300_000, classes
+    assert (
+        classes["borderline"]["recall_ppm"]
+        >= ra["10x"]["borderline"]["recall_ppm"]
+    ), (classes, ra["10x"])
+
+
+def test_scale_docs_ann_recall_adapted_matches_scurve():
+    """The banded-ANN recall/cost frontier (VERDICT r12 #3): recall of the
+    rows-ADAPTED (12/15/19) banded candidate generator vs exact truth at
+    cos >= 0.30. The measured borderline recall is LOW and FALLS with
+    rows — ~0.95% / 0.29% / 0.04% — and that is the s-curve, not a
+    defect: sign-LSH band collision for cosine c is
+    p(c) = (1 - acos(c)/pi)^rows per band, so at c = 0.30
+    (p_bit = 0.597) four bands give 4*0.597^rows ~ 8200 / 1750 / 220 ppm
+    for rows 12/15/19 — the adapted setting's s-curve midpoint sits near
+    c ~ 0.97: it is a NEAR-DUP detector with bounded candidate mass on a
+    near-uniform corpus, not a cos>=0.3 retriever (that retrieval regime
+    is the audit's own 4x3 banding and the IVF/kNN paths; the text twin's
+    retrieval-grade recall is pinned by the tests above). The pin here:
+    measured ppm must track the analytic s-curve (within [0.5x, 10x] —
+    truth pairs spread above 0.30, so measured modestly EXCEEDS the
+    at-threshold prediction), and rows_per_band must deepen with scale."""
+    import math
+
+    doc = json.loads((REPO / "SCALE_DOCS.json").read_text())
+    ann = doc["ann_recall_adapted"]
+    p_bit = 1 - math.acos(ann["threshold"]) / math.pi
+    last_rows = 0
+    for scale in ("1x", "10x", "100x"):
+        blk = ann[scale]
+        rows = blk["rows_per_band"]
+        assert rows > last_rows or scale == "1x", (scale, rows, last_rows)
+        last_rows = rows
+        predicted_ppm = 4 * (p_bit ** rows) * 1_000_000
+        measured = blk["borderline"]["recall_ppm"]
+        assert 0.5 * predicted_ppm <= measured <= 10 * predicted_ppm, (
+            scale,
+            rows,
+            predicted_ppm,
+            measured,
+        )
