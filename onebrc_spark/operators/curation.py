@@ -739,7 +739,7 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onebrc_spark.operators.dedup import word_3grams
 
     gram_sources = (
-        docs.select("source", F.explode(word_3grams(F.col("text"))).alias("g"))
+        docs.select("source", F.explode(word_3grams("text")).alias("g"))
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
     )

@@ -91,7 +91,22 @@ def _jac4_sql(expr: str) -> str:
     return f"(floor(({expr}) * 10000 + 0.5) / 10000)"
 
 
-def word_3grams(text_col: Column) -> Column:
+def _word_3grams_sqlx(col: str) -> str:
+    """Spark-SQL text of word_3grams over a column/field reference — the
+    same expression tree, built by ONE JVM parse instead of ~40 py4j
+    calls (r13 optimization round: expression CONSTRUCTION, not execution,
+    dominated the build phase of every shingle consumer — see
+    OPTIMIZATION_r13.md 'py4j build cost')."""
+    w = f"split({col}, ' ')"
+    n2 = f"greatest(size({w}) - 2, 0)"
+    return (
+        f"array_distinct(zip_with(zip_with(slice({w}, 1, {n2}), "
+        f"slice({w}, 2, {n2}), (x, y) -> concat_ws(' ', x, y)), "
+        f"slice({w}, 3, {n2}), (x, y) -> concat_ws(' ', x, y)))"
+    )
+
+
+def word_3grams(text_col: Column | str) -> Column:
     """Distinct word-3-gram shingles of a text column (shared by the
     Jaccard and MinHash dedup operators; DuckDB twin is the range/
     list_transform expression in their oracles).
@@ -101,7 +116,14 @@ def word_3grams(text_col: Column) -> Column:
     split array five times (slice bound + 3 lookups), which ballooned the
     generated code — ~2 s of first-touch codegen per fresh plan at sf0.1
     vs ~0.3 s for this form, identical output (asserted cell-by-cell
-    before the switch) and equal steady-state throughput."""
+    before the switch) and equal steady-state throughput.
+
+    Accepts a plain column NAME (preferred: one F.expr / one JVM parse —
+    the py4j-built Column form costs ~40 driver round trips per call and
+    dominated build time at r13) or an arbitrary Column (legacy path,
+    byte-identical output — pinned in tests/test_dedup_units.py)."""
+    if isinstance(text_col, str):
+        return F.expr(_word_3grams_sqlx(text_col))
     words = _WORDS(text_col)
     n2 = F.greatest(F.size(words) - 2, F.lit(0))
     a = F.slice(words, 1, n2)
@@ -208,7 +230,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        F.array_sort(word_3grams(F.col("text"))).alias("gset"),
+        F.array_sort(word_3grams("text")).alias("gset"),
     )
     return ngram_jaccard_pairs(docs)
 
@@ -274,7 +296,7 @@ def _jaccard_pairs_lsh_fallback(g: DataFrame, threshold: float) -> DataFrame:
     ~0.2% miss rate at threshold 0.8 (see _FALLBACK_* constants)."""
     sigs = g.select(
         "doc_id", "lang", "len_bucket", "gset",
-        minhash_signature(F.col("gset")).alias("sig"),
+        minhash_signature("gset").alias("sig"),
     )
     bands = sigs.select(
         "doc_id", "lang", "len_bucket",
@@ -350,7 +372,24 @@ _LSH_ROWS = 3
 _MINHASH_THRESHOLD = 0.7
 
 
-def minhash_signature(shingles_col: Column) -> Column:
+def _minhash_signature_sqlx(ws: str) -> str:
+    """Spark-SQL text of minhash_signature over a shingle-array reference —
+    one JVM parse instead of ~370 py4j calls (see _word_3grams_sqlx)."""
+    base = (
+        "CAST(substring(rpad(translate(md5(w), 'abcdef', ''), 9, '0'), 1, 9) "
+        "AS BIGINT)"
+    )
+    hashes = ", ".join(
+        f"(h * {a}L + {b}L) % {_HASH_P}L" for a, b in _HASH_AB[:_MINHASH_N]
+    )
+    return (
+        f"aggregate(transform({ws}, w -> {base}), "
+        f"array_repeat(CAST({_HASH_P} AS BIGINT), {_MINHASH_N}), "
+        f"(acc, h) -> zip_with(acc, array({hashes}), (a, b) -> least(a, b)))"
+    )
+
+
+def minhash_signature(shingles_col: Column | str) -> Column:
     """12-element MinHash signature over a distinct-shingle array: one md5
     base hash per shingle, then 12 affine transforms.
 
@@ -360,7 +399,13 @@ def minhash_signature(shingles_col: Column) -> Column:
     collapse inlines `bases` into every consumer, so the md5 evaluates once
     per seed instead of once per shingle (measured 199 s → this form at
     sf0.1). Empty shingle lists yield the sentinel (= _HASH_P) signature.
+
+    Accepts a plain column NAME (preferred — one F.expr, see
+    _word_3grams_sqlx) or an arbitrary Column (legacy py4j-built path,
+    identical integers — pinned in tests/test_dedup_units.py).
     """
+    if isinstance(shingles_col, str):
+        return F.expr(_minhash_signature_sqlx(shingles_col))
     bases = F.transform(shingles_col, _base_digits)
     init = F.array_repeat(F.lit(_HASH_P).cast("long"), _MINHASH_N)
 
@@ -573,7 +618,7 @@ def _collapsed_rows(slim: DataFrame, dupc: DataFrame) -> DataFrame:
     and the 0/0→NULL verify guard."""
     uniq_cols = [
         F.col("doc_id"),
-        word_3grams(F.col("text")).alias("ws"),
+        word_3grams("text").alias("ws"),
         F.lit(1).cast("long").alias("grp_n"),
         F.array("doc_id").alias("ids"),
     ]
@@ -595,7 +640,7 @@ def _collapsed_rows(slim: DataFrame, dupc: DataFrame) -> DataFrame:
         )
         .select(
             F.col("rep_id").alias("doc_id"),
-            word_3grams(F.col("text")).alias("ws"),
+            word_3grams("text").alias("ws"),
             "grp_n",
             "ids",
         )
@@ -694,7 +739,7 @@ def minhash_band_candidates(
     the gate costs a per-partition sort, not a second shuffle. Keys above
     `band_cap` are dropped — see _BAND_OCCUPANCY_CAP for the recall
     contract."""
-    sigs = ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
+    sigs = ws.select("doc_id", minhash_signature("ws").alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -956,7 +1001,7 @@ def minhash_recall_audit_frame(
     already paying. Record the sample fraction next to any sampled ppm
     (docs_scale_run.py does)."""
     dt = d if truth_side is None else truth_side
-    gset = word_3grams(F.col("text"))
+    gset = word_3grams("text")
     docs = dt.select(
         "doc_id",
         "lang",
@@ -1283,7 +1328,7 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams the oracle keeps."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     g = d.select(
-        "doc_id", F.explode(word_3grams(F.col("text"))).alias("gram")
+        "doc_id", F.explode(word_3grams("text")).alias("gram")
     )
     # Hot-gram census: count per gram == df (grams are distinct per doc).
     # Partial counts combine map-side, so the exchange carries one

@@ -77,7 +77,7 @@ def _band_table(docs_ws: DataFrame) -> DataFrame:
     in-flight batch×corpus join uses _band_key_table's hashed 64-bit keys
     instead (see there for why)."""
     sigs = docs_ws.select(
-        "doc_id", minhash_signature(F.col("ws")).alias("sig")
+        "doc_id", minhash_signature("ws").alias("sig")
     )
     return sigs.select(
         "doc_id",
@@ -119,7 +119,7 @@ def _band_key_table(docs_ws: DataFrame) -> DataFrame:
     ~25% off the array-keyed join there). Equal slices always hash equal,
     so no true candidate is lost; a collision only ADDS a candidate, which
     the exact-Jaccard verification downstream rejects."""
-    sigs = docs_ws.select("doc_id", minhash_signature(F.col("ws")).alias("sig"))
+    sigs = docs_ws.select("doc_id", minhash_signature("ws").alias("sig"))
     return sigs.select(
         "doc_id",
         F.explode(
@@ -141,10 +141,10 @@ def _band_key_table(docs_ws: DataFrame) -> DataFrame:
 
 def _candidates_from_split(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     bb = _band_key_table(
-        batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+        batch.select("doc_id", word_3grams("text").alias("ws"))
     ).alias("bb")
     cb = _band_key_table(
-        corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+        corpus.select("doc_id", word_3grams("text").alias("ws"))
     ).alias("cb")
     return (
         bb.join(cb, F.col("bb.band_key") == F.col("cb.band_key"))
@@ -207,8 +207,8 @@ def incremental_rejections(
             ),
             "corpus_id",
         )
-        .withColumn("ws_a", word_3grams(F.col("text_a")))
-        .withColumn("ws_b", word_3grams(F.col("text_b")))
+        .withColumn("ws_a", word_3grams("text_a"))
+        .withColumn("ws_b", word_3grams("text_b"))
         # ANSI-0/0 guard (edge-fixture class): two sub-3-gram docs always
         # band-collide (empty sets share a signature) and their undefined
         # Jaccard must DROP — DuckDB's x/0 is NULL, Spark would throw.
@@ -331,7 +331,7 @@ def corpus_band_table(
     happened at write time, amortized over every subsequent ingest.
     Spark's bucket hash supports the array-typed band_sig directly, so
     the bucket keys ARE the join keys — no surrogate key needed."""
-    ws = corpus.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    ws = corpus.select("doc_id", word_3grams("text").alias("ws"))
     bands = _band_table(ws)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (
@@ -349,7 +349,7 @@ def bucketed_candidates(batch: DataFrame, corpus_bands: DataFrame) -> DataFrame:
     pre-bucketed corpus band table (see corpus_band_table). The batch side
     is banded in-flight and shuffled to the bucket layout (or broadcast
     when small); the corpus side is read in place."""
-    ws_batch = batch.select("doc_id", word_3grams(F.col("text")).alias("ws"))
+    ws_batch = batch.select("doc_id", word_3grams("text").alias("ws"))
     bb = _band_table(ws_batch)
     cb = corpus_bands
     return (

@@ -73,6 +73,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert {f.name: f.dataType for f in out.schema.fields} == {
         f.name: f.dataType for f in MEDIA_SCHEMA.fields
     }, "media_table drifted from MEDIA_SCHEMA"
+    # carry the documents scan's size hint so spread() stays input-adaptive
+    out._onebrc_src_bytes = getattr(d, "_onebrc_src_bytes", 0)
     return out
 
 

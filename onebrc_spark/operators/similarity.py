@@ -83,7 +83,30 @@ def banded_hyperplanes(n_bands: int, rows_per_band: int) -> list[list[list[int]]
     ]
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _cosine_sqlx(a: str, b: str) -> str:
+    """Spark-SQL text of cosine(a, b) over array references — the identical
+    fold (same element order, same double casts, same zero-norm NULL
+    guard), built by ONE JVM parse instead of ~150 py4j round trips (r13
+    optimization round — expression construction dominated the build phase
+    of the similarity family; see OPTIMIZATION_r13.md)."""
+    da = f"transform({a}, x -> CAST(x AS DOUBLE))"
+    db = f"transform({b}, x -> CAST(x AS DOUBLE))"
+    dot = f"aggregate(zip_with({da}, {db}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
+    na = f"sqrt(aggregate(transform({da}, x -> x * x), 0.0D, (s, x) -> s + x))"
+    nb = f"sqrt(aggregate(transform({db}, x -> x * x), 0.0D, (s, x) -> s + x))"
+    den = f"({na} * {nb})"
+    return f"(({dot}) / nullif({den}, 0.0D))"
+
+
+def sql_double_array(vals) -> str:
+    """A double-array literal as Spark-SQL text. CAST('repr' AS DOUBLE)
+    per element: repr() is the shortest round-trip decimal and string→
+    double parse is correctly rounded, so the literal is bit-identical to
+    F.lit(np.asarray(vals, float64))."""
+    return "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Exact cosine similarity of two float-array columns, double math.
 
     A zero-norm vector makes the denominator 0.0: ANSI Spark 4 throws
@@ -92,7 +115,13 @@ def cosine(a: Column, b: Column) -> Column:
     makes a degenerate vector's similarity NULL in both engines (dropped
     by every >= threshold filter) instead of killing the job — the
     edge-fixture hardening class; the driver's random embeddings never
-    contain a zero vector, so this was latent."""
+    contain a zero vector, so this was latent.
+
+    Accepts SQL reference STRINGS (preferred: one F.expr — see
+    _cosine_sqlx) or Columns (legacy py4j-built path, identical doubles —
+    pinned in tests/test_properties.py)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sqlx(a, b))
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -184,7 +213,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+            cos_round6(cosine("qv", "embedding")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -250,7 +279,7 @@ def banded_lsh_buckets(e: DataFrame, n_bands: int, rows_per_band: int) -> DataFr
     # count. The fold order inside each dot product is unchanged
     # (sequential over dims, cast-to-double multiply, 0.0 init), so bucket
     # ids stay bit-equal to the DuckDB oracle's inlined constants.
-    planes_lit = F.expr(
+    planes_lit = (
         "array("
         + ",".join(
             "array("
@@ -263,33 +292,22 @@ def banded_lsh_buckets(e: DataFrame, n_bands: int, rows_per_band: int) -> DataFr
         )
         + ")"
     )
-    emb = F.col("embedding")
-
-    def dot(plane: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-
-    entries = F.transform(
-        planes_lit,
-        lambda band_planes, band: F.struct(
-            band.cast("int").alias("band"),
-            F.aggregate(
-                F.transform(
-                    band_planes,
-                    lambda plane, j: F.when(
-                        # 1 << j, as an exact power of two (shiftleft needs
-                        # a Python-int bit count; j here is a Column)
-                        dot(plane) > 0,
-                        F.pow(F.lit(2.0), j.cast("double")).cast("int"),
-                    ).otherwise(0),
-                ),
-                F.lit(0),
-                lambda s, x: s + x,
-            ).alias("bucket"),
-        ),
+    # The WHOLE entries expression as one SQL string → one JVM parse (r13:
+    # the previous form built the nested higher-order tree through ~400
+    # py4j round trips per call — pure driver-side build cost; the parsed
+    # Catalyst tree and therefore every bucket id is unchanged, pinned by
+    # the oracle hash). `1 << j` stays the exact power-of-two double cast,
+    # and the dot fold keeps its sequential cast-to-double element order.
+    dot = (
+        "aggregate(zip_with(embedding, plane, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0.0D, (s, x) -> s + x)"
+    )
+    entries = F.expr(
+        f"transform({planes_lit}, (band_planes, band) -> named_struct("
+        f"'band', CAST(band AS INT), "
+        f"'bucket', aggregate(transform(band_planes, (plane, j) -> "
+        f"CASE WHEN ({dot}) > 0 THEN CAST(power(2.0D, CAST(j AS DOUBLE)) AS INT) "
+        f"ELSE 0 END), 0, (s, x) -> s + x)))"
     )
     return e.select("vec_id", "embedding", F.explode(entries).alias("bb")).select(
         "vec_id", "embedding", "bb.band", "bb.bucket"
@@ -416,7 +434,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.col("a.bucket").alias("bucket"),
-            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
+            cos_round6(cosine("a.embedding", "b.embedding")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _ANN_COS_MIN)
         .orderBy("id_a", "id_b")
@@ -495,7 +513,7 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias(
+            cos_round6(cosine("a.embedding", "b.embedding")).alias(
                 "cos_sim"
             ),
         )
@@ -579,7 +597,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("keep_id"),
             F.col("b.vec_id").alias("drop_id"),
-            cos_round6(cosine(F.col("a.embedding"), F.col("b.embedding"))).alias("cos_sim"),
+            cos_round6(cosine("a.embedding", "b.embedding")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _NEARDUP_COS_MIN)
         .orderBy("keep_id", "drop_id")
@@ -603,8 +621,18 @@ def _centroids() -> list[list[int]]:
     return cents
 
 
-def _cell_scores(emb: Column) -> Column:
-    """Array of cosine(emb, centroid_j) for all K centroids."""
+def _cell_scores(emb: Column | str) -> Column:
+    """Array of cosine(emb, centroid_j) for all K centroids. Pass a SQL
+    reference string for the one-parse fast path (see _cosine_sqlx)."""
+    if isinstance(emb, str):
+        return F.expr(
+            "array("
+            + ", ".join(
+                _cosine_sqlx(emb, sql_double_array([float(v) for v in c]))
+                for c in _centroids()
+            )
+            + ")"
+        )
     return F.array(
         *[cosine(emb, F.lit([float(v) for v in c])) for c in _centroids()]
     )
@@ -670,7 +698,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so degenerate vectors stay out of probe results in BOTH engines
         # (0 would self-join all-NULL rows into ranked output here while
         # the oracle's list_indexof yields NULL — a hash divergence).
-        t2 = _top2_cells(_cell_scores(F.col("embedding")))
+        t2 = _top2_cells(_cell_scores("embedding"))
         return e.select(
             "vec_id",
             "embedding",
@@ -697,7 +725,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+            cos_round6(cosine("qv", "embedding")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
@@ -1101,18 +1129,18 @@ def _ivf_probe2_audit(
     recompute instead of crashing."""
     # coalesce(cos, -2) totalizes the argmax for zero-norm vectors (same
     # sentinel as kmeans_fit — matches the oracle's row_number tie-break:
-    # cell 1, then cell 2). lit(ndarray) = one true ArrayType literal per
-    # centroid (see kmeans_fit's note).
-    cs = F.array(
-        *[
-            F.coalesce(
-                cosine(
-                    F.col("embedding"), F.lit(np.asarray(c, dtype=np.float64))
-                ),
-                F.lit(-2.0),
-            )
+    # cell 1, then cell 2). One F.expr for all 8 cosines (r13): the
+    # CAST('repr' AS DOUBLE) literals are bit-identical to the former
+    # lit(float64-ndarray) form (shortest-repr round trip, correctly
+    # rounded parse) and the whole 8×dim tree costs one JVM parse instead
+    # of ~1,200 py4j round trips per build.
+    cs = F.expr(
+        "array("
+        + ", ".join(
+            f"coalesce({_cosine_sqlx('embedding', sql_double_array(c))}, -2.0D)"
             for c in cents
-        ]
+        )
+        + ")"
     )
     # Probe cells via ONE fold (r8): the previous array_position-of-max +
     # masked-second-position form referenced the `cs` expression six times,
@@ -1152,7 +1180,7 @@ def _ivf_probe2_audit(
     ).select(
         "qid",
         F.col("vec_id").alias("nid"),
-        cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+        cos_round6(cosine("qv", "embedding")).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     ivf = (
@@ -1167,7 +1195,7 @@ def _ivf_probe2_audit(
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            cos_round6(cosine(F.col("qv"), F.col("embedding"))).alias("cos_sim"),
+            cos_round6(cosine("qv", "embedding")).alias("cos_sim"),
         )
     )
     exact = (
@@ -1674,7 +1702,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     truth = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .withColumn("cos_sim", cos_round6(cosine(F.col("qv"), F.col("embedding"))))
+        .withColumn("cos_sim", cos_round6(cosine("qv", "embedding")))
         .filter(F.col("cos_sim") >= _AUDIT_COS_MIN)
         .select("qid", "vec_id")
     )

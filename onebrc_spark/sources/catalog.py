@@ -136,12 +136,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
-    raw = spark.read.schema(_read_schema(sf_dir, name)).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    raw = spark.read.schema(_read_schema(sf_dir, name)).parquet(path)
     df = normalize_ts(raw, sf_dir, name)
     if name == "events":
         df = df.withColumn("value", finite_or_null(F.col("value")))
     if name == "embeddings":
         df = df.withColumn("embedding", finite_vector_or_null(F.col("embedding")))
+    # Source-size hint for spread() (r13): plain file metadata, no optimizer
+    # pass — a directory table sums its parts.
+    try:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        df._onebrc_src_bytes = (
+            os.path.getsize(p)
+            if os.path.isfile(p)
+            else sum(
+                os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
+        )
+    except OSError:
+        pass
     return df
 
 
@@ -180,8 +194,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+# Per-task byte budget for the compute fan-out (r13 optimization round,
+# guide §2.2/§2.5): sizes the spread width from the INPUT, not from the
+# host. Estimated source bytes per spread partition; env-tunable so a
+# cluster profile can re-derive it without code changes.
+_SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", str(128 * 1024))
+)
+
+
 def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
-    """Round-robin repartition to cores×per_core partitions.
+    """Round-robin repartition to min(cores×per_core, input-derived) partitions.
 
     For CPU-heavy per-row operators (shingling, MinHash, SimHash, decode
     UDFs) the scan's partition count is set by file splits — a single small
@@ -191,8 +214,30 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     explicit analogue of the reference's fixed thread-per-core fan-out
     (`thebracket.rs:11,121-131`). At 100 TB the same rule holds per
     executor: partitions ≥ total cores.
+
+    Width is SCALE-ADAPTIVE (r13, guide §2.2 "fewer, larger map tasks" /
+    §2.5 synthetic-partitioning note): the fan-out is derived from the
+    plan's estimated input bytes (one partition per _SPREAD_BYTES_PER_TASK,
+    default 128 KiB of source bytes) and capped at cores×per_core — any
+    real corpus saturates the cap immediately, so cluster behavior is
+    byte-identical to the old constant, while tiny inputs stop paying
+    cores×2 task launches + cores×2-way shuffle-file fan-out in EVERY
+    downstream stage. Measured (sf0.1, 5,000 docs, 594 KiB parquet): the
+    minhash pair build runs 64-task stages whose per-stage wall is
+    ~0.7-1.3 s at width 64 vs ~0.1-0.3 s at width ≤16 with identical
+    output — the whole build drops ~25-40% (see OPTIMIZATION_r13.md).
+    The size estimate is the `_onebrc_src_bytes` file-metadata hint stamped
+    by load_table (plain os.path.getsize — measured: consulting Catalyst's
+    optimizedPlan().stats() instead costs a per-call driver optimizer pass
+    that ate the whole win on the similarity family); a frame without the
+    hint falls back to the cap, i.e. the old behavior.
     """
-    target = spark.sparkContext.defaultParallelism * per_core
+    cap = spark.sparkContext.defaultParallelism * per_core
+    est = getattr(df, "_onebrc_src_bytes", 0) or 0
+    if est <= 0 or est >= cap * _SPREAD_BYTES_PER_TASK:
+        target = cap
+    else:
+        target = -(-est // _SPREAD_BYTES_PER_TASK)  # ceil division, ≥ 1
     return df.repartition(target)
 
 

@@ -1,0 +1,74 @@
+"""r13 optimization round: the SQL-string fast paths must stay bit-identical
+to the legacy Column-built forms.
+
+The hot expression builders (word_3grams, minhash_signature, cosine,
+_cell_scores) gained an F.expr construction path — one JVM parse instead of
+hundreds of py4j round trips per query build (OPTIMIZATION_r13.md). These
+tests pin str-path == Column-path on real fixture data so the two
+implementations cannot drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from onebrc_spark.operators import dedup, similarity
+from onebrc_spark.sources.catalog import load_table
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+def test_word_3grams_sqlx_equals_column_path(spark):
+    d = load_table(spark, SMOKE_SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    both = d.select(
+        "doc_id",
+        dedup.word_3grams("text").alias("s"),
+        dedup.word_3grams(F.col("text")).alias("c"),
+    ).collect()
+    assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_minhash_signature_sqlx_equals_column_path(spark):
+    d = load_table(spark, SMOKE_SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = d.select("doc_id", dedup.word_3grams("text").alias("ws"))
+    both = ws.select(
+        dedup.minhash_signature("ws").alias("s"),
+        dedup.minhash_signature(F.col("ws")).alias("c"),
+    ).collect()
+    assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_cosine_sqlx_equals_column_path(spark):
+    e = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(500)
+    both = pairs.select(
+        similarity.cosine("ea", "eb").alias("s"),
+        similarity.cosine(F.col("ea"), F.col("eb")).alias("c"),
+    ).collect()
+    # bit-identical doubles (or both NULL), not approximately equal
+    assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_cell_scores_sqlx_equals_column_path(spark):
+    e = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    both = e.select(
+        similarity._cell_scores("embedding").alias("s"),
+        similarity._cell_scores(F.col("embedding")).alias("c"),
+    ).collect()
+    assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_sql_double_array_roundtrips_exactly(spark):
+    vals = [0.1, -2.5e-17, 1234567.875, float(np.float64(1) / 3)]
+    row = spark.range(1).select(
+        F.expr(similarity.sql_double_array(vals)).alias("a"),
+        F.lit(np.asarray(vals, dtype=np.float64)).alias("b"),
+    ).collect()[0]
+    assert row["a"] == row["b"] == vals
