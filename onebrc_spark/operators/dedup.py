@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from onebrc_spark.registry import query
-from onebrc_spark.sources.catalog import load_table, spread
+from onebrc_spark.sources.catalog import load_table, spread, spread_width
 
 # --- portable token hashing ------------------------------------------------
 # One md5 per shingle → 9 decimal digits → N hashes via affine transforms
@@ -515,9 +515,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # coalesce before persist: the expansion union leaves 2× spread
         # width of mostly-empty partitions, and every WARM consumer of the
         # memo would pay that task count on each read (r9 fullsweep: the
-        # warm presentation read was +60% from partition count alone)
+        # warm presentation read was +60% from partition count alone).
+        # Target = the ADAPTIVE spread width of the source (r13): a
+        # host-constant 64 here made every pair consumer (bidir union =
+        # 2x memo width) pay 128 task launches per stage to read ~2k rows.
         materialized = pairs.coalesce(
-            spark.sparkContext.defaultParallelism * 2
+            pairs._onebrc_spread_width
         ).persist()
         materialized.count()  # materialize while the transient persists are hot
     except BaseException:
@@ -874,7 +877,9 @@ def _minhash_pairs_plan(
     earlier but was measured to cost MORE than it saves at every SF (the
     probe is a full census job; the empty branches it prunes are
     already-broadcast no-ops)."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    src_tbl = load_table(spark, sf_dir, "documents")
+    width = spread_width(src_tbl, spark)
+    d = spread(src_tbl, spark)
     slim = _minhash_slim(d)
     # the census persist makes BOTH collapse joins read one tiny cached
     # table (column pruning would otherwise specialize the two broadcast
@@ -890,7 +895,7 @@ def _minhash_pairs_plan(
     # stage over the cache would otherwise pay 2× the task overhead.
     collapsed = (
         _collapsed_rows(slim, dupc)
-        .coalesce(spark.sparkContext.defaultParallelism * 2)
+        .coalesce(width)
         .persist()
     )
     ws = collapsed.select("doc_id", "ws")
@@ -898,6 +903,7 @@ def _minhash_pairs_plan(
     rep_pairs = minhash_verify_pairs(ws, candidates)
     out = minhash_expand_pairs(rep_pairs, collapsed)
     out._onebrc_transient_handles = [collapsed, dupc]
+    out._onebrc_spread_width = width
     return out
 
 

@@ -232,13 +232,20 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     that ate the whole win on the similarity family); a frame without the
     hint falls back to the cap, i.e. the old behavior.
     """
+    return df.repartition(spread_width(df, spark, per_core))
+
+
+def spread_width(df: DataFrame, spark: SparkSession, per_core: int = 2) -> int:
+    """The partition count spread() would use for this frame — exposed so
+    downstream coalesce targets (memoized asset layouts, union folds) can
+    track the adaptive width instead of a host constant (r13: a 64-wide
+    pair-set memo made every warm consumer pay 64–128 task launches per
+    stage to read ~2k rows)."""
     cap = spark.sparkContext.defaultParallelism * per_core
     est = getattr(df, "_onebrc_src_bytes", 0) or 0
     if est <= 0 or est >= cap * _SPREAD_BYTES_PER_TASK:
-        target = cap
-    else:
-        target = -(-est // _SPREAD_BYTES_PER_TASK)  # ceil division, ≥ 1
-    return df.repartition(target)
+        return cap
+    return -(-est // _SPREAD_BYTES_PER_TASK)  # ceil division, ≥ 1
 
 
 # SparkSession -> last-registered sf_dir. Weak-keyed on the session OBJECT

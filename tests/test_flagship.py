@@ -73,3 +73,40 @@ def test_generator_shape_and_invariants(spark):
         assert r["min"] <= r["mean"] <= r["max"]  # thebracket.rs:167 spirit
     total = df.count()
     assert total == 50_000
+
+
+def test_arrow_scan_agg_matches_jvm_path(spark, tmp_path):
+    """r13 optimization round: the Arrow-native fused scan+partial-agg
+    (onebrc_scan_agg_arrow) must return IDENTICAL rows to the JVM path —
+    golden file (incl. multi-byte station names, negative temps) and a
+    generated multi-file corpus large enough to exercise the byte-range
+    chunking + newline snap."""
+    from onebrc_spark.sources.onebrc import (
+        onebrc_scan_agg_arrow,
+        read_measurements_fast,
+        write_measurements,
+    )
+
+    p = tmp_path / "golden.txt"
+    p.write_text(GOLDEN, encoding="utf-8")
+    jvm = onebrc_aggregate(
+        read_measurements_fast(spark, str(p)), "station", "measure"
+    ).collect()
+    arrow = onebrc_scan_agg_arrow(spark, str(p)).collect()
+    assert arrow == jvm
+
+    big = str(tmp_path / "gen")
+    write_measurements(generate_measurements(spark, 120_000, seed=11, num_partitions=3), big)
+    jvm2 = onebrc_aggregate(
+        read_measurements_fast(spark, big), "station", "measure"
+    ).collect()
+    # force multi-chunk per file to exercise the snap path
+    import onebrc_spark.sources.onebrc as ob
+
+    prev = ob._ARROW_SCAN_CHUNK
+    ob._ARROW_SCAN_CHUNK = 64 * 1024
+    try:
+        arrow2 = ob.onebrc_scan_agg_arrow(spark, big).collect()
+    finally:
+        ob._ARROW_SCAN_CHUNK = prev
+    assert arrow2 == jvm2
