@@ -1097,7 +1097,31 @@ def minhash_recall_audit_frame(
     )
 
 
-def simhash64(hashes_col: Column, bits: int = 64) -> Column:
+def _simhash_sqlx(hs: str, bits: int) -> str:
+    """Spark-SQL text of simhash64 over a hash-array reference — the same
+    vote/pack fold, one JVM parse instead of ~200 py4j calls building the
+    `bits`-branch CASE tree (see _word_3grams_sqlx; r13 optimization
+    round). bits ≤ 63 only: the bit-63 mask is the signed min-long, whose
+    SQL literal needs special-casing the Column path already handles."""
+    if bits > 63:
+        raise ValueError("str fast path supports bits <= 63; pass a Column")
+    masks = [1 << b for b in range(bits)]
+    votes_arr = ", ".join(
+        f"(CASE WHEN (h & {m}L) != 0 THEN 1 ELSE -1 END)" for m in masks
+    )
+    mask_arr = ", ".join(f"{m}L" for m in masks)
+    votes = (
+        f"aggregate({hs}, array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, array({votes_arr}), (a, b) -> a + b))"
+    )
+    packed = (
+        f"zip_with({votes}, array({mask_arr}), "
+        f"(v, m) -> CASE WHEN v > 0 THEN m ELSE CAST(0 AS BIGINT) END)"
+    )
+    return f"aggregate({packed}, CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+
+
+def simhash64(hashes_col: Column | str, bits: int = 64) -> Column:
     """SimHash over a pre-hashed token array, packed into one long.
 
     Per bit b: sign of Σ_tokens (bit b of token hash ? +1 : -1); the
@@ -1108,7 +1132,13 @@ def simhash64(hashes_col: Column, bits: int = 64) -> Column:
     everything stays in codegen'd higher-order functions. bits=60 pairs
     with md5-derived token hashes (15 hex chars) for cross-engine oracles;
     bits=64 pairs with xxhash64 (Spark-only, unit-tested).
+
+    Accepts a plain column/field reference STRING (preferred for bits ≤ 63:
+    one F.expr — see _word_3grams_sqlx) or an arbitrary Column (legacy
+    py4j-built path, identical longs — pinned in tests/test_sqlx_twins.py).
     """
+    if isinstance(hashes_col, str):
+        return F.expr(_simhash_sqlx(hashes_col, bits))
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
     init = F.array_repeat(F.lit(0), bits)
 
@@ -1183,7 +1213,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
         ).alias("hs"),
     )
-    sigs = hashed.select("doc_id", simhash64(F.col("hs"), bits=60).alias("sig"))
+    sigs = hashed.select("doc_id", simhash64("hs", bits=60).alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",

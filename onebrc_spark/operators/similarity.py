@@ -224,8 +224,29 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_for(emb: Column, planes: list[list[int]]) -> Column:
-    """Sign-pattern bucket id (0..2^len(planes)-1) for one plane set."""
+def _bucket_sqlx_for(emb: str, planes: list[list[int]]) -> str:
+    """Spark-SQL text of _bucket_for over an embedding reference — the same
+    sign-pattern sum (same fold order, same cast-to-double multiply), built
+    by ONE JVM parse instead of ~3,500 py4j round trips for the 8×dim
+    literal planes (r13 optimization round; the bucket builder dominated
+    the build phase of sim_ann_lsh and dedup_embedding_neardup)."""
+    terms = ["0"]
+    for j, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({emb}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (s, x) -> s + x)"
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_for(emb: Column | str, planes: list[list[int]]) -> Column:
+    """Sign-pattern bucket id (0..2^len(planes)-1) for one plane set.
+    Pass a SQL reference string for the one-parse fast path (see
+    _bucket_sqlx_for; pinned in tests/test_sqlx_twins.py)."""
+    if isinstance(emb, str):
+        return F.expr(_bucket_sqlx_for(emb, planes))
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         pv = F.array(*[F.lit(float(v)) for v in plane])
@@ -238,7 +259,7 @@ def _bucket_for(emb: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
-def lsh_bucket(emb: Column) -> Column:
+def lsh_bucket(emb: Column | str) -> Column:
     """Sign-pattern LSH bucket id (0..2^H-1) from the fixed hyperplanes."""
     return _bucket_for(emb, _hyperplanes())
 
@@ -421,7 +442,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-verified: the oracle reproduces identical buckets and cosines from
     the same inlined hyperplane constants."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    b = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
     a = b.alias("a")
     bb = b.alias("b")
     return (
@@ -585,7 +606,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_lsh, tighter threshold — semantic dedup is ANN search with a
     keep rule."""
     e = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    b = e.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    b = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
     a = b.alias("a")
     bb = b.alias("b")
     return (
@@ -1099,7 +1120,7 @@ def _memoized_celled(cache_key: tuple | None, build) -> DataFrame:
     un-memoized (the exactness-pin path)."""
     celled = _IVF_CELLED_CACHE.get(cache_key) if cache_key is not None else None
     if celled is not None:
-        return celled
+        return _celled_short_plan(celled)
     celled = build().persist()
     try:
         celled.count()
@@ -1108,7 +1129,30 @@ def _memoized_celled(cache_key: tuple | None, build) -> DataFrame:
         raise
     if cache_key is not None:
         _IVF_CELLED_CACHE.put(cache_key, celled)
+        return _celled_short_plan(celled)
     return celled
+
+
+def _celled_short_plan(celled: DataFrame) -> DataFrame:
+    """Short-plan twin of a memoized cell table (r13 optimization round,
+    guide §1.2 step 2 / §7.3 'very large plans'): the celled frame's
+    logical plan embeds the K×dim inline-literal cosine array, and every
+    downstream operation of the audit assembly (7 joins, ~13 selects, two
+    windows) re-analyzes that whole tree — measured 2.18 s of driver-side
+    py4j/analysis per build at sf0.01, dropping to 0.85 s when consumers
+    see a LogicalRDD instead. localCheckpoint(eager) materializes from the
+    already-persisted columnar cache (cheap second copy of a slim table),
+    and the twin rides on the persisted handle (`_onebrc_trunc`) so LRU
+    eviction drops both together — executor storage stays O(maxsize), the
+    twin's blocks are reclaimed by the ContextCleaner on GC. The persisted
+    original stays the source of truth for storage accounting and safe
+    eviction; rows are identical by construction (the checkpoint IS the
+    computed result). Pinned in tests/test_plans.py."""
+    twin = getattr(celled, "_onebrc_trunc", None)
+    if twin is None:
+        twin = celled.localCheckpoint(eager=True)
+        celled._onebrc_trunc = twin
+    return twin
 
 
 def _ivf_probe2_audit(

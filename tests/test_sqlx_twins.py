@@ -72,3 +72,29 @@ def test_sql_double_array_roundtrips_exactly(spark):
         F.lit(np.asarray(vals, dtype=np.float64)).alias("b"),
     ).collect()[0]
     assert row["a"] == row["b"] == vals
+
+
+def test_simhash_sqlx_equals_column_path(spark):
+    d = load_table(spark, SMOKE_SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hashed = d.select(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+        ).alias("hs")
+    )
+    both = hashed.select(
+        dedup.simhash64("hs", bits=60).alias("s"),
+        dedup.simhash64(F.col("hs"), bits=60).alias("c"),
+    ).collect()
+    assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_lsh_bucket_sqlx_equals_column_path(spark):
+    e = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    both = e.select(
+        similarity.lsh_bucket("embedding").alias("s"),
+        similarity.lsh_bucket(F.col("embedding")).alias("c"),
+    ).collect()
+    assert both and all(r["s"] == r["c"] for r in both)
