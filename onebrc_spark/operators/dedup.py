@@ -885,8 +885,16 @@ def _minhash_pairs_plan(
     # table (column pruning would otherwise specialize the two broadcast
     # subtrees and compute the census twice); with it, the scan+spread
     # exchange below is the plan's ONLY corpus-sized subtree and
-    # ReuseExchange shares it across the census, anti and member branches
-    dupc = _dup_census(slim).persist()
+    # ReuseExchange shares it across the census, anti and member branches.
+    # coalesce(width): the census is duplicated-digest rows only (tiny on
+    # real corpora) but its groupBy shuffle leaves shuffle.partitions
+    # near-empty cached partitions that every census-reading stage pays
+    # task launches over — fold the cache to the input-derived width
+    # (cached plans are outside AQE coalescing; the global
+    # canChangeCachedPlanOutputPartitioning conf was measured 15-45%
+    # WORSE across the memo families — adaptive re-planning of every
+    # cached-plan read costs more than the task launches it saves).
+    dupc = _dup_census(slim).coalesce(width).persist()
     # ONE persist: the collapsed (doc_id, ws, grp_n, ids) table feeds the
     # signature path, both sides of the verification join AND the
     # expansion — without it the shingling+collapse recomputes 5×. The
