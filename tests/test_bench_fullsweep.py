@@ -86,6 +86,21 @@ _ADJUDICATED: dict = {
         # containment' — cost of boundedness, accepted).
         "dedup_overlap_containment": "r12 census restructure, SCALING.md",
     },
+    ("BENCH_r12_fullsweep.json", "BENCH_r13_fullsweep.json"): {
+        # Host-epoch drift on untouched sub-second entries, adjudicated by
+        # the BENCH_PROTOCOL §3 epoch rule: the r12 TREE (aa704fa worktree)
+        # re-run on the r13-sweep epoch, same day, min-of-6 isolation at
+        # sf0.01, reads WORSE-or-equal than the final r13 tree on all
+        # three — r12 tree 0.641 / 0.885 / 0.569 s vs r13 tree 0.415 /
+        # 0.650 / 0.542 s (sliding / mad / curation). eventtime.py and the
+        # curation pipeline composition are byte-untouched this round; the
+        # sweep-relative 1.6-3.1x is the afternoon's ~1.24x-probe host
+        # regime landing non-uniformly on scheduler-bound entries
+        # (OPTIMIZATION_r13.md, 'Final measurements').
+        "evt_sliding_window": "epoch drift; r12-tree-on-r13-epoch pair",
+        "evt_anomaly_mad": "epoch drift; r12-tree-on-r13-epoch pair",
+        "ml_curation_pipeline": "epoch drift; r12-tree-on-r13-epoch pair",
+    },
 }
 
 
