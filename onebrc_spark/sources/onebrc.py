@@ -94,12 +94,15 @@ def onebrc_scan_agg_arrow(spark: SparkSession, path: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # match Spark's text-source file enumeration (read_measurements_fast
+    # reads everything except _-/.-prefixed hidden files), so the two
+    # paths see the same file set instead of silently diverging on
+    # unrecognized extensions
     files = sorted(
         f
         for f in _glob.glob(_os.path.join(path, "*"))
-        if _os.path.basename(f).startswith("part-")
-        or _os.path.basename(f).endswith(".txt")
-        or _os.path.basename(f).endswith(".csv")
+        if _os.path.isfile(f)
+        and not _os.path.basename(f).startswith(("_", "."))
     ) or [path]
     chunks = []
     for f in files:
@@ -119,6 +122,13 @@ def onebrc_scan_agg_arrow(spark: SparkSession, path: str) -> DataFrame:
             T.StructField("end", T.LongType()),
         ]
     )
+    if not chunks:
+        # all-empty input: the JVM path returns an empty aggregate frame,
+        # not a repartition(0) error
+        empty = spark.createDataFrame(
+            [], "station string, min double, mean double, max double"
+        )
+        return empty
     # one chunk per task: compute parallelism == chunk count (the scan
     # analogue of spread(); chunk count derives from input size by
     # construction, so this is scale-adaptive for free)
@@ -158,7 +168,13 @@ def onebrc_scan_agg_arrow(spark: SparkSession, path: str) -> DataFrame:
                     begin = raw.find(b"\n") + 1
                 cut = len(raw)
                 if end < size:
-                    nl = raw.find(b"\n", (end - start) - 1)
+                    # cut after the first newline AT OR PAST file byte `end`
+                    # (search from end-start, NOT end-start-1: when byte
+                    # end-1 is itself a newline, searching one early would
+                    # cut here at `end` while the next chunk skips through
+                    # its first newline — the line starting exactly at
+                    # `end` would be dropped by both chunks)
+                    nl = raw.find(b"\n", end - start)
                     cut = len(raw) if nl < 0 else nl + 1
                 buf = raw[begin:cut]
                 if not buf:
@@ -170,11 +186,16 @@ def onebrc_scan_agg_arrow(spark: SparkSession, path: str) -> DataFrame:
                     convert_options=conv_opts,
                 )
                 # exact-integer cents: 1-dp temps make measure*100 exactly
-                # integral, so round-to-nearest == the flagship's
-                # grid-safe java round (no .5 ties exist)
-                cents = pc.round(pc.multiply(tbl["measure"], 100.0)).cast(
-                    pa.int64()
-                )
+                # integral, so any round mode is the identity there; pin
+                # half_away_from_zero so the rounding CONTRACT matches the
+                # flagship's java round even off the 1-dp happy path
+                # (pc.round defaults to half-to-even, which would silently
+                # diverge on exact .5 cents ties in 2-dp inputs;
+                # half_towards_infinity IS pyarrow's half-away-from-zero)
+                cents = pc.round(
+                    pc.multiply(tbl["measure"], 100.0),
+                    round_mode="half_towards_infinity",
+                ).cast(pa.int64())
                 g = pa.table(
                     {
                         "station": tbl["station"],

@@ -110,3 +110,39 @@ def test_arrow_scan_agg_matches_jvm_path(spark, tmp_path):
     finally:
         ob._ARROW_SCAN_CHUNK = prev
     assert arrow2 == jvm2
+
+
+def test_arrow_scan_boundary_newline_not_dropped(spark, tmp_path):
+    """r14 (ADVICE high): when a chunk boundary lands exactly AFTER a
+    newline (file byte end-1 == '\\n'), the line starting at `end` must be
+    owned by exactly one chunk. The pre-fix snap searched from end-start-1,
+    so the left chunk cut at `end` while the right chunk skipped through
+    its first newline — that line was dropped by both. Force it
+    deterministically with fixed-width lines and a step that is an exact
+    multiple of the line width."""
+    import onebrc_spark.sources.onebrc as ob
+
+    # 2000 alternating 7-byte lines: every chunk boundary below is a
+    # multiple of 7, i.e. byte end-1 is always '\n'
+    lines = ["AB;1.0\n" if i % 2 == 0 else "AB;3.0\n" for i in range(2000)]
+    p = tmp_path / "aligned.txt"
+    p.write_text("".join(lines), encoding="utf-8")
+    assert p.stat().st_size == 14_000
+
+    prev = ob._ARROW_SCAN_CHUNK
+    ob._ARROW_SCAN_CHUNK = 3_500  # n=4, step=3500 = 500 * 7
+    try:
+        rows = ob.onebrc_scan_agg_arrow(spark, str(p)).collect()
+    finally:
+        ob._ARROW_SCAN_CHUNK = prev
+    assert rows == [("AB", 1.0, 2.0, 3.0)]
+
+
+def test_arrow_scan_empty_input(spark, tmp_path):
+    """r14 (ADVICE low): all-empty input returns an empty aggregate frame
+    like the JVM path, not a repartition(0) error."""
+    from onebrc_spark.sources.onebrc import onebrc_scan_agg_arrow
+
+    p = tmp_path / "empty.txt"
+    p.write_text("")
+    assert onebrc_scan_agg_arrow(spark, str(p)).collect() == []
