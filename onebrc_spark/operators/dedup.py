@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from onebrc_spark.registry import query
-from onebrc_spark.sources.catalog import load_table, spread, spread_width
+from onebrc_spark.sources.catalog import (
+    load_table,
+    small_for_twin,
+    spread,
+    spread_width,
+    src_bytes_hint,
+)
 
 # --- portable token hashing ------------------------------------------------
 # One md5 per shingle → 9 decimal digits → N hashes via affine transforms
@@ -506,7 +512,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
-        return cached.orderBy("doc_a", "doc_b")
+        return _pairs_handout(cached).orderBy("doc_a", "doc_b")
     handles: list[DataFrame] = []
     materialized = None
     try:
@@ -522,6 +528,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialized = pairs.coalesce(
             pairs._onebrc_spread_width
         ).persist()
+        materialized._onebrc_twin_small = pairs._onebrc_twin_small
         materialized.count()  # materialize while the transient persists are hot
     except BaseException:
         # a failed/cancelled materialization must not strand the fresh
@@ -533,13 +540,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in handles:
             h.unpersist()
     _MINHASH_PAIRS_CACHE.put(key, materialized)
-    return materialized.orderBy("doc_a", "doc_b")
+    return _pairs_handout(materialized).orderBy("doc_a", "doc_b")
+
+
+def _pairs_handout(handle: DataFrame) -> DataFrame:
+    """What pair-set consumers receive for a memoized handle: the gated
+    short-plan twin (r14 — the memo's 115 KB build-tree plan was
+    re-analyzed by every consumer operation; see memo.short_plan_twin for
+    the gate's scale rationale). Consumers must not hold a handed-out frame
+    across clear_pair_cache()/eviction — that was already the contract for
+    the persisted handle (its unpersisted blocks recompute, but the
+    transient inputs they recompute FROM are gone), and the twin makes the
+    same mistake fail loudly instead of slowly."""
+    return short_plan_twin(handle, getattr(handle, "_onebrc_twin_small", False))
 
 
 # Bounded (VERDICT r6 #7): a multi-sf_dir session holds at most two
 # persisted pair sets — the warmup and measured directories bench.py
 # legitimately alternates between; a third key evicts-and-unpersists LRU.
-from onebrc_spark.operators.memo import PersistedLRU  # noqa: E402
+from onebrc_spark.operators.memo import PersistedLRU, short_plan_twin  # noqa: E402
 
 _MINHASH_PAIRS_CACHE = PersistedLRU(maxsize=2)
 
@@ -559,7 +578,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         dedup_minhash_lsh(spark, sf_dir)  # populates the cache
         cached = _MINHASH_PAIRS_CACHE.get(key)
-    return cached
+    return _pairs_handout(cached)
 
 
 # Hot-band occupancy cap (documents per band key, counted AFTER the exact-
@@ -879,6 +898,7 @@ def _minhash_pairs_plan(
     already-broadcast no-ops)."""
     src_tbl = load_table(spark, sf_dir, "documents")
     width = spread_width(src_tbl, spark)
+    small = small_for_twin(src_bytes_hint(src_tbl))
     d = spread(src_tbl, spark)
     slim = _minhash_slim(d)
     # the census persist makes BOTH collapse joins read one tiny cached
@@ -895,23 +915,38 @@ def _minhash_pairs_plan(
     # WORSE across the memo families — adaptive re-planning of every
     # cached-plan read costs more than the task launches it saves).
     dupc = _dup_census(slim).coalesce(width).persist()
-    # ONE persist: the collapsed (doc_id, ws, grp_n, ids) table feeds the
-    # signature path, both sides of the verification join AND the
-    # expansion — without it the shingling+collapse recomputes 5×. The
-    # coalesce folds the union's branch partitions (spread-width each,
+    # ONE materialization point: the collapsed (doc_id, ws, grp_n, ids)
+    # table feeds the signature path, both sides of the verification join
+    # AND the expansion — without it the shingling+collapse recomputes 5×.
+    # The coalesce folds the union's branch partitions (spread-width each,
     # the dup branch near-empty) back to spread width — every downstream
     # stage over the cache would otherwise pay 2× the task overhead.
-    collapsed = (
-        _collapsed_rows(slim, dupc)
-        .coalesce(width)
-        .persist()
-    )
+    #
+    # Small inputs take a localCheckpoint(eager) SHORT-PLAN twin instead of
+    # a persist (r14, VERDICT r13 #1, guide §7.3): the collapsed tree
+    # (scan + census joins + the word_3grams forest) is re-analyzed by
+    # every one of its FIVE consumers, and with a persist the final pairs
+    # plan embeds that whole tree five times — the memoized pair set's
+    # 115 KB logical plan that every warm consumer (cluster queries,
+    # leakage split: a 2,045-line plan) re-analyzed per operation. The
+    # twin's one-line LogicalRDD cuts both the build's driver planning
+    # gaps and every consumer plan. Above the size gate the persist path
+    # is unchanged — at scale lineage-free blocks and a second copy are
+    # the wrong trade (see catalog.small_for_twin).
+    base = _collapsed_rows(slim, dupc).coalesce(width)
+    if small:
+        collapsed = base.localCheckpoint(eager=True)
+        handles = [dupc]
+    else:
+        collapsed = base.persist()
+        handles = [collapsed, dupc]
     ws = collapsed.select("doc_id", "ws")
     candidates = minhash_band_candidates(ws, band_cap)
     rep_pairs = minhash_verify_pairs(ws, candidates)
     out = minhash_expand_pairs(rep_pairs, collapsed)
-    out._onebrc_transient_handles = [collapsed, dupc]
+    out._onebrc_transient_handles = handles
     out._onebrc_spread_width = width
+    out._onebrc_twin_small = small
     return out
 
 

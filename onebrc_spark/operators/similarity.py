@@ -31,7 +31,12 @@ from pyspark.sql.window import Window
 
 from onebrc_spark.registry import query
 from onebrc_spark.schemas import EMBEDDING_DIM
-from onebrc_spark.sources.catalog import load_table, spread
+from onebrc_spark.sources.catalog import (
+    load_table,
+    small_for_twin,
+    spread,
+    src_bytes_hint,
+)
 
 _KNN_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -731,7 +736,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table (the IVF index build) in the shared bounded LRU so repeated
     # sweep builds are cache hits.
     celled = _memoized_celled(
-        (spark.sparkContext.applicationId, sf_dir, "fixed"), build
+        (spark.sparkContext.applicationId, sf_dir, "fixed"),
+        build,
+        small=small_for_twin(src_bytes_hint(e)),
     )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -1101,7 +1108,7 @@ def _ivf_trained_sql(fit_src: str | None = None) -> str:
 # fixture dirs in one pytest session); at 4, a sweep touching sampled and
 # fixed at two dirs already filled every slot and any extra dir evicted a
 # still-useful cell table.
-from onebrc_spark.operators.memo import PersistedLRU  # noqa: E402
+from onebrc_spark.operators.memo import PersistedLRU, short_plan_twin  # noqa: E402
 
 _IVF_CELLED_CACHE = PersistedLRU(maxsize=6)
 
@@ -1111,16 +1118,19 @@ def clear_ivf_cache() -> None:
     _IVF_CELLED_CACHE.clear()
 
 
-def _memoized_celled(cache_key: tuple | None, build) -> DataFrame:
+def _memoized_celled(
+    cache_key: tuple | None, build, small: bool = False
+) -> DataFrame:
     """Materialize-and-memoize a cell-assignment frame: the persisted,
     counted cell table IS the IVF index build. One shared error path for
     every fit kind (fixed/trained/sampled): a failed or cancelled count
     unpersists the fresh handle instead of stranding it (the ADVICE r8
     leak class); success LRU-puts under cache_key. cache_key=None builds
-    un-memoized (the exactness-pin path)."""
+    un-memoized (the exactness-pin path). `small` gates the short-plan
+    twin (see _celled_short_plan)."""
     celled = _IVF_CELLED_CACHE.get(cache_key) if cache_key is not None else None
     if celled is not None:
-        return _celled_short_plan(celled)
+        return _celled_short_plan(celled, small)
     celled = build().persist()
     try:
         celled.count()
@@ -1129,30 +1139,29 @@ def _memoized_celled(cache_key: tuple | None, build) -> DataFrame:
         raise
     if cache_key is not None:
         _IVF_CELLED_CACHE.put(cache_key, celled)
-        return _celled_short_plan(celled)
+        return _celled_short_plan(celled, small)
     return celled
 
 
-def _celled_short_plan(celled: DataFrame) -> DataFrame:
+def _celled_short_plan(celled: DataFrame, small: bool = True) -> DataFrame:
     """Short-plan twin of a memoized cell table (r13 optimization round,
     guide §1.2 step 2 / §7.3 'very large plans'): the celled frame's
     logical plan embeds the K×dim inline-literal cosine array, and every
     downstream operation of the audit assembly (7 joins, ~13 selects, two
     windows) re-analyzes that whole tree — measured 2.18 s of driver-side
     py4j/analysis per build at sf0.01, dropping to 0.85 s when consumers
-    see a LogicalRDD instead. localCheckpoint(eager) materializes from the
-    already-persisted columnar cache (cheap second copy of a slim table),
-    and the twin rides on the persisted handle (`_onebrc_trunc`) so LRU
-    eviction drops both together — executor storage stays O(maxsize), the
-    twin's blocks are reclaimed by the ContextCleaner on GC. The persisted
-    original stays the source of truth for storage accounting and safe
-    eviction; rows are identical by construction (the checkpoint IS the
-    computed result). Pinned in tests/test_plans.py."""
-    twin = getattr(celled, "_onebrc_trunc", None)
-    if twin is None:
-        twin = celled.localCheckpoint(eager=True)
-        celled._onebrc_trunc = twin
-    return twin
+    see a LogicalRDD instead.
+
+    SIZE-GATED since r14 (VERDICT r13 #2, ADVICE r13): the celled table
+    has one row per embedding — corpus-sized at scale — so the twin's
+    second non-replicated copy and localCheckpoint's no-recompute failure
+    mode are only taken when the source input is small (catalog.
+    small_for_twin over the embeddings scan's size hint); above the gate
+    (or when the size is unknown) consumers get the persisted original,
+    whose re-analysis cost is fixed and amortized at scale. Mechanics and
+    lifecycle live in memo.short_plan_twin; gate pinned in
+    tests/test_memo.py."""
+    return short_plan_twin(celled, small)
 
 
 def _ivf_probe2_audit(
@@ -1210,6 +1219,7 @@ def _ivf_probe2_audit(
             t2["b_i"].alias("cell"),
             t2["s_i"].alias("cell2"),
         ),
+        small=small_for_twin(src_bytes_hint(e)),
     )
     q = celled.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),

@@ -230,9 +230,17 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     by load_table (plain os.path.getsize — measured: consulting Catalyst's
     optimizedPlan().stats() instead costs a per-call driver optimizer pass
     that ate the whole win on the similarity family); a frame without the
-    hint falls back to the cap, i.e. the old behavior.
+    hint falls back to the cap, i.e. the old behavior. The hint is
+    RE-STAMPED on the output (r14, VERDICT r13 #3): the hint lives on the
+    exact Python DataFrame object, so without this every frame derived
+    from a spread() result would silently lose it and downstream
+    width/twin decisions would fall back to the scale-safe default.
     """
-    return df.repartition(spread_width(df, spark, per_core))
+    out = df.repartition(spread_width(df, spark, per_core))
+    est = src_bytes_hint(df)
+    if est:
+        out._onebrc_src_bytes = est
+    return out
 
 
 def spread_width(df: DataFrame, spark: SparkSession, per_core: int = 2) -> int:
@@ -242,10 +250,40 @@ def spread_width(df: DataFrame, spark: SparkSession, per_core: int = 2) -> int:
     pair-set memo made every warm consumer pay 64–128 task launches per
     stage to read ~2k rows)."""
     cap = spark.sparkContext.defaultParallelism * per_core
-    est = getattr(df, "_onebrc_src_bytes", 0) or 0
+    est = src_bytes_hint(df)
     if est <= 0 or est >= cap * _SPREAD_BYTES_PER_TASK:
         return cap
     return -(-est // _SPREAD_BYTES_PER_TASK)  # ceil division, ≥ 1
+
+
+def src_bytes_hint(df: DataFrame) -> int:
+    """The `_onebrc_src_bytes` file-metadata hint for this frame, or 0 when
+    absent (derived frame the stamp was lost on, or a non-local-filesystem
+    input os.path.getsize cannot size — both degrade to the scale-safe
+    defaults: full-cap spread width, no short-plan twin)."""
+    return getattr(df, "_onebrc_src_bytes", 0) or 0
+
+
+# Size gate for localCheckpoint short-plan twins (r14, VERDICT r13 #2): a
+# twin materializes a SECOND, non-replicated copy of a memoized table next
+# to the persisted original and truncates lineage (an executor loss makes
+# the blocks unrecoverable instead of recomputable). Both trades are only
+# acceptable when the underlying corpus is small; above this source-bytes
+# threshold consumers get the persisted original, whose re-analysis cost is
+# fixed and amortized at scale. Core-count-independent on purpose — the
+# driver benches the same data at several SPARK_GRAFT_CPUS values, and the
+# twin decision must not flip between them. Env-tunable for cluster
+# profiles; 0 disables twins entirely.
+_TWIN_MAX_SRC_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TWIN_MAX_SRC_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def small_for_twin(src_bytes: int) -> bool:
+    """True iff a short-plan localCheckpoint twin is scale-safe for a memo
+    derived from `src_bytes` of source input. Unknown size (0) → False:
+    the scale-safe default is the persisted original."""
+    return 0 < src_bytes <= _TWIN_MAX_SRC_BYTES
 
 
 # SparkSession -> last-registered sf_dir. Weak-keyed on the session OBJECT

@@ -12,6 +12,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -20,7 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from onebrc_spark import registry  # noqa: E402
 from onebrc_spark.session import get_spark  # noqa: E402
 
-OUT = Path(__file__).resolve().parents[1] / "plans" / "r13"
+OUT = Path(__file__).resolve().parents[1] / "plans" / os.environ.get(
+    "PLANS_ROUND", "r14"
+)
 SF_DIR = "/root/testdata/sf0.01"
 
 

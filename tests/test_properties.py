@@ -470,6 +470,18 @@ def test_connected_components_deep_chain(spark):
         connected_components(df, max_iters=10, algorithm="label")
 
 
+def test_connected_components_empty_edges_min_budget(spark):
+    """r14: propagation no longer probes the initial label state (round 1
+    cannot be a fixpoint on a non-empty edge set), so the empty edge set —
+    the one input where that probe could fire — must still converge via
+    the empty-state-is-a-fixpoint guard, even at the tightest budget."""
+    from onebrc_spark.operators.clustering import connected_components
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df, max_iters=1, algorithm="label").collect() == []
+    assert connected_components(df).collect() == []
+
+
 # --- X5b container codecs: property-based roundtrips (no Spark needed) ------
 
 
