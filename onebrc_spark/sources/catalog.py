@@ -125,6 +125,39 @@ def events_read_schema(sf_dir: str) -> T.StructType:
     return _read_schema(sf_dir, "events")
 
 
+# (session → {(sf_dir, name): (fingerprint, DataFrame)}) — the loaded-table
+# HANDLE memo (r14, guide §1.2 per-task → driver-boundary cost). Building a
+# table frame is ~90 py4j round trips (reader + footer-sniffed ts
+# normalization + the finite_or_null policy columns) plus a JVM-side file
+# listing — measured 80-370 ms per call, and EVERY query build pays it per
+# table. The frame is an unexecuted PLAN: memoizing it caches no data and
+# no result (the scan runs at each execution), exactly the register_views
+# precedent (r10) generalized to the DataFrame surface. The fingerprint
+# (per-file size+mtime) invalidates the entry when testdata is regenerated;
+# weak-keyed on the session object so a stopped session's entries die with
+# it (see _VIEWS_REGISTERED for why not id(spark)).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, size, mtime_ns) of every file backing one table — stat-only,
+    microseconds; () when the path cannot be statted (non-local input:
+    the memo then never hits and behavior is exactly the uncached path)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return ((p, st.st_size, st.st_mtime_ns),)
+        return tuple(
+            (f, os.stat(f).st_size, os.stat(f).st_mtime_ns)
+            for f in sorted(glob.glob(os.path.join(p, "*.parquet")))
+        )
+    except OSError:
+        return ()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Schema is asserted, not inferred.
 
@@ -133,9 +166,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     between FIXTURES.md and the files surfaces as an error here, not as a
     subtly-wrong query result. Timestamp columns are unit-sniffed from the
     footer (see ts_units) rather than assumed.
+
+    The returned frame is memoized per (session, sf_dir, name) under a file
+    fingerprint (see _TABLE_MEMO) — callers receive a shared immutable plan
+    handle and derive their own frames from it.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
+    fp = _table_fingerprint(sf_dir, name)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    hit = memo.get((sf_dir, name))
+    if hit is not None and fp and hit[0] == fp:
+        return hit[1]
     path = f"{sf_dir}/{name}.parquet"
     raw = spark.read.schema(_read_schema(sf_dir, name)).parquet(path)
     df = normalize_ts(raw, sf_dir, name)
@@ -144,18 +186,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "embeddings":
         df = df.withColumn("embedding", finite_vector_or_null(F.col("embedding")))
     # Source-size hint for spread() (r13): plain file metadata, no optimizer
-    # pass — a directory table sums its parts.
-    try:
-        p = os.path.join(sf_dir, f"{name}.parquet")
-        df._onebrc_src_bytes = (
-            os.path.getsize(p)
-            if os.path.isfile(p)
-            else sum(
-                os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
-            )
-        )
-    except OSError:
-        pass
+    # pass — a directory table sums its parts (the same stats the
+    # fingerprint already took).
+    src_bytes = sum(s for _, s, _ in fp)
+    if src_bytes:
+        df._onebrc_src_bytes = src_bytes
+    if fp:
+        memo[(sf_dir, name)] = (fp, df)
     return df
 
 
@@ -201,9 +238,27 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 _SPREAD_BYTES_PER_TASK = int(
     os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", str(128 * 1024))
 )
+# Byte budget for COMPUTE-DENSE pipelines (r14, guide §1.1/§2.6): the
+# MinHash signature fold (one md5 + 12 affine folds per shingle) and the
+# similarity bucket/cosine folds (10s of 64-dim interpreted dot products
+# per row) cost 1-2 orders of magnitude more CPU per source byte than a
+# plain columnar scan, so their dominant stages were running 5-7 tasks on a
+# 32-core box under the generic 128 KiB/task rule (measured: the signature
+# stage was ~45 s of executor time over 5 tasks at sf0.1 in the r14
+# profile). A smaller per-task byte budget widens exactly those pipelines;
+# the cap (cores x per_core) is unchanged, so at real corpus sizes both
+# budgets saturate to the same width and cluster behavior is identical —
+# this only moves the small-input trade between task-launch overhead and
+# idle cores. Chosen by ABBA measurement on the minhash build (see
+# OPTIMIZATION_r14.md); env-tunable like the generic budget.
+_SPREAD_DENSE_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_DENSE_BYTES_PER_TASK", str(32 * 1024))
+)
 
 
-def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
+def spread(
+    df: DataFrame, spark: SparkSession, per_core: int = 2, dense: bool = False
+) -> DataFrame:
     """Round-robin repartition to min(cores×per_core, input-derived) partitions.
 
     For CPU-heavy per-row operators (shingling, MinHash, SimHash, decode
@@ -236,24 +291,29 @@ def spread(df: DataFrame, spark: SparkSession, per_core: int = 2) -> DataFrame:
     from a spread() result would silently lose it and downstream
     width/twin decisions would fall back to the scale-safe default.
     """
-    out = df.repartition(spread_width(df, spark, per_core))
+    out = df.repartition(spread_width(df, spark, per_core, dense))
     est = src_bytes_hint(df)
     if est:
         out._onebrc_src_bytes = est
     return out
 
 
-def spread_width(df: DataFrame, spark: SparkSession, per_core: int = 2) -> int:
+def spread_width(
+    df: DataFrame, spark: SparkSession, per_core: int = 2, dense: bool = False
+) -> int:
     """The partition count spread() would use for this frame — exposed so
     downstream coalesce targets (memoized asset layouts, union folds) can
     track the adaptive width instead of a host constant (r13: a 64-wide
     pair-set memo made every warm consumer pay 64–128 task launches per
-    stage to read ~2k rows)."""
+    stage to read ~2k rows). `dense` selects the compute-dense per-task
+    byte budget (see _SPREAD_DENSE_BYTES_PER_TASK); the cap is shared, so
+    the flag is a no-op once the input saturates it."""
     cap = spark.sparkContext.defaultParallelism * per_core
+    bpt = _SPREAD_DENSE_BYTES_PER_TASK if dense else _SPREAD_BYTES_PER_TASK
     est = src_bytes_hint(df)
-    if est <= 0 or est >= cap * _SPREAD_BYTES_PER_TASK:
+    if est <= 0 or est >= cap * bpt:
         return cap
-    return -(-est // _SPREAD_BYTES_PER_TASK)  # ceil division, ≥ 1
+    return -(-est // bpt)  # ceil division, ≥ 1
 
 
 def src_bytes_hint(df: DataFrame) -> int:

@@ -5,6 +5,8 @@ executor storage is O(maxsize), never O(#directories)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 
 from onebrc_spark.operators.memo import PersistedLRU
@@ -214,3 +216,49 @@ def test_short_plan_twin_is_size_gated(spark):
     # generic helper agrees
     assert short_plan_twin(big, False) is big
     sim._IVF_CELLED_CACHE.put(key, persisted)  # leave cache consistent
+
+
+def test_load_table_handle_memo(spark, tmp_path):
+    """r14: load_table memoizes the built frame per (session, sf_dir, name)
+    under a file fingerprint — repeat calls return the SAME plan handle
+    (the ~90-round-trip build is paid once), and touching the backing file
+    invalidates the entry. The memo caches a PLAN, never data: the twin
+    directories below contain different rows and each read returns its own."""
+    import shutil
+
+    from onebrc_spark.sources import catalog
+
+    a = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert b is a, "repeat load must hit the handle memo"
+    assert catalog.src_bytes_hint(a) > 0
+
+    # fingerprint invalidation: a regenerated file must rebuild the handle
+    d = tmp_path / "sfX"
+    d.mkdir()
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = d / "documents.parquet"
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, str(dst))
+    first = catalog.load_table(spark, str(d), "documents")
+    assert catalog.load_table(spark, str(d), "documents") is first
+    target = dst if dst.is_file() else next(dst.glob("*.parquet"))
+    os.utime(target, ns=(1, 1))  # mtime change = regeneration
+    fresh = catalog.load_table(spark, str(d), "documents")
+    assert fresh is not first, "stale fingerprint must invalidate the memo"
+
+
+def test_spread_width_dense_budget(spark):
+    """r14: the dense per-task byte budget widens small CPU-dense inputs
+    and is a no-op at the shared cap — cluster behavior identical, only
+    the small-input parallelism trade moves."""
+    from onebrc_spark.sources import catalog
+
+    e = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = catalog.spread_width(e, spark)
+    dense = catalog.spread_width(e, spark, dense=True)
+    cap = spark.sparkContext.defaultParallelism * 2
+    assert base <= dense <= cap
+    # a frame with no hint falls back to the cap under BOTH budgets
+    nohint = e.select("doc_id")
+    assert catalog.spread_width(nohint, spark) == cap
+    assert catalog.spread_width(nohint, spark, dense=True) == cap
