@@ -898,18 +898,16 @@ def _minhash_pairs_plan(
     already-broadcast no-ops)."""
     src_tbl = load_table(spark, sf_dir, "documents")
     width = spread_width(src_tbl, spark)
-    # COMPUTE width for the build's dense stages (r14, guide §1.1/§2.6):
-    # the signature fold (one md5 + 12 affine mins per shingle) and the
-    # shingling itself are the build's dominant executor compute, and they
-    # run at the partition count of the spread/collapsed table — the
-    # generic byte-derived width left them 5-wide on a 32-core box at
-    # sf0.1. The dense budget widens ONLY the build-internal stages; the
-    # memoized pair set and the census cache keep the generic width, so
-    # warm consumers' task counts are unchanged. Both widths saturate at
-    # the same cores x per_core cap (identical at real corpus sizes).
-    cwidth = spread_width(src_tbl, spark, dense=True)
+    # Generic width everywhere in the build — the dense budget was ABBA-
+    # measured HERE and rejected (r14): interleaved same-JVM pairs put the
+    # cold build at 1.53/1.81 s (min/med) at 128 KiB/task vs 1.70/1.88 at
+    # 64 KiB and 1.83/1.91 at 32 KiB — the build's many short stages pay
+    # more in task launches than the signature stage's extra parallelism
+    # returns (the contended profile that suggested otherwise had inflated
+    # the compute stage ~8x). Contrast dedup_ngram_jaccard, where the
+    # exact pairwise verify IS compute-bound and dense measured 0.41x.
     small = small_for_twin(src_bytes_hint(src_tbl))
-    d = spread(src_tbl, spark, dense=True)
+    d = spread(src_tbl, spark)
     slim = _minhash_slim(d)
     # the census persist makes BOTH collapse joins read one tiny cached
     # table (column pruning would otherwise specialize the two broadcast
@@ -943,7 +941,7 @@ def _minhash_pairs_plan(
     # gaps and every consumer plan. Above the size gate the persist path
     # is unchanged — at scale lineage-free blocks and a second copy are
     # the wrong trade (see catalog.small_for_twin).
-    base = _collapsed_rows(slim, dupc).coalesce(cwidth)
+    base = _collapsed_rows(slim, dupc).coalesce(width)
     if small:
         collapsed = base.localCheckpoint(eager=True)
         handles = [dupc]
@@ -1415,7 +1413,7 @@ def dedup_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on the exact gram STRING (not an 8-byte hash) because a hash
     collision merging two innocent grams' counts past the cap would drop
     grams the oracle keeps."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     g = d.select(
         "doc_id", F.explode(word_3grams("text")).alias("gram")
     )

@@ -292,7 +292,7 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size at 100 TB). Oracle reproduces both gates, signatures and
     all, in DuckDB; the per-source admitted/rejected counts hash-verify the
     full pipeline."""
-    docs = spread(load_table(spark, sf_dir, "documents"), spark, dense=True)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     rejected = incremental_rejections(docs, is_new_batch(F.col("doc_id")))
     # batch membership comes from the ONE split derivation (the helper's
     # invariant) — never a second filter that could desynchronize the
