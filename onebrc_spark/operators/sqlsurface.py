@@ -575,15 +575,29 @@ def sql_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     ).cast("int")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_suppkey", late.alias("late")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        # ONE exchange for both aggregation levels (r14, guide §2.4): the
+        # broadcast join output keeps the scan's file-split partitioning,
+        # so each groupBy below would install its own shuffle —
+        # hash(l_orderkey, l_suppkey) does NOT satisfy the second level's
+        # clustering on l_orderkey alone. Repartitioning once by
+        # l_orderkey satisfies BOTH (partitioning keys ⊆ group keys), so
+        # the plan drops from two aggregation exchanges to this one; the
+        # count is AQE-coalesced, not user-pinned. The lost map-side
+        # partial agg is noise here: lineitem has ~4 lines per order and
+        # mostly distinct suppliers per line, so per-(order, supplier)
+        # partials barely compact — the rows crossing this exchange are
+        # within ~2x of the partials at every SF, and they are 20-byte
+        # triples either way.
+        .repartition("l_orderkey")
     )
     # Two-level aggregation instead of countDistinct×2: a single groupBy
     # with two DISTINCT aggregates compiles to an Expand (3× the shuffle
     # rows); per-(order, supplier) partials first make the wide shuffle
-    # carry compact pre-aggregated rows, and both groupBys' clustering is
-    # satisfied by the join's l_orderkey partitioning (subset rule), so
-    # neither adds an exchange.
+    # carry compact pre-aggregated rows, and both levels share the one
+    # l_orderkey exchange above (subset rule).
     per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("any_late"), F.sum("late").alias("late_rows")
     )
