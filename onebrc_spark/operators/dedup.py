@@ -867,6 +867,92 @@ def minhash_expand_pairs(rep_pairs: DataFrame, collapsed: DataFrame) -> DataFram
     return cross.unionByName(within)
 
 
+def _pairs_sql_from_collapsed(view: str, band_cap: int) -> str:
+    """The band→gate→bucket→candidate→verify→expand plan as ONE Spark-SQL
+    statement over the materialized collapsed view (r14, guide §1.2 step 2
+    — the r13 one-parse technique applied to the whole post-checkpoint
+    build). The Column-API composition created ~15 eagerly-analyzed
+    Datasets, each re-walking the signature/shingle expression forest —
+    measured ~0.5 s of driver-side construction per cold build at sf0.1
+    (phase split in OPTIMIZATION_r14.md); this is one parse + one
+    analysis. Every CTE mirrors its Column-built helper expression for
+    expression (element_at-1-based indexing, raw-jaccard threshold before
+    the floor quantizer, posexplode+slice pair streaming, the ids_a/ids_b
+    coalesce encoding) — the SQL path is pinned row-identical to the
+    helper composition in tests/test_sqlx_twins.py and end-to-end by the
+    DuckDB oracle."""
+    sig = _minhash_signature_sqlx("ws")
+    band_terms = ", ".join(
+        "xxhash64({b}, {els})".format(
+            b=band,
+            els=", ".join(
+                f"element_at(sig, {band * _LSH_ROWS + j + 1})"
+                for j in range(_LSH_ROWS)
+            ),
+        )
+        for band in range(_LSH_BANDS)
+    )
+    ai = "size(array_intersect(a.ws, b.ws))"
+    un = f"(size(a.ws) + size(b.ws) - {ai})"
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, ws FROM {view})
+    ),
+    bands AS (
+      SELECT doc_id, band_key FROM sigs
+      LATERAL VIEW explode(array({band_terms})) bt AS band_key
+    ),
+    gated AS (
+      SELECT doc_id, band_key FROM (
+        SELECT doc_id, band_key,
+               count(1) OVER (PARTITION BY band_key) AS occ_n
+        FROM bands
+      ) WHERE occ_n >= 2 AND occ_n <= {band_cap}
+    ),
+    buckets AS (
+      SELECT band_key, collect_list(doc_id) AS ids FROM gated GROUP BY band_key
+    ),
+    cand AS (
+      SELECT DISTINCT least(_x, _y) AS doc_a, greatest(_x, _y) AS doc_b
+      FROM buckets
+      LATERAL VIEW posexplode(ids) p AS _i, _x
+      LATERAL VIEW explode(slice(ids, _i + 2, size(ids))) q AS _y
+    ),
+    verified AS (
+      SELECT doc_a, doc_b, floor(j * 10000.0D + 0.5D) / 10000.0D AS jaccard
+      FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST({ai} AS DOUBLE) /
+               (CASE WHEN {un} = 0 THEN NULL ELSE {un} END) AS j
+        FROM cand c
+        JOIN {view} a ON a.doc_id = c.doc_a
+        JOIN {view} b ON b.doc_id = c.doc_b
+      ) WHERE j >= {_MINHASH_THRESHOLD}D
+    ),
+    dup AS (
+      SELECT doc_id, ids FROM {view} WHERE grp_n > 1 AND size(ws) > 0
+    ),
+    expanded AS (
+      SELECT coalesce(ma.ids, array(v.doc_a)) AS ids_a,
+             coalesce(mb.ids, array(v.doc_b)) AS ids_b,
+             v.jaccard
+      FROM verified v
+      LEFT JOIN dup ma ON ma.doc_id = v.doc_a
+      LEFT JOIN dup mb ON mb.doc_id = v.doc_b
+    )
+    SELECT least(_a, _b) AS doc_a, greatest(_a, _b) AS doc_b, jaccard
+    FROM expanded
+    LATERAL VIEW explode(ids_a) ea AS _a
+    LATERAL VIEW explode(ids_b) eb AS _b
+    UNION ALL
+    SELECT least(_x, _y) AS doc_a, greatest(_x, _y) AS doc_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM dup
+    LATERAL VIEW posexplode(ids) p AS _i, _x
+    LATERAL VIEW explode(slice(ids, _i + 2, size(ids))) q AS _y
+    """
+
+
 def _minhash_pairs_plan(
     spark: SparkSession, sf_dir: str, band_cap: int = _BAND_OCCUPANCY_CAP
 ) -> DataFrame:
@@ -948,10 +1034,15 @@ def _minhash_pairs_plan(
     else:
         collapsed = base.persist()
         handles = [collapsed, dupc]
-    ws = collapsed.select("doc_id", "ws")
-    candidates = minhash_band_candidates(ws, band_cap)
-    rep_pairs = minhash_verify_pairs(ws, candidates)
-    out = minhash_expand_pairs(rep_pairs, collapsed)
+    # ONE spark.sql for everything past the checkpoint (r14): the Column
+    # composition (minhash_band_candidates → minhash_verify_pairs →
+    # minhash_expand_pairs, kept as the reference twins) built ~15 eager-
+    # analyzed Datasets re-walking the signature forest per cold build.
+    # The temp view resolves at the sql() call, so the returned frame is
+    # immune to later re-registrations (bench alternates two sf_dirs).
+    view = "_onebrc_mh_collapsed"
+    collapsed.createOrReplaceTempView(view)
+    out = spark.sql(_pairs_sql_from_collapsed(view, band_cap))
     out._onebrc_transient_handles = handles
     out._onebrc_spread_width = width
     out._onebrc_twin_small = small

@@ -98,3 +98,42 @@ def test_lsh_bucket_sqlx_equals_column_path(spark):
         similarity.lsh_bucket(F.col("embedding")).alias("c"),
     ).collect()
     assert both and all(r["s"] == r["c"] for r in both)
+
+
+def test_minhash_pairs_sql_equals_helper_composition(spark):
+    """r14: the one-SQL post-checkpoint build (_pairs_sql_from_collapsed)
+    must emit exactly the pair set of the Column-API helper composition
+    (minhash_band_candidates → minhash_verify_pairs → minhash_expand_pairs)
+    it replaced — CTE for helper, over the same collapsed table."""
+    from onebrc_spark.sources.catalog import load_table, spread, spread_width
+    from tests.conftest import SF_DIR
+
+    src = load_table(spark, SF_DIR, "documents")
+    width = spread_width(src, spark)
+    slim = dedup._minhash_slim(spread(src, spark))
+    dupc = dedup._dup_census(slim).coalesce(width).persist()
+    collapsed = dedup._collapsed_rows(slim, dupc).coalesce(width).persist()
+    try:
+        collapsed.createOrReplaceTempView("_twin_mh_collapsed")
+        sql_rows = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in spark.sql(
+                dedup._pairs_sql_from_collapsed(
+                    "_twin_mh_collapsed", dedup._BAND_OCCUPANCY_CAP
+                )
+            ).collect()
+        )
+        ws = collapsed.select("doc_id", "ws")
+        cands = dedup.minhash_band_candidates(ws)
+        helper = dedup.minhash_expand_pairs(
+            dedup.minhash_verify_pairs(ws, cands), collapsed
+        )
+        helper_rows = sorted(
+            (r.doc_a, r.doc_b, r.jaccard) for r in helper.collect()
+        )
+        assert sql_rows, "empty pair set would vacuously pass"
+        assert sql_rows == helper_rows
+    finally:
+        dupc.unpersist()
+        collapsed.unpersist()
+        spark.catalog.dropTempView("_twin_mh_collapsed")
