@@ -45,6 +45,8 @@ from onebrc_spark.operators.dedup import (
     _MINHASH_THRESHOLD,
     _affine_sql,
     _base_digits_sql,
+    _minhash_signature_sqlx,
+    _word_3grams_sqlx,
     minhash_signature,
     word_3grams,
 )
@@ -223,6 +225,94 @@ def incremental_rejections(
     return exact_rej.unionByName(near_rej)
 
 
+def _admission_sql(view: str) -> str:
+    """The full admission query as ONE Spark-SQL statement over the spread
+    documents view (r14, guide §1.2 step 2 — the one-parse technique the
+    minhash build uses, see dedup._pairs_sql_from_collapsed). The Column
+    composition built ~1,700 py4j round trips per query build, re-analyzing
+    the shingle/signature forests at every Dataset creation; this is one
+    parse + one analysis. Each CTE mirrors its helper (the helpers stay —
+    incremental_rejections/lsh_candidates are the reference twins and the
+    streaming gate's building blocks); the SQL path is pinned row-identical
+    in tests/test_sqlx_twins.py and end-to-end by the DuckDB oracle."""
+    h = f"ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1))"
+    is_new = (
+        f"(CASE WHEN {h} <= 57 THEN {h} - 48 ELSE {h} - 87 END) "
+        f"< {_NEW_BUCKET_MAX}"
+    )
+    sig = _minhash_signature_sqlx("ws")
+    band_terms = ", ".join(
+        "xxhash64({b}, {els})".format(
+            b=band,
+            els=", ".join(
+                f"element_at(sig, {band * _LSH_ROWS + j + 1})"
+                for j in range(_LSH_ROWS)
+            ),
+        )
+        for band in range(_LSH_BANDS)
+    )
+    ai = "size(array_intersect(ws_a, ws_b))"
+    un = f"(size(ws_a) + size(ws_b) - {ai})"
+    bkeys = (
+        "SELECT doc_id, band_key FROM ("
+        f"  SELECT doc_id, {sig} AS sig FROM ("
+        f"    SELECT doc_id, {_word_3grams_sqlx('text')} AS ws FROM {{side}})) s"
+        f" LATERAL VIEW explode(array({band_terms})) t AS band_key"
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, source, text, {is_new} AS is_new FROM {view}
+    ),
+    batch AS (SELECT doc_id, source, text FROM tagged WHERE is_new),
+    corpus AS (SELECT doc_id, text FROM tagged WHERE NOT is_new),
+    exact_rej AS (
+      SELECT doc_id, 'exact' AS reason FROM (
+        SELECT b.doc_id FROM (SELECT doc_id, md5(text) AS digest FROM batch) b
+        LEFT SEMI JOIN (SELECT DISTINCT md5(text) AS digest FROM corpus) c
+          ON b.digest = c.digest
+      )
+    ),
+    bb AS ({bkeys.format(side="batch")}),
+    cb AS ({bkeys.format(side="corpus")}),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS new_id, cb.doc_id AS corpus_id
+      FROM bb JOIN cb ON bb.band_key = cb.band_key
+    ),
+    near_pairs AS (
+      SELECT c.new_id,
+             {_word_3grams_sqlx('ba.text')} AS ws_a,
+             {_word_3grams_sqlx('co.text')} AS ws_b
+      FROM cand c
+      JOIN batch ba ON ba.doc_id = c.new_id
+      JOIN corpus co ON co.doc_id = c.corpus_id
+    ),
+    near_hit AS (
+      SELECT DISTINCT new_id AS doc_id FROM near_pairs
+      WHERE CAST({ai} AS DOUBLE) /
+            (CASE WHEN {un} = 0 THEN NULL ELSE {un} END)
+            >= {_MINHASH_THRESHOLD}D
+    ),
+    near_rej AS (
+      SELECT n.doc_id, 'near' AS reason FROM near_hit n
+      LEFT ANTI JOIN exact_rej e ON n.doc_id = e.doc_id
+    ),
+    rejected AS (
+      SELECT doc_id, reason FROM exact_rej
+      UNION ALL
+      SELECT doc_id, reason FROM near_rej
+    )
+    SELECT b.source,
+           count(1) AS n_new,
+           CAST(sum(CASE WHEN r.reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(sum(CASE WHEN r.reason IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rejected
+    FROM (SELECT doc_id, source FROM batch) b
+    LEFT JOIN rejected r ON b.doc_id = r.doc_id
+    GROUP BY b.source ORDER BY b.source
+    """
+
+
 @query(
     "dedup_incremental_admission",
     oracle=f"""
@@ -293,26 +383,14 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     all, in DuckDB; the per-source admitted/rejected counts hash-verify the
     full pipeline."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    rejected = incremental_rejections(docs, is_new_batch(F.col("doc_id")))
-    # batch membership comes from the ONE split derivation (the helper's
-    # invariant) — never a second filter that could desynchronize the
-    # manifest's denominator from the rejection set
-    batch, _ = _split_batch_corpus(docs, is_new_batch(F.col("doc_id")))
-    batch = batch.select("doc_id", "source")
-    return (
-        batch.join(rejected.select("doc_id", "reason"), "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_new"),
-            F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_admitted"),
-            F.sum(F.when(F.col("reason").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_rejected"),
-        )
-        .orderBy("source")
-    )
+    # ONE spark.sql for the whole pipeline (r14, see _admission_sql): the
+    # is_new split is derived exactly once inside the statement (the
+    # tagged CTE), preserving the one-derivation invariant the helper API
+    # enforces structurally. The view resolves at the sql() call, so the
+    # returned frame is immune to later re-registrations.
+    view = "_onebrc_adm_docs"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(_admission_sql(view))
 
 
 # --- Production shape: the corpus band table as a bucketed asset ------------

@@ -137,3 +137,44 @@ def test_minhash_pairs_sql_equals_helper_composition(spark):
         dupc.unpersist()
         collapsed.unpersist()
         spark.catalog.dropTempView("_twin_mh_collapsed")
+
+
+def test_admission_sql_equals_helper_composition(spark):
+    """r14: the one-SQL admission query (_admission_sql) must emit exactly
+    the manifest of the helper composition it replaced."""
+    from pyspark.sql import functions as F
+
+    from onebrc_spark.operators import incremental as inc
+    from onebrc_spark.sources.catalog import load_table, spread
+    from tests.conftest import SF_DIR
+
+    docs = spread(load_table(spark, SF_DIR, "documents"), spark)
+    docs.createOrReplaceTempView("_twin_adm_docs")
+    try:
+        sql_rows = [
+            tuple(r)
+            for r in spark.sql(inc._admission_sql("_twin_adm_docs")).collect()
+        ]
+        rejected = inc.incremental_rejections(
+            docs, inc.is_new_batch(F.col("doc_id"))
+        )
+        batch, _ = inc._split_batch_corpus(docs, inc.is_new_batch(F.col("doc_id")))
+        helper = (
+            batch.select("doc_id", "source")
+            .join(rejected.select("doc_id", "reason"), "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_admitted"),
+                F.sum(F.when(F.col("reason").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_rejected"),
+            )
+            .orderBy("source")
+        )
+        helper_rows = [tuple(r) for r in helper.collect()]
+        assert sql_rows and sql_rows == helper_rows
+    finally:
+        spark.catalog.dropTempView("_twin_adm_docs")
