@@ -1114,6 +1114,68 @@ def _boiler_occurrences(toked) -> "DataFrame":
     )
 
 
+def _boiler_toks_sql(text: str) -> str:
+    """Spark-SQL text of _boiler_tokens over a column reference."""
+    return f"filter(split(coalesce({text}, ''), ' '), x -> x != '')"
+
+
+def _boiler_occurrence_sql(docs_view: str) -> str:
+    """Spark-SQL text of the per-occurrence (doc_id, source, h, seg_chars)
+    stream — _boiler_occurrences plus the hash/length projection, as one
+    statement (see text_boilerplate_segments for why)."""
+    W = _BOILER_W
+    seg_fold = (
+        f"transform(sequence(1, CAST((size(t) + {W - 1}) div {W} AS INT)), "
+        f"i -> array_join(slice(t, (i - 1) * {W} + 1, {W}), ' '))"
+    )
+    return f"""
+    SELECT doc_id, source, xxhash64(seg) AS h, length(seg) AS seg_chars
+    FROM (
+      SELECT doc_id, source, t FROM (
+        SELECT doc_id, source, {_boiler_toks_sql('text')} AS t
+        FROM {docs_view}
+      ) WHERE size(t) > 0
+    ) toked
+    LATERAL VIEW explode({seg_fold}) sg AS seg
+    """
+
+
+def _boiler_ledger_sql(docs_view: str, segs_view: str) -> str:
+    """The census→mark→per-source ledger as one statement over the
+    checkpointed occurrence stream (see text_boilerplate_segments)."""
+    return f"""
+    WITH hot AS (
+      SELECT h, 1 AS hot FROM (
+        SELECT h, count(DISTINCT doc_id) AS df FROM {segs_view} GROUP BY h
+      ) WHERE df >= {_BOILER_TAU}
+    ),
+    marked AS (
+      SELECT /*+ BROADCAST(hot) */
+             s.doc_id, s.source, s.seg_chars, coalesce(hot.hot, 0) AS hot
+      FROM {segs_view} s LEFT JOIN hot ON s.h = hot.h
+    ),
+    seg_stats AS (
+      SELECT source,
+             count(1) AS segs_total,
+             sum(hot) AS segs_removed,
+             sum(CASE WHEN hot = 1 THEN seg_chars ELSE 0 END) AS chars_removed,
+             count(DISTINCT CASE WHEN hot = 1 THEN doc_id END) AS docs_touched
+      FROM marked GROUP BY source
+    ),
+    base AS (
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs
+      FROM {docs_view} GROUP BY source
+    )
+    SELECT b.source AS source, n_docs,
+           CAST(coalesce(docs_touched, 0) AS BIGINT) AS docs_touched,
+           CAST(coalesce(segs_total, 0) AS BIGINT) AS segs_total,
+           CAST(coalesce(segs_removed, 0) AS BIGINT) AS segs_removed,
+           CAST(coalesce(chars_removed, 0) AS BIGINT) AS chars_removed
+    FROM base b LEFT JOIN seg_stats s ON b.source <=> s.source
+    ORDER BY b.source ASC NULLS FIRST
+    """
+
+
 @query(
     "text_boilerplate_segments",
     oracle="""
@@ -1190,67 +1252,70 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rulebook note on engine-internal keys).
     """
     d = load_table(spark, sf_dir, "documents")
-    segs = _boiler_occurrences(
-        d.select("doc_id", "source", _boiler_tokens(F.col("text")).alias("t"))
-    ).select(
-        "doc_id",
-        "source",
-        F.xxhash64("seg").alias("h"),
-        F.length("seg").alias("seg_chars"),
-    )
+    docs_view = "_onebrc_boiler_docs"
+    d.createOrReplaceTempView(docs_view)
+    # TWO spark.sql statements around the lazy checkpoint (r14, guide §1.2
+    # step 2 — the one-parse technique of dedup._pairs_sql_from_collapsed):
+    # the Column composition created ~15 eagerly-analyzed Datasets, each
+    # re-walking the segmenter forest — ~0.56 s of pure driver-side
+    # construction per build at sf0.1, the bulk of this entry. Each SQL
+    # fragment mirrors its helper expression-for-expression (the explicit
+    # size(t) > 0 occurrence filter, the div-based segment count, count(1)
+    # census over within-doc-distinct hashes); row-identity vs the helper
+    # composition is pinned in tests/test_sqlx_twins.py.
+    segs = spark.sql(_boiler_occurrence_sql(docs_view))
     # ONE traversal for both consumers: the lazy localCheckpoint truncates
     # lineage at the exploded narrow stream, so the census (hot-set
     # broadcast job) materializes it and the mark probe reads the stored
     # rows — text is read and segmented exactly once. eager=False keeps
     # query construction job-free (the driver contract builds plans before
     # acting); the checkpointed RDD is unpersisted by the ContextCleaner
-    # when the result DataFrame is garbage-collected.
-    segs = segs.localCheckpoint(eager=False)
-    # census over the SAME occurrence stream the mark pass consumes: the
-    # twins' A/B test (see _boiler_occurrences) measured this 0.76 s vs
-    # 2.11 s for an array-column census at sf0.1 — the mark pass needs the
-    # per-occurrence stream anyway, so deriving the census from it reuses
-    # one Generate shape; the checkpoint above upgrades "one shape" to
-    # "one execution".
-    hot = (
-        segs.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_TAU)
-        .select("h", F.lit(1).alias("hot"))
+    # when the result DataFrame is garbage-collected. The census derives
+    # from the SAME occurrence stream the mark pass consumes (the twins'
+    # A/B test measured 0.76 s vs 2.11 s for an array-column census at
+    # sf0.1); the checkpoint upgrades "one shape" to "one execution".
+    segs_view = "_onebrc_boiler_segs"
+    segs.localCheckpoint(eager=False).createOrReplaceTempView(segs_view)
+    return spark.sql(_boiler_ledger_sql(docs_view, segs_view))
+
+
+def _boiler_clean_sql(docs_view: str) -> str:
+    """The per-document cleaned-corpus reconstruction as one statement —
+    the SQL twin of text_boilerplate_clean's helper composition
+    (_boiler_tokens → _boiler_seg_array → _boiler_hot_hashes → the narrow
+    keep-filter); see that query for why."""
+    W = _BOILER_W
+    seg_arr = (
+        f"CASE WHEN size(t) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, CAST(floor((size(t) + {W - 1}) / {W}) AS INT)), "
+        f"i -> array_join(slice(t, (i - 1) * {W} + 1, {W}), ' ')) END"
     )
-    marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
-        "hot", F.coalesce("hot", F.lit(0))
+    kept = "filter(segs, s -> NOT array_contains(hot_set, xxhash64(s)))"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_boiler_toks_sql('text')} AS t FROM {docs_view}
+    ),
+    segged AS (
+      SELECT doc_id, {seg_arr} AS segs FROM toked
+    ),
+    hot AS (
+      SELECT collect_set(h) AS hot_set FROM (
+        SELECT h FROM (
+          SELECT h, count(1) AS df FROM (
+            SELECT explode(array_distinct(transform(segs, s -> xxhash64(s)))) AS h
+            FROM segged
+          ) GROUP BY h
+        ) WHERE df >= {_BOILER_TAU}
+      )
     )
-    seg_stats = marked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("segs_total"),
-        F.sum("hot").alias("segs_removed"),
-        F.sum(F.when(F.col("hot") == 1, F.col("seg_chars")).otherwise(0)).alias(
-            "chars_removed"
-        ),
-        F.countDistinct(F.when(F.col("hot") == 1, F.col("doc_id"))).alias(
-            "docs_touched"
-        ),
-    )
-    base = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    # null-safe join: a NULL-source group's ledger row still carries its
-    # segment stats (plain equi-join would silently zero it on both engines)
-    return (
-        base.alias("b")
-        .join(
-            seg_stats.alias("s"),
-            F.col("b.source").eqNullSafe(F.col("s.source")),
-            "left",
-        )
-        .select(
-            F.col("b.source").alias("source"),
-            "n_docs",
-            F.coalesce("docs_touched", F.lit(0)).cast("long").alias("docs_touched"),
-            F.coalesce("segs_total", F.lit(0)).cast("long").alias("segs_total"),
-            F.coalesce("segs_removed", F.lit(0)).cast("long").alias("segs_removed"),
-            F.coalesce("chars_removed", F.lit(0)).cast("long").alias("chars_removed"),
-        )
-        .orderBy(F.asc_nulls_first("source"))
-    )
+    SELECT /*+ BROADCAST(hot) */
+           doc_id,
+           CAST(size(segs) AS BIGINT) AS n_segs,
+           CAST(size(segs) - size({kept}) AS BIGINT) AS n_removed,
+           array_join({kept}, ' ') AS cleaned_text
+    FROM segged CROSS JOIN hot
+    ORDER BY doc_id
+    """
 
 
 @query(
@@ -1316,22 +1381,12 @@ def text_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     innocent segment — the standard hashed-vocabulary trade, documented
     in the ledger twin)."""
     d = load_table(spark, sf_dir, "documents")
-    # two-step select: see the ledger twin — tokens must be a materialized
-    # attribute or the segmenter re-evaluates split+filter per reference
-    segged = d.select(
-        "doc_id", _boiler_tokens(F.col("text")).alias("t")
-    ).select("doc_id", _boiler_seg_array(F.col("t")).alias("segs"))
-    hot = _boiler_hot_hashes(segged).agg(F.collect_set("h").alias("hot_set"))
-    kept = F.filter(
-        "segs", lambda s: ~F.array_contains(F.col("hot_set"), F.xxhash64(s))
-    )
-    return (
-        segged.crossJoin(F.broadcast(hot))
-        .select(
-            "doc_id",
-            F.size("segs").cast("long").alias("n_segs"),
-            (F.size("segs") - F.size(kept)).cast("long").alias("n_removed"),
-            F.array_join(kept, " ").alias("cleaned_text"),
-        )
-        .orderBy("doc_id")
-    )
+    # ONE spark.sql (r14, same rationale as the ledger twin): the Column
+    # composition was ~0.30 s of driver-side construction per build. The
+    # statement mirrors the helpers expression-for-expression (two-step
+    # token/segment projection so the segmenter never re-evaluates per
+    # reference, the size()==0 empty-array branch, the within-doc-distinct
+    # hash census); pinned row-identical in tests/test_sqlx_twins.py.
+    view = "_onebrc_boiler_docs"
+    d.createOrReplaceTempView(view)
+    return spark.sql(_boiler_clean_sql(view))

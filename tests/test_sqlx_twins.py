@@ -178,3 +178,99 @@ def test_admission_sql_equals_helper_composition(spark):
         assert sql_rows and sql_rows == helper_rows
     finally:
         spark.catalog.dropTempView("_twin_adm_docs")
+
+
+def test_boilerplate_sql_equals_helper_composition(spark):
+    """r14: the one-SQL boilerplate ledger and clean queries must emit
+    exactly what the helper compositions they replaced emitted."""
+    from onebrc_spark.operators import curation as cu
+    from onebrc_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    d.createOrReplaceTempView("_twin_boiler_docs")
+    try:
+        # --- ledger ---
+        segs_sql = spark.sql(cu._boiler_occurrence_sql("_twin_boiler_docs"))
+        segs_sql.createOrReplaceTempView("_twin_boiler_segs")
+        sql_ledger = [
+            tuple(r)
+            for r in spark.sql(
+                cu._boiler_ledger_sql("_twin_boiler_docs", "_twin_boiler_segs")
+            ).collect()
+        ]
+        segs = cu._boiler_occurrences(
+            d.select("doc_id", "source", cu._boiler_tokens(F.col("text")).alias("t"))
+        ).select(
+            "doc_id", "source",
+            F.xxhash64("seg").alias("h"), F.length("seg").alias("seg_chars"),
+        )
+        hot = (
+            segs.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= cu._BOILER_TAU)
+            .select("h", F.lit(1).alias("hot"))
+        )
+        marked = segs.join(F.broadcast(hot), "h", "left").withColumn(
+            "hot", F.coalesce("hot", F.lit(0))
+        )
+        seg_stats = marked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("segs_total"),
+            F.sum("hot").alias("segs_removed"),
+            F.sum(F.when(F.col("hot") == 1, F.col("seg_chars")).otherwise(0)).alias(
+                "chars_removed"
+            ),
+            F.countDistinct(F.when(F.col("hot") == 1, F.col("doc_id"))).alias(
+                "docs_touched"
+            ),
+        )
+        base = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        helper_ledger = [
+            tuple(r)
+            for r in base.alias("b")
+            .join(seg_stats.alias("s"),
+                  F.col("b.source").eqNullSafe(F.col("s.source")), "left")
+            .select(
+                F.col("b.source").alias("source"), "n_docs",
+                F.coalesce("docs_touched", F.lit(0)).cast("long").alias("docs_touched"),
+                F.coalesce("segs_total", F.lit(0)).cast("long").alias("segs_total"),
+                F.coalesce("segs_removed", F.lit(0)).cast("long").alias("segs_removed"),
+                F.coalesce("chars_removed", F.lit(0)).cast("long").alias("chars_removed"),
+            )
+            .orderBy(F.asc_nulls_first("source"))
+            .collect()
+        ]
+        assert sql_ledger and sql_ledger == helper_ledger
+
+        # --- clean ---
+        sql_clean = [
+            tuple(r)
+            for r in spark.sql(cu._boiler_clean_sql("_twin_boiler_docs")).collect()
+        ]
+        segged = d.select(
+            "doc_id", cu._boiler_tokens(F.col("text")).alias("t")
+        ).select("doc_id", cu._boiler_seg_array(F.col("t")).alias("segs"))
+        hot2 = cu._boiler_hot_hashes(segged).agg(
+            F.collect_set("h").alias("hot_set")
+        )
+        kept = F.filter(
+            "segs", lambda s: ~F.array_contains(F.col("hot_set"), F.xxhash64(s))
+        )
+        helper_clean = [
+            tuple(r)
+            for r in segged.crossJoin(F.broadcast(hot2))
+            .select(
+                "doc_id",
+                F.size("segs").cast("long").alias("n_segs"),
+                (F.size("segs") - F.size(kept)).cast("long").alias("n_removed"),
+                F.array_join(kept, " ").alias("cleaned_text"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert sql_clean and sql_clean == helper_clean
+    finally:
+        spark.catalog.dropTempView("_twin_boiler_docs")
+        spark.catalog.dropTempView("_twin_boiler_segs")
